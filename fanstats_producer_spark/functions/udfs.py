@@ -1,0 +1,109 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2B u01-u04).
+
+Policy (100 TB posture): built-ins first; when Python is unavoidable the
+hot path uses Arrow-batched pandas UDFs (u02/u03), never row-at-a-time
+(u01 exists to cover the API surface and is deliberately off any large
+fact table).  u03 is the grouped-map pattern (applyInPandas) that the
+X-layer reuses for custom stateless per-group logic.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+# --- u01: scalar Python UDF ---------------------------------------------------
+@F.udf(returnType=StringType())
+def _shout(s: str | None) -> str | None:
+    return None if s is None else s.upper() + "!"
+
+
+@query(
+    "u01_udf",
+    oracle="SELECT r_regionkey, upper(r_name) || '!' AS shouted FROM region",
+)
+def u01_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "region").select(
+        "r_regionkey", _shout("r_name").alias("shouted")
+    )
+
+
+# --- u02: vectorized pandas UDF (Arrow batches) --------------------------------
+@F.pandas_udf(DoubleType())
+def _log1p_score(v: pd.Series) -> pd.Series:
+    import numpy as np
+
+    return np.log1p(v)
+
+
+@query(
+    "u02_pandas_udf",
+    oracle="""
+    SELECT event_id, ROUND(ln(1 + value), 6) AS log_score
+    FROM events
+    """,
+)
+def u02_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "events").select(
+        "event_id", F.round(_log1p_score("value"), 6).alias("log_score")
+    )
+
+
+# --- u03: grouped map (applyInPandas) ------------------------------------------
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    mean = pdf["c_acctbal"].mean()
+    sd = pdf["c_acctbal"].std(ddof=1)
+    z = (pdf["c_acctbal"] - mean) / sd if sd else pdf["c_acctbal"] * 0.0
+    return pd.DataFrame(
+        {"c_custkey": pdf["c_custkey"], "zscore": z.round(6)}
+    )
+
+
+@query(
+    "u03_grouped_map",
+    oracle="""
+    SELECT c_custkey,
+           ROUND((c_acctbal - avg(c_acctbal) OVER seg)
+                 / stddev_samp(c_acctbal) OVER seg, 6) AS zscore
+    FROM customer
+    WINDOW seg AS (PARTITION BY c_mktsegment)
+    """,
+)
+def u03_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .applyInPandas(_zscore_group, schema="c_custkey long, zscore double")
+    )
+
+
+# --- u04: UDTF (table-generating) -----------------------------------------------
+@query(
+    "u04_udtf",
+    oracle="""
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def u04_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, token string")
+    class Tokenize:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            for tok in text.split(" "):
+                yield doc_id, tok
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("u04_docs")
+    spark.udtf.register("fs_tokenize", Tokenize)
+    return spark.sql(
+        "SELECT t.doc_id, t.token FROM u04_docs, LATERAL fs_tokenize(doc_id, text) t"
+    )

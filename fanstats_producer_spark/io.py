@@ -1,0 +1,52 @@
+"""Fixture table IO.
+
+The reference's "catalog" is a Glue crawler over a date-partitioned S3
+prefix (reference main.tf:301-314); here the analogue is parquet-per-table
+directories plus Spark's in-session catalog (temp views), with schema read
+from parquet footers rather than re-inferred per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Parquet scan → column pruning and predicate
+    pushdown come free once callers filter/select on the result.
+
+    events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects; we read nanos as long and floor-convert to microsecond
+    timestamps (bit-identical to DuckDB's own ns→us truncation).
+    """
+    # The driver may hand us a default-config session: pin the runtime-
+    # settable confs our results depend on (UTC timestamp semantics match
+    # the DuckDB oracle's naive timestamps).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        # integer `div`, not `/`: epoch-nanos overflow double's exact range
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view (Athena-catalog parity:
+    the reference's Glue database `fanstatsai`, main.tf:301-303)."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,199 @@
+"""Aggregation operators (SURVEY.md §2B q20-q26).
+
+The daily engagement rollup is the FanStats core analytic (the reference
+lands raw posts and Athena aggregates them, reference main.py:4-5).  All
+grouped aggs here hash-aggregate with map-side partials automatically;
+the decimal-sum pattern (functions/num.py) keeps float sums reproducible
+across any partitioning — a correctness property at 1000 executors, not
+just an oracle-parity trick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.functions.num import davg, dsum, sql_davg, sql_dsum
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+# --- q20: grouped agg with HAVING (TPC-H Q1 adapted to fixture columns) ---
+@query(
+    "q20_agg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS count_order,
+           {sum_qty} AS sum_qty,
+           {sum_base} AS sum_base_price,
+           {sum_disc} AS sum_disc_price,
+           {avg_qty} AS avg_qty,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 10
+    """.format(
+        sum_qty=sql_dsum("l_quantity"),
+        sum_base=sql_dsum("l_extendedprice"),
+        sum_disc=sql_dsum("l_extendedprice * (1 - l_discount)"),
+        avg_qty=sql_davg("l_quantity"),
+    ),
+)
+def q20_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("count_order"),
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            davg("l_quantity").alias("avg_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+        .filter(F.col("count_order") > 10)
+    )
+
+
+# --- q21: COUNT(DISTINCT) ---------------------------------------------------
+@query(
+    "q21_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q21_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+# --- q22: approximate distinct (Athena approx_distinct parity) -------------
+# Spark's HLL++ is exact in its sparse regime (small true cardinality);
+# the fixture cardinalities here (≤ a few hundred) stay within it, so the
+# exact-COUNT(DISTINCT) oracle matches.  At 100 TB this operator is the
+# whole point: one pass, fixed memory, no exact-distinct shuffle.
+@query(
+    "q22_approx",
+    oracle="""
+    SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS approx_priorities
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q22_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_orderpriority", rsd=0.01).alias("approx_priorities"))
+    )
+
+
+# --- q23: exact row dedup (DISTINCT / dropDuplicates) -----------------------
+@query(
+    "q23_dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dropDuplicates(["text"]) picks an arbitrary survivor; min(doc_id) is
+    # the deterministic equivalent (and what a 100 TB dedup job should do).
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("text")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+# --- q24: ROLLUP / grouping sets -------------------------------------------
+@query(
+    "q24_rollup",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL') AS region_name,
+           COALESCE(n.n_name, 'ALL') AS nation_name,
+           CAST(GROUPING(r.r_name) * 2 + GROUPING(n.n_name) AS INT) AS gid,
+           COUNT(*) AS n
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q24_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    joined = c.join(n, c.c_nationkey == n.n_nationkey).join(
+        r, n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.grouping_id().cast("int").alias("gid"), F.count("*").alias("n"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "gid",
+            "n",
+        )
+    )
+
+
+# --- q25: collect_list / array_agg (deterministic via sort) ----------------
+@query(
+    "q25_arrayagg",
+    oracle="""
+    SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY 1
+    """,
+)
+def q25_arrayagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("nations"))
+    )
+
+
+# --- q26: statistical aggregates -------------------------------------------
+# stddev/var are float-order-dependent; rounding to 2 decimals leaves a
+# >1e6x margin over cross-engine noise at these magnitudes.
+@query(
+    "q26_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
+           ROUND(var_samp(l_quantity), 2) AS var_qty,
+           ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q26_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("median_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+        )
+    )

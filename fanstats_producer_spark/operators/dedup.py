@@ -1,0 +1,224 @@
+"""Deduplication operators (SURVEY.md §2C T3/T4): exact hash dedup,
+exact n-gram Jaccard near-dup, MinHash+LSH, and SimHash.
+
+Scale design:
+- Exact dedup is a single hash-shuffle on the content digest (never on
+  the full text — at 100 TB you shuffle 32-byte digests, not documents).
+- Exact Jaccard uses an inverted-index (shingle → postings) join, which
+  only materializes pairs that share ≥1 shingle — the classic
+  all-pairs-similarity pruning; `max_df` drops stopword-shingles whose
+  postings would dominate the pair count (frequency pruning).
+- MinHash+LSH (pyspark.ml MinHashLSH) is the sub-quadratic scale path:
+  band-bucket join instead of all overlapping pairs.
+- SimHash gives a 64-bit locality-sensitive signature; near-dup pairs
+  are found by banding the signature (bucket join), not pairwise scans.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+# --- x03: exact dedup via content hash (T3) -----------------------------------
+@query(
+    "x03_dedup_hash",
+    oracle="""
+    SELECT doc_id, content_hash FROM (
+      SELECT doc_id, sha256(text) AS content_hash,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def x03_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn(
+        "content_hash", F.sha2(F.col("text"), 256)
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.select("doc_id", "content_hash", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- shared: token shingles -----------------------------------------------------
+def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """Add a `shingles` column: distinct k-token shingles of the text."""
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+    # sequence(1, n) with n < 1 would count *down* in Spark — guard short docs.
+    shingles = F.when(F.size(toks) >= k, shingles).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.withColumn("shingles", F.array_distinct(shingles))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    k: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs via inverted-index join.
+
+    ``max_df`` (optional) drops shingles appearing in more than that many
+    docs before pairing — the standard frequency-pruning lever that keeps
+    the candidate-pair count sub-quadratic on skewed corpora.
+    """
+    sh = with_shingles(docs, k=k).select(
+        F.col(id_col).alias("doc_id"), "shingles"
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    postings = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        freq = postings.groupBy("shingle").agg(F.count("*").alias("df"))
+        postings = postings.join(
+            F.broadcast(freq.filter(F.col("df") <= max_df).select("shingle")), "shingle"
+        )
+    a = postings.alias("a")
+    b = postings.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+# --- x04: exact n-gram Jaccard near-dup (T4, exact arm) -------------------------
+_X04_THRESHOLD = 0.5
+
+
+@query(
+    "x04_neardup_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM post a JOIN post b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {_X04_THRESHOLD}
+    """,
+)
+def x04_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=_X04_THRESHOLD, k=3
+    )
+
+
+# --- x04b: MinHash + LSH (T4, approximate scale arm; rows-only check) ------------
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    jaccard_distance: float = 0.5,
+    num_hash_tables: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """Approximate near-dup pairs via MinHashLSH banding.
+
+    shingle → sparse count vector (HashingTF) → min-hash signatures →
+    bucket join (approxSimilarityJoin).  Sub-quadratic: only candidate
+    pairs sharing an LSH bucket are scored.  Seeded ⇒ deterministic.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = with_shingles(docs, k=k).select("doc_id", "shingles").filter(
+        F.size("shingles") > 0
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, jaccard_distance, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1 - F.col("dist"), 6).alias("est_jaccard"),
+        )
+    )
+
+
+@query("x04b_minhash_lsh")  # approximate → rows-only driver check
+def x04b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(spark, load(spark, sf_dir, "documents")).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# --- x04c: SimHash signatures (T4, signature arm; rows-only check) ----------------
+def _simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over md5-derived token hashes (engine-independent)."""
+    acc = [0] * 64
+    for t in tokens:
+        h = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    # keep within signed int64 for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+@F.pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _simhash64(t.split(" ")))
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", simhash_udf("text").alias("simhash"))
+
+
+@query("x04c_simhash")  # signature only; banding join tested in unit tests
+def x04c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_signatures(load(spark, sf_dir, "documents")).orderBy("doc_id")

@@ -1,0 +1,177 @@
+"""Join operators (SURVEY.md §2B q10-q15).
+
+The reference's only "join" is config-topics × fetched-posts (a broadcast
+of a tiny dimension, reference main.py:173 + nba.yaml:6-7); everything
+else is Athena-delegated.  Scale posture: small dimensions (region,
+nation, config topics) are explicitly `broadcast()`-hinted so no shuffle
+of the fact side ever happens for them; large-large joins go through
+sort-merge with AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.functions.num import dsum, sql_dsum
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+# --- q10: inner equi-join --------------------------------------------------
+@query(
+    "q10_join_inner",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n_orders, {sum_price} AS sum_price
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+    """.format(sum_price=sql_dsum("o.o_totalprice")),
+)
+def q10_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+    )
+
+
+# --- q11: outer joins ------------------------------------------------------
+@query(
+    "q11_join_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderstatus = 'F'
+    GROUP BY 1
+    """,
+)
+def q11_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --- q12: left semi / left anti --------------------------------------------
+@query(
+    "q12_semi_anti",
+    oracle="""
+    SELECT c_custkey, 'has_urgent' AS tag FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    UNION ALL
+    SELECT c_custkey, 'no_urgent' AS tag FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def q12_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_urgent").alias("tag")
+    )
+    anti = c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_urgent").alias("tag")
+    )
+    return semi.unionByName(anti)
+
+
+# --- q13: broadcast join of small dimensions (the config-topics pattern) ---
+@query(
+    "q13_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q13_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    # Dimension tables are tiny (25 + 5 rows at any SF): broadcast both so
+    # the customer side never shuffles — at 100 TB this is the difference
+    # between a map-side join and a full-fact shuffle.
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --- q14: multi-way star join ----------------------------------------------
+@query(
+    "q14_star",
+    oracle="""
+    SELECT r.r_name,
+           CAST(year(o.o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_items,
+           {revenue} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """.format(revenue=sql_dsum("l.l_extendedprice * (1 - l.l_discount)")),
+)
+def q14_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+
+
+# --- q15: theta / range join -----------------------------------------------
+_BANDS = [
+    ("budget", 0.0, 500.0),
+    ("mid", 500.0, 1200.0),
+    ("premium", 1200.0, 10000.0),
+]
+
+
+@query(
+    "q15_range_join",
+    oracle="""
+    SELECT b.band, COUNT(*) AS n_parts, {sum_price} AS sum_price
+    FROM part p
+    JOIN (VALUES ('budget', 0.0, 500.0),
+                 ('mid', 500.0, 1200.0),
+                 ('premium', 1200.0, 10000.0)) AS b(band, lo, hi)
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY 1
+    """.format(sum_price=sql_dsum("p.p_retailprice")),
+)
+def q15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    bands = F.broadcast(
+        spark.createDataFrame(_BANDS, schema="band string, lo double, hi double")
+    )
+    # Non-equi join: with the band side broadcast, Spark plans a
+    # BroadcastNestedLoopJoin — fact side streams once, no shuffle.
+    return (
+        p.join(bands, (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))
+        .groupBy("band")
+        .agg(F.count("*").alias("n_parts"), dsum("p_retailprice").alias("sum_price"))
+    )

@@ -1,0 +1,224 @@
+"""Vector similarity search (SURVEY.md §2C T5/T6): brute-force cosine
+top-k, IVF-style partition-pruned search, LSH similarity self-join.
+
+Scale design:
+- Brute force broadcasts the (small) query set and streams the candidate
+  corpus exactly once — embarrassingly parallel, no shuffle of the
+  corpus; per-query top-k via partitioned window.  This is the exact
+  baseline every ANN variant is measured against.
+- IVF: a coarse quantizer (here: per-cluster centroids) assigns each
+  corpus vector to a partition; queries probe only the nearest
+  `n_probe` partitions.  At 100 TB this turns a full scan into a
+  ~1/n_lists scan, and the partition assignment is a write-time layout
+  (partitionBy(list_id)) so probing is partition pruning.
+- LSH self-join (BucketedRandomProjectionLSH) finds all close pairs via
+  bucket join — the sub-quadratic arm of T6.
+
+All math is done in float64 (embeddings are float32 on disk; both
+engines upcast identically) so results are reproducible and
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+def _as_double(arr: Column) -> Column:
+    return F.transform(arr, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i via zip_with + aggregate (JVM-side, no Python)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+# --- x05: brute-force cosine top-k (T5 exact baseline) --------------------------
+_KNN_QUERIES = 3
+_KNN_K = 5
+
+
+@query(
+    "x05_knn",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < {_KNN_QUERIES}),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.v, c.v) AS sim
+           FROM q CROSS JOIN c
+           WHERE q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rnk
+           FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {_KNN_K}
+    """,
+)
+def x05_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cands = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        cands.join(F.broadcast(queries), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 6).alias("cos_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _KNN_K)
+    )
+
+
+# --- x05b: IVF-style partition-pruned ANN (rows-only; recall tested in pytest) ---
+def ivf_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 1,
+) -> DataFrame:
+    """IVF search using the `label` column as the coarse quantizer's
+    inverted lists (fixture labels are cluster ids; in production the
+    quantizer is a k-means fit and `label` is the assigned list).
+
+    Probing = join queries to their `n_probe` nearest centroids, then a
+    co-partitioned equi-join on list id — partition pruning, not a scan.
+    """
+    dims = emb.select(F.posexplode(_as_double(F.col("embedding"))).alias("i", "x"), "label")
+    centroids = (
+        dims.groupBy("label", "i")
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p.cx).alias("centroid"))
+    )
+    q2c = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", cosine(F.col("qv"), F.col("centroid")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("label"))
+    probes = (
+        q2c.select("query_id", "qv", "label", F.row_number().over(wq).alias("pr"))
+        .filter(F.col("pr") <= n_probe)
+        .drop("pr")
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "label"
+    )
+    scored = (
+        cands.join(F.broadcast(probes), "label")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 6).alias("cos_sim"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+    )
+
+
+@query("x05b_ivf_ann")  # approximate → rows-only driver check
+def x05b_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(spark, emb, queries, k=_KNN_K, n_probe=1).orderBy("query_id", "rnk")
+
+
+# --- x06: similarity self-join (T6; embedding-cosine near-dup) -------------------
+_X06_LIMIT = 200
+_X06_THRESHOLD = 0.35
+
+
+@query(
+    "x06_simjoin",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id < {_X06_LIMIT})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= {_X06_THRESHOLD}
+    """,
+)
+def x06_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _X06_LIMIT)
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim_raw", sim)
+        .filter(F.col("cos_sim_raw") >= _X06_THRESHOLD)
+        .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+    )
+
+
+# --- x06b: LSH-bucketed similarity self-join (scale arm; rows-only) --------------
+def lsh_simjoin(
+    spark: SparkSession,
+    emb: DataFrame,
+    euclid_threshold: float = 1.2,
+    bucket_length: float = 0.5,
+) -> DataFrame:
+    """BucketedRandomProjectionLSH self-join: all pairs within a Euclidean
+    threshold via bucket join (for unit-norm vectors, Euclidean distance
+    and cosine are monotonically related: d² = 2 − 2·cos)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = emb.select(
+        "vec_id", array_to_vector(_as_double(F.col("embedding"))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=4,
+        seed=42,
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, euclid_threshold, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
+        .select(
+            F.col("datasetA.vec_id").alias("id_a"),
+            F.col("datasetB.vec_id").alias("id_b"),
+            F.round("dist", 6).alias("euclid_dist"),
+        )
+    )
+
+
+@query("x06b_lsh_simjoin")  # approximate → rows-only driver check
+def x06b_lsh_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _X06_LIMIT)
+    return lsh_simjoin(spark, emb).orderBy("id_a", "id_b")

@@ -1,0 +1,142 @@
+"""Window functions, sorts, top-k (SURVEY.md §2B q30-q34).
+
+Every window here is partitioned (never a global ORDER BY window) — a
+global window is a single-task bottleneck at scale.  Global top-k goes
+through orderBy().limit(k), which Spark plans as TakeOrderedAndProject
+(per-partition heaps + driver merge, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.functions.num import DEC
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+# --- q30: ranking functions -------------------------------------------------
+@query(
+    "q30_rank",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           row_number() OVER w AS rn,
+           rank() OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4) OVER w AS quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q30_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+# --- q31: lag / lead ---------------------------------------------------------
+@query(
+    "q31_lag",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(value - lag(value) OVER w, 6) AS delta_prev,
+           ROUND(lead(value) OVER w - value, 6) AS delta_next,
+           first_value(event_type) OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q31_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(v - F.lag("value").over(w), 6).alias("delta_prev"),
+        F.round(F.lead("value").over(w) - v, 6).alias("delta_next"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+# --- q32: running totals / moving averages (frames) -------------------------
+@query(
+    "q32_running",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_value,
+           ROUND(AVG(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg4
+    FROM events
+    """,
+)
+def q32_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = wo.rowsBetween(-3, Window.currentRow)
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(running).cast("double").alias("running_value"),
+        F.round(F.avg("value").over(moving), 6).alias("moving_avg4"),
+    )
+
+
+# --- q33: top-N per group ----------------------------------------------------
+@query(
+    "q33_topn_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q33_topn_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- q34: multi-key sort, nulls placement, global top-k ----------------------
+@query(
+    "q34_sort",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, status_np
+    FROM (SELECT o_orderkey, o_orderpriority, NULLIF(o_orderstatus, 'P') AS status_np
+          FROM orders)
+    ORDER BY status_np DESC NULLS LAST, o_orderpriority ASC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def q34_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_np"),
+    )
+    # Spark plans this as TakeOrderedAndProject: no global sort at scale.
+    return o.orderBy(
+        F.col("status_np").desc_nulls_last(),
+        F.col("o_orderpriority").asc(),
+        F.col("o_orderkey").asc(),
+    ).limit(50)

@@ -1,0 +1,74 @@
+"""SparkSession factory.
+
+Local mode mirrors the driver harness (local[$SPARK_GRAFT_CPUS]); the same
+config block is what we would ship to a 1000-executor cluster, with the
+scale-sensitive knobs (shuffle partitions, broadcast threshold, max
+partition bytes) left to AQE + documented overrides rather than hardcoded
+small-SF values.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Scale notes (100 TB posture):
+# - AQE owns runtime shuffle-partition coalescing, skew-join splitting and
+#   dynamic broadcast decisions, so the static shuffle.partitions value only
+#   needs to be a sane *upper* bound for the largest stage; on a real
+#   cluster this would be ~2-3x total cores (e.g. 8000 for 1000 executors
+#   x 4 cores) and AQE coalesces down per-stage.  Locally we size it to the
+#   core count so tiny SFs aren't dominated by empty-task overhead.
+# - Parquet filter pushdown / column pruning are on by default; every query
+#   in this repo is written so predicates and projections reach the scan
+#   (verified in tests/test_plans.py via .explain checks).
+# - spark.sql.files.maxPartitionBytes stays at the 128 MiB default: at
+#   100 TB that is ~800k input splits, which is the right granularity for
+#   dynamic allocation; we do NOT shrink it for local runs.
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        try:
+            return int(cpus)
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "fanstats-producer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session with the engine's standard config."""
+    cores = _default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cores, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Catalyst/AQE: runtime re-planning at shuffle boundaries.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Deterministic cross-engine timestamp semantics (DuckDB oracle
+        # reads parquet timestamps as naive; we pin the session to UTC).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow transfer for every pandas UDF / toPandas hop.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Quieter local runs; no effect on plans.
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

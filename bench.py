@@ -1,0 +1,66 @@
+"""Benchmark harness: times every registered query at the bench scale
+factor and prints ONE JSON line.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default all cores).
+
+Queries are materialized through the noop DataSourceV2 sink — full
+execution on the executors, zero driver-side row transfer — so the
+numbers measure the plan, not py4j serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from fanstats_producer_spark import registry
+from fanstats_producer_spark.session import get_spark
+
+registry.load_all()
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark("fanstats-bench")
+    # JVM/codegen warm-up so q00 doesn't absorb first-query startup cost.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for key in sorted(registry.QUERIES):
+        fn = registry.QUERIES[key]
+        t0 = time.perf_counter()
+        materialize(fn(spark, sf_dir))
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

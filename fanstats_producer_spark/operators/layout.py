@@ -1,0 +1,59 @@
+"""Partitioned-layout operators (SURVEY.md §2B q40 + §2A P7/P14).
+
+Materializes the reference's date-partitioned landing layout
+(reference main.py:70-73: `<platform>/<topic>/YYYY/MM/DD/...`) as named
+Hive partitions and proves the payoff: a filter on the partition key
+scans only matching directories (partition pruning) — the 100 TB
+equivalent of the reference's "only read today's prefix" access path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+def write_events_partitioned(spark: SparkSession, sf_dir: str, out_dir: str) -> None:
+    """One-time partitioned materialization of events by event_date."""
+    ev = load(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    (
+        ev.write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out_dir)
+    )
+
+
+def _layout_dir(sf_dir: str) -> str:
+    key = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join(tempfile.gettempdir(), f"fanstats_layout_{key}", "events_by_date")
+
+
+@query(
+    "q40_partition_prune",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1
+    """,
+)
+def q40_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once partitioned copy, then a partition-pruned scan: the
+    date filter hits partition directories, not row groups (asserted in
+    tests/test_plans.py via the scan's `partition count`)."""
+    out = _layout_dir(sf_dir)
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        write_events_partitioned(spark, sf_dir, out)
+    ev = spark.read.parquet(out)
+    return (
+        ev.filter(F.col("event_date").between("2024-01-10", "2024-01-12"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -42,6 +42,7 @@ def load_all() -> None:
         asof,
         dedup,
         joins,
+        layout,
         relational,
         setops,
         similarity,

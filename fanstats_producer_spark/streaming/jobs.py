@@ -1,0 +1,125 @@
+"""Structured Streaming jobs (SURVEY.md §2B streaming; BASELINE.json's
+chosen approach: "Structured Streaming + S3 sink").
+
+The reference's scheduled batch crawl (cron → task → crawl → append to
+S3, reference main.tf:214-244, main.py:122-160) becomes a continuous
+pipeline: file-stream source over the landing dir → the *same*
+transforms as the batch layer (streaming/batch_equiv.py) → checkpointed
+partitioned sink.  Checkpointing upgrades the reference's blind
+at-least-once append (main.py:151) to exactly-once.
+
+The 30-minute watermark mirrors the reference's implicit lateness
+allowance (producer at 05:00, crawler at 05:30 — main.tf:217 vs 309).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.types import StructType
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_event_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    schema: StructType | str = EVENT_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """s01: file-stream source over a landing dir (P1 made continuous).
+    maxFilesPerTrigger is the reference's per-page clamp (main.py:95-96)
+    as streaming back-pressure."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(landing_dir)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """s02/s03/s05: watermarked tumbling/sliding window aggregation."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select("w.start", "w.end", "event_type", "n", "sum_value")
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes",
+                watermark: str = "30 minutes") -> DataFrame:
+    """s04: session windows over the stream (same expression as the
+    batch arm in streaming/batch_equiv.py::sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select("w.start", "w.end", "user_id", "n_events")
+    )
+
+
+def deduped_stream(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """s06: streaming dedup bounded by the watermark (state stays
+    finite — the 100 TB requirement for any stateful op)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """s07: custom stateful per-key processing via applyInPandasWithState —
+    running per-user event count + value total, emitted per batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_partitioned_stream(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "parquet",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """s01 sink: checkpointed append to a partitioned layout.
+    Trigger.AvailableNow preserves the reference's batch cadence
+    (drain everything, then stop — main.tf:217) with streaming
+    exactly-once semantics."""
+    events = df.withColumn("event_date", F.to_date("ts"))
+    writer = (
+        events.writeStream.format(fmt)
+        .option("checkpointLocation", checkpoint_dir)
+        .option("path", out_dir)
+        .partitionBy("event_date")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,31 @@
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from fanstats_producer_spark import registry
+from fanstats_producer_spark.io import TABLES
+from fanstats_producer_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.001"
+
+registry.load_all()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_spark("fanstats-tests", shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    yield con
+    con.close()

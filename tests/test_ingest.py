@@ -1,0 +1,206 @@
+"""P-layer tests (SURVEY.md §2A): tweet NDJSON ingest, source predicates,
+pagination/cap semantics, partition layout, config version gates.
+
+Fixture requirements from FIXTURES.md §B: ≥2 topics × ≥3 days, rows each
+predicate removes, missing entities, an overflow set for the cap, and
+versioned YAML configs incl. unsupported variants.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.sources import config as cfg
+from fanstats_producer_spark.sources.ndjson import (
+    TWEET_SCHEMA,
+    default_source_filters,
+    read_tweets,
+    with_partition_columns,
+    write_partitioned,
+)
+from fanstats_producer_spark.sources.rest import PaginatedSource
+
+
+def _tweet(i: int, day: int, lang="en", rt=False, hashtags=None, topic="NBA"):
+    t = {
+        "id": str(i),
+        "text": ("RT @x " if rt else "") + f"game tonight {topic} #{i}",
+        "created_at": f"2024-01-{day:02d}T12:00:{i % 60:02d}.000Z",
+        "lang": lang,
+        "public_metrics": {
+            "retweet_count": i % 7,
+            "reply_count": i % 5,
+            "like_count": i * 3 % 100,
+            "quote_count": i % 3,
+        },
+    }
+    if hashtags is not None:
+        t["entities"] = {"hashtags": [{"start": 0, "end": 5, "tag": h} for h in hashtags]}
+    t["context_annotations"] = [
+        {
+            "domain": {"id": "46", "name": "Brand", "description": "d"},
+            "entity": {"id": str(i), "name": topic, "description": "d"},
+        }
+    ]
+    return t
+
+
+@pytest.fixture(scope="module")
+def landing_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("landing")
+    rows = []
+    for i in range(30):
+        day = 10 + (i % 3)
+        topic = "NBA" if i % 2 == 0 else "NFL"
+        rows.append(_tweet(i, day, topic=topic))
+    rows.append(_tweet(100, 10, lang="es"))  # dropped by lang:en
+    rows.append(_tweet(101, 10, rt=True))  # dropped by -is:retweet
+    rows.append(_tweet(102, 10, hashtags=["nbatopshot"]))  # dropped by -#nbatopshot
+    rows.append(_tweet(103, 10, hashtags=["playoffs"]))  # kept
+    with open(d / "batch.json", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    return str(d)
+
+
+def test_read_pinned_schema(spark, landing_dir):
+    df = read_tweets(spark, landing_dir)
+    assert df.schema == TWEET_SCHEMA
+    assert df.count() == 34
+
+
+def test_schema_inference_parity(spark, landing_dir):
+    """Glue-crawler-style inference (main.tf:304-314) still reads every row."""
+    df = read_tweets(spark, landing_dir, infer_schema=True)
+    assert df.count() == 34
+    assert "public_metrics" in df.columns
+
+
+def test_default_source_filters(spark, landing_dir):
+    df = read_tweets(spark, landing_dir)
+    kept = default_source_filters(df)
+    ids = {r.id for r in kept.select("id").collect()}
+    assert {"100", "101", "102"}.isdisjoint(ids)
+    assert "103" in ids  # non-matching hashtag not dropped
+    assert kept.count() == 31  # 30 base + id 103
+
+
+def test_topic_predicate(spark, landing_dir):
+    df = default_source_filters(read_tweets(spark, landing_dir), topic="NBA")
+    names = df.select(F.explode("context_annotations.entity.name").alias("n")).distinct()
+    assert {r.n for r in names.collect()} == {"NBA"}
+
+
+def test_partitioned_layout(spark, landing_dir, tmp_path):
+    """Named Hive layout mirrors main.py:70-73 `Twitter/<topic>/YYYY/MM/DD`."""
+    out = str(tmp_path / "lake")
+    df = default_source_filters(read_tweets(spark, landing_dir))
+    wrote = write_partitioned(
+        with_partition_columns(df, platform="Twitter", topic="NBA"), out
+    )
+    assert wrote
+    assert os.path.isdir(os.path.join(out, "platform=Twitter", "topic=NBA",
+                                      "year=2024", "month=01", "day=10"))
+    back = spark.read.json(out)
+    assert back.count() == df.count()
+    # partition pruning works on the named layout
+    one_day = back.filter((F.col("year") == "2024") & (F.col("day") == "11"))
+    assert one_day.count() == df.filter(F.col("created_at").contains("2024-01-11")).count()
+
+
+def test_empty_result_guard(spark, tmp_path):
+    """main.py:183-194: no data → no write, no error."""
+    empty = spark.createDataFrame([], TWEET_SCHEMA)
+    out = str(tmp_path / "never")
+    assert not write_partitioned(
+        with_partition_columns(empty, platform="Twitter", topic="NBA"), out
+    )
+    assert not os.path.exists(out)
+
+
+# --- pagination / cap (P1/P4, main.py:122-160) --------------------------------
+def _fake_fetch(pages: dict[str, list[list[dict]]]):
+    def fetch(topic, start_time, next_token, page_size):
+        chunks = pages[topic]
+        idx = 0 if next_token is None else int(next_token)
+        rows = chunks[idx][:page_size]
+        nxt = str(idx + 1) if idx + 1 < len(chunks) else None
+        return rows, nxt
+
+    return fetch
+
+
+def test_pagination_follows_next_token(spark):
+    pages = {"NBA": [[_tweet(i, 10) for i in range(j * 10, j * 10 + 10)] for j in range(4)]}
+    src = PaginatedSource(spark, _fake_fetch(pages), page_size=10, max_results=1000)
+    df = src.scan(["NBA"], "2024-01-01T00:00:00Z")
+    assert df.count() == 40
+
+
+def test_result_cap(spark):
+    pages = {"NBA": [[_tweet(i, 10) for i in range(j * 100, j * 100 + 100)] for j in range(5)]}
+    src = PaginatedSource(spark, _fake_fetch(pages), max_results=250)
+    assert src.scan(["NBA"], "t0").count() == 250  # stops at the cap (main.py:136)
+
+
+def test_multi_topic_fanout_union(spark):
+    pages = {
+        "NBA": [[_tweet(i, 10, topic="NBA") for i in range(20)]],
+        "NFL": [[_tweet(i, 11, topic="NFL") for i in range(30)]],
+    }
+    src = PaginatedSource(spark, _fake_fetch(pages))
+    assert src.scan(["NBA", "NFL"], "t0").count() == 50
+
+
+# --- config loading / version gates (P8/P10) -----------------------------------
+def _write_yaml(path, text):
+    path.write_text(text)
+    return str(path)
+
+
+def test_datafile_load(spark, tmp_path):
+    p = _write_yaml(
+        tmp_path / "nba.yaml",
+        "version: 1.0\n---\nTopic: NBA\nType: League\nAliases:\n  - National Basketball Association\n",
+    )
+    c = cfg.load_data_file(p)
+    assert (c.topic, c.type, c.partition_key) == ("NBA", "League", "NBA")
+    dim = cfg.topics_dimension(spark, [c])
+    assert dim.count() == 2  # topic + 1 alias
+
+
+def test_team_type_requires_league(tmp_path):
+    c = cfg.load_data_file(
+        _write_yaml(
+            tmp_path / "team.yaml",
+            "version: 1.0\n---\nTopic: Lakers\nType: Team\nLeague: NBA\n",
+        )
+    )
+    assert c.partition_key == "NBA"  # main.py:185-186
+    broken = cfg.load_data_file(
+        _write_yaml(tmp_path / "team2.yaml", "version: 1.0\n---\nTopic: Lakers\nType: Team\n")
+    )
+    with pytest.raises(ValueError, match="League"):
+        _ = broken.partition_key
+
+
+def test_unsupported_version_raises(tmp_path):
+    """Real ValueError, not the reference's string-raise (main.py:196-200)."""
+    p = _write_yaml(tmp_path / "v2.yaml", "version: 2.0\n---\nTopic: NBA\nType: League\n")
+    with pytest.raises(ValueError, match="unsupported datafile version"):
+        cfg.load_data_file(p)
+    p2 = _write_yaml(tmp_path / "p2.yaml", "version: 9.9\n---\nPlatforms:\n  - Twitter\n")
+    with pytest.raises(ValueError, match="unsupported platformfile version"):
+        cfg.load_platforms(p2)
+
+
+def test_platforms_load(tmp_path):
+    p = _write_yaml(
+        tmp_path / "platforms.yaml", "version: 1.0\n---\nPlatforms:\n  - Twitter\n"
+    )
+    assert cfg.load_platforms(p).platforms == ["Twitter"]

@@ -1,0 +1,165 @@
+"""Structured Streaming tests (SURVEY.md §5.4): real file-stream sources
+with fixed event times, watermark-dropped late rows, streaming dedup,
+stateful processing, and the checkpointed partitioned sink.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.streaming import jobs
+
+
+def _event(i, ts, user=1, etype="click", value=1.0):
+    return {
+        "event_id": i,
+        "ts": ts,
+        "user_id": user,
+        "event_type": etype,
+        "value": value,
+        "props": json.dumps({"k": i}),
+    }
+
+
+def _write_batch(dirpath, name, rows):
+    with open(dirpath / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    return d
+
+
+def _run_to_memory(spark, df, name, output_mode):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_stream_ingest_to_partitioned_sink(spark, landing, tmp_path):
+    """s01: file source → checkpointed partitioned parquet sink, then a
+    second batch arrives and only the delta is appended (exactly-once)."""
+    _write_batch(landing, "b1.json", [_event(i, f"2024-01-01T0{i}:00:00Z") for i in range(5)])
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = jobs.read_event_stream(spark, str(landing), max_files_per_trigger=1)
+    q = jobs.write_partitioned_stream(stream, out, ckpt)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 5
+
+    _write_batch(landing, "b2.json", [_event(10 + i, f"2024-01-02T0{i}:00:00Z") for i in range(3)])
+    q2 = jobs.write_partitioned_stream(
+        jobs.read_event_stream(spark, str(landing)), out, ckpt
+    )
+    q2.awaitTermination(120)
+    back = spark.read.parquet(out)
+    assert back.count() == 8  # b1 not re-ingested (checkpoint), b2 appended
+    assert back.select("event_date").distinct().count() == 2  # partitioned by day
+
+
+def test_windowed_counts_stream_matches_batch(spark, landing):
+    """s02: the same transform on readStream and read produces identical
+    window contents (the one-transform-two-modes contract).  Complete
+    output mode so un-finalized windows are visible too."""
+    rows = [
+        _event(i, f"2024-01-01T10:{m:02d}:00Z", etype=t)
+        for i, (m, t) in enumerate(
+            [(0, "click"), (5, "click"), (20, "view"), (59, "click"), (30, "view")]
+        )
+    ]
+    _write_batch(landing, "b.json", rows)
+    stream = jobs.read_event_stream(spark, str(landing))
+    got = _run_to_memory(
+        spark, jobs.windowed_counts(stream, window="30 minutes"), "s02_test", "complete"
+    )
+    batch = spark.read.schema(jobs.EVENT_SCHEMA).json(str(landing))
+    want = jobs.windowed_counts(batch, window="30 minutes")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def _run_sink(spark, landing, out, ckpt, **wc_kwargs):
+    df = jobs.windowed_counts(
+        jobs.read_event_stream(spark, str(landing)), **wc_kwargs
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("checkpointLocation", ckpt)
+        .option("path", out)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_watermark_drops_late_rows(spark, landing, tmp_path):
+    """s05: the watermark persists in the checkpoint; a row arriving
+    4 hours late (behind the persisted watermark) is dropped and the
+    already-finalized window does NOT change."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write_batch(landing, "b1.json", [
+        _event(1, "2024-01-01T10:00:00Z"),
+        _event(2, "2024-01-01T10:10:00Z"),
+    ])
+    _run_sink(spark, landing, out, ckpt, window="30 minutes", watermark="30 minutes")
+    # advance event time far ahead → watermark 13:30 persisted at ckpt
+    _write_batch(landing, "b2.json", [_event(3, "2024-01-01T14:00:00Z")])
+    _run_sink(spark, landing, out, ckpt, window="30 minutes", watermark="30 minutes")
+    # very late row, behind the persisted watermark
+    _write_batch(landing, "b3.json", [_event(4, "2024-01-01T10:05:00Z")])
+    got = _run_sink(spark, landing, out, ckpt, window="30 minutes", watermark="30 minutes")
+    closed = {(r.start.isoformat(), r.n) for r in got.collect()}
+    assert ("2024-01-01T10:00:00", 2) in closed  # late event 4 dropped
+    assert ("2024-01-01T10:00:00", 3) not in closed
+
+
+def test_stream_dedup_within_watermark(spark, landing):
+    _write_batch(landing, "b.json", [
+        _event(1, "2024-01-01T10:00:00Z"),
+        _event(1, "2024-01-01T10:01:00Z"),  # duplicate id within watermark
+        _event(2, "2024-01-01T10:02:00Z"),
+    ])
+    stream = jobs.read_event_stream(spark, str(landing))
+    got = _run_to_memory(spark, jobs.deduped_stream(stream), "s06_test", "append")
+    assert sorted(r.event_id for r in got.collect()) == [1, 2]
+
+
+def test_stateful_running_totals(spark, landing):
+    """s07: applyInPandasWithState accumulates per-user state across
+    micro-batches."""
+    _write_batch(landing, "b1.json", [
+        _event(1, "2024-01-01T10:00:00Z", user=7, value=1.5),
+        _event(2, "2024-01-01T10:01:00Z", user=7, value=2.5),
+        _event(3, "2024-01-01T10:02:00Z", user=8, value=10.0),
+    ])
+    stream = jobs.read_event_stream(spark, str(landing))
+    got = _run_to_memory(spark, jobs.user_running_totals(stream), "s07_test", "update")
+    rows = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
+    assert rows[7] == (2, 4.0)
+    assert rows[8] == (1, 10.0)
+
+
+def test_session_window_stream(spark, landing):
+    _write_batch(landing, "b.json", [
+        _event(1, "2024-01-01T10:00:00Z", user=1),
+        _event(2, "2024-01-01T10:10:00Z", user=1),   # same session (gap < 30m)
+        _event(3, "2024-01-01T12:00:00Z", user=1),   # new session
+    ])
+    stream = jobs.read_event_stream(spark, str(landing))
+    got = _run_to_memory(spark, jobs.sessionized(stream), "s04_test", "complete")
+    sessions = sorted((r.start.isoformat(), r.n_events) for r in got.collect())
+    assert sessions == [("2024-01-01T10:00:00", 2), ("2024-01-01T12:00:00", 1)]

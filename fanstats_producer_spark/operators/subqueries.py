@@ -1,0 +1,111 @@
+"""Subqueries, CTEs, and the SQL entry path (Athena-parity surface the
+reference delegates wholesale, reference main.py:4-5).
+
+q17 exercises scalar + correlated subqueries through the DataFrame API
+(expressed as joins — which is exactly how Catalyst rewrites them);
+q18 goes through spark.sql() with temp views and a CTE, proving the SQL
+front door produces the same plans as the DataFrame chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.functions.num import dsum, sql_dsum
+from fanstats_producer_spark.io import load, register_views
+from fanstats_producer_spark.registry import query
+
+
+# --- q17: scalar + correlated subqueries -------------------------------------
+@query(
+    "q17_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    """,
+)
+def q17_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    # scalar subquery → cross-joined 1-row aggregate (Catalyst's rewrite)
+    avg_price = o.agg(F.avg("o_totalprice").alias("__avg"))
+    return (
+        o.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > 1.8 * F.col("__avg"))
+        .join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# --- q18: CTE through the SQL front door --------------------------------------
+@query(
+    "q18_sql_cte",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {rev} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        AND l_shipdate < TIMESTAMP '2000-04-01'
+      GROUP BY 1)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """.format(rev=sql_dsum("l_extendedprice * (1 - l_discount)")),
+)
+def q18_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier by quarter revenue) via spark.sql."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+                               AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+            AND l_shipdate < TIMESTAMP '2000-04-01'
+          GROUP BY 1)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """
+    )
+
+
+# --- q27: pivot ------------------------------------------------------------------
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+@query(
+    "q27_pivot",
+    oracle="""
+    SELECT n.n_name,
+           {cols}
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """.format(
+        cols=",\n           ".join(
+            f"SUM(CASE WHEN c.c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS {s.lower()}"
+            for s in _SEGMENTS
+        )
+    ),
+)
+def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    piv = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("c_mktsegment", _SEGMENTS)  # explicit values: no extra scan
+        .count()
+    )
+    # pivot yields nulls for absent combos; oracle's SUM(CASE) yields 0
+    return piv.select(
+        "n_name",
+        *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
+    )

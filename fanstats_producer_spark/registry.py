@@ -51,7 +51,9 @@ def load_all() -> None:
     from fanstats_producer_spark.functions import (  # noqa: F401
         scalars,
         text,
+        text_extra,
         udfs,
     )
+    from fanstats_producer_spark.operators import subqueries  # noqa: F401
     from fanstats_producer_spark.streaming import batch_equiv  # noqa: F401
     from fanstats_producer_spark.operators import multimodal  # noqa: F401

@@ -204,3 +204,26 @@ def test_platforms_load(tmp_path):
         tmp_path / "platforms.yaml", "version: 1.0\n---\nPlatforms:\n  - Twitter\n"
     )
     assert cfg.load_platforms(p).platforms == ["Twitter"]
+
+
+# --- multi-platform dispatch (P9, main.py:203-219) ------------------------------
+def test_platform_dispatch_union(spark):
+    from fanstats_producer_spark.sources.dispatch import PlatformRegistry
+
+    reg = PlatformRegistry()
+    reg.register("Twitter", lambda s: s.createDataFrame(
+        [("t1", "hello")], "id string, text string"))
+    reg.register("Reddit", lambda s: s.createDataFrame(
+        [("r1", "world", 5)], "id string, text string, upvotes int"))
+    out = reg.collect_all(spark, ["Twitter", "Reddit"])
+    rows = {r.id: (r.platform, r.upvotes) for r in out.collect()}
+    assert rows == {"t1": ("Twitter", None), "r1": ("Reddit", 5)}  # schema drift tolerated
+
+
+def test_platform_dispatch_unsupported(spark):
+    from fanstats_producer_spark.sources.dispatch import PlatformRegistry
+
+    reg = PlatformRegistry()
+    reg.register("Twitter", lambda s: s.range(1))
+    with pytest.raises(ValueError, match="platform not supported: 'Facebook'"):
+        reg.collect_all(spark, ["Facebook"])

@@ -165,8 +165,12 @@ _BANDS = [
 )
 def q15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
+    # VALUES → LocalRelation: stays JVM-side (createDataFrame would route
+    # the literals through a Python RDD scan — measured ~1s of pure
+    # overhead per query at any scale).
+    values = ", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _BANDS)
     bands = F.broadcast(
-        spark.createDataFrame(_BANDS, schema="band string, lo double, hi double")
+        spark.sql(f"SELECT * FROM (VALUES {values}) AS b(band, lo, hi)")
     )
     # Non-equi join: with the band side broadcast, Spark plans a
     # BroadcastNestedLoopJoin — fact side streams once, no shuffle.

@@ -140,3 +140,31 @@ def q34_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").asc(),
         F.col("o_orderkey").asc(),
     ).limit(50)
+
+
+# --- q32b: interval RANGE frame (time-based sliding aggregate) ---------------
+@query(
+    "q32b_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                          RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                    AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+)
+def q32b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame keyed on event time: per-row trailing 1-hour count —
+    the batch analogue of a sliding stream window, and a frame type
+    rowsBetween cannot express (ties + variable density)."""
+    ev = load(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("q32b_events")
+    return ev.sparkSession.sql(
+        """
+        SELECT event_id, user_id,
+               COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW) AS n_last_hour
+        FROM q32b_events
+        """
+    )

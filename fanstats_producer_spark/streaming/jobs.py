@@ -123,3 +123,42 @@ def write_partitioned_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def clicks_to_purchases_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """s08: stream-stream inner join with watermarks — purchases matched
+    to clicks by the same user within `horizon` before the purchase.
+
+    Both sides are watermarked and the join condition carries the time
+    bound, so state on each side is evictable (bounded memory at 100 TB —
+    an unbounded-state stream join is a production outage, not a query).
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            p_user = c_user
+            AND click_ts <= purchase_ts
+            AND click_ts >= purchase_ts - INTERVAL {horizon}
+            """
+        ),
+    )

@@ -17,8 +17,13 @@ registry.load_all()
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark("fanstats-tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    spark = get_spark(
+        "fanstats-tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield spark
 
 

@@ -163,3 +163,18 @@ def test_session_window_stream(spark, landing):
     got = _run_to_memory(spark, jobs.sessionized(stream), "s04_test", "complete")
     sessions = sorted((r.start.isoformat(), r.n_events) for r in got.collect())
     assert sessions == [("2024-01-01T10:00:00", 2), ("2024-01-01T12:00:00", 1)]
+
+
+def test_stream_stream_join(spark, landing):
+    """s08: purchases join clicks from the same user within the horizon."""
+    _write_batch(landing, "b.json", [
+        _event(1, "2024-01-01T10:00:00Z", user=1, etype="click"),
+        _event(2, "2024-01-01T10:30:00Z", user=1, etype="purchase", value=9.0),
+        _event(3, "2024-01-01T09:00:00Z", user=2, etype="click"),
+        _event(4, "2024-01-01T12:00:00Z", user=2, etype="purchase", value=5.0),  # click too old
+        _event(5, "2024-01-01T10:40:00Z", user=3, etype="purchase", value=7.0),  # no click
+    ])
+    stream = jobs.read_event_stream(spark, str(landing))
+    got = _run_to_memory(spark, jobs.clicks_to_purchases_join(stream), "s08_test", "append")
+    rows = [(r.purchase_id, r.click_id) for r in got.collect()]
+    assert rows == [(2, 1)]

@@ -1,0 +1,100 @@
+"""Paginated REST scan as a Spark 4 Python DataSource (SURVEY.md §4's
+"candidate custom piece (a)": P1/P2 fidelity at the source).
+
+`spark.read.format("fanstats_rest").option("topics", "NBA,NFL")` plans
+one *input partition per topic*: pagination is cursor-serial inside a
+partition (the API forces it) but topics scan in parallel across
+executors — the parallelism axis the reference's single process leaves
+unused (reference main.py:214).  The page clamp and result cap
+(main.py:95-96, 136) are reader options, and the lookback start_time
+(main.py:263) is pushed into every request — source-side predicates,
+not post-filters.
+
+Fetchers are pluggable by name (an HTTP fetcher would do the bearer-token
+GET of main.py:114-120); the in-repo fetchers are deterministic and
+offline.  Everything lands with the pinned TWEET_SCHEMA.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from fanstats_producer_spark.sources.ndjson import TWEET_SCHEMA
+from fanstats_producer_spark.sources.rest import FetchPage
+
+# Name → fetcher factory.  Module-level so executor-side deserialization
+# can resolve it by name (options travel as strings).
+FETCHERS: dict[str, Callable[[], FetchPage]] = {}
+
+
+def register_fetcher(name: str, factory: Callable[[], FetchPage]) -> None:
+    FETCHERS[name] = factory
+
+
+def _demo_factory() -> FetchPage:
+    from fanstats_producer_spark.pipeline import demo_fetcher
+
+    return demo_fetcher()
+
+
+FETCHERS["demo"] = _demo_factory
+
+
+class TopicPartition(InputPartition):
+    def __init__(self, topic: str) -> None:
+        self.topic = topic
+
+
+class RestReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.topics = [t for t in options.get("topics", "").split(",") if t]
+        self.fetcher_name = options.get("fetcher", "demo")
+        self.start_time = options.get("start_time", "1970-01-01T00:00:00Z")
+        self.page_size = min(int(options.get("page_size", "100")), 100)
+        self.max_results = int(options.get("max_results", "3000"))
+
+    def partitions(self) -> list[InputPartition]:
+        return [TopicPartition(t) for t in self.topics]
+
+    def read(self, partition: TopicPartition) -> Iterator[tuple]:
+        fetch = FETCHERS[self.fetcher_name]()
+        n, next_token = 0, None
+        field_names = [f.name for f in TWEET_SCHEMA.fields]
+        while n < self.max_results:
+            rows, next_token = fetch(
+                partition.topic, self.start_time, next_token, self.page_size
+            )
+            for r in rows:
+                if n >= self.max_results:
+                    break
+                yield tuple(_to_row_value(r.get(name)) for name in field_names)
+                n += 1
+            if next_token is None:
+                break
+
+
+def _to_row_value(v):
+    """dicts → tuples for struct fields (the DataSource row protocol)."""
+    if isinstance(v, dict):
+        return tuple(_to_row_value(x) for x in v.values())
+    if isinstance(v, list):
+        return [_to_row_value(x) for x in v]
+    return v
+
+
+class RestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "fanstats_rest"
+
+    def schema(self):
+        return TWEET_SCHEMA
+
+    def reader(self, schema) -> RestReader:
+        return RestReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(RestDataSource)

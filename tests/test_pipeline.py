@@ -1,0 +1,87 @@
+"""End-to-end producer-pipeline tests (SURVEY.md §3.1 parity) and the
+Python DataSource REST connector.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.pipeline import demo_fetcher, run_pipeline
+from fanstats_producer_spark.sources import rest_datasource
+
+
+@pytest.fixture()
+def configs(tmp_path):
+    data = tmp_path / "nba.yaml"
+    data.write_text(
+        "version: 1.0\n---\nTopic: NBA\nType: League\nAliases:\n  - Basketball\n"
+    )
+    plats = tmp_path / "platforms.yaml"
+    plats.write_text("version: 1.0\n---\nPlatforms:\n  - Twitter\n")
+    return str(data), str(plats)
+
+
+def test_run_pipeline_end_to_end(spark, configs, tmp_path):
+    """config → lookback → paginated collect → filters → partitioned sink."""
+    data_file, platforms_file = configs
+    out = str(tmp_path / "lake")
+    wrote = run_pipeline(
+        spark,
+        data_file,
+        platforms_file,
+        out,
+        fetch_page=demo_fetcher(),
+        now=datetime.datetime(2024, 1, 16, 5, 0, tzinfo=datetime.timezone.utc),
+    )
+    assert wrote == {"Twitter": True}
+    # layout: platform/topic/year/month/day (main.py:70-73 as named partitions)
+    assert os.path.isdir(
+        os.path.join(out, "platform=Twitter", "topic=NBA", "year=2024",
+                     "month=01", "day=15")
+    )
+    back = spark.read.json(out)
+    # demo fetcher: 3 pages x 25 rows per topic, 2 topics (NBA + alias)
+    assert back.count() == 150
+    assert {r.platform for r in back.select("platform").distinct().collect()} == {"Twitter"}
+
+
+def test_run_pipeline_unsupported_platform(spark, tmp_path, configs):
+    data_file, _ = configs
+    bad = tmp_path / "bad_platforms.yaml"
+    bad.write_text("version: 1.0\n---\nPlatforms:\n  - Facebook\n")
+    with pytest.raises(ValueError, match="platform not supported"):
+        run_pipeline(spark, data_file, str(bad), str(tmp_path / "x"),
+                     fetch_page=demo_fetcher())
+
+
+def test_rest_datasource_parallel_topics(spark):
+    """The DataSourceV2-style connector: one input partition per topic,
+    cap + clamp as reader options, pinned schema."""
+    rest_datasource.register(spark)
+    df = (
+        spark.read.format("fanstats_rest")
+        .option("topics", "NBA,NFL,MLB")
+        .option("max_results", "60")
+        .load()
+    )
+    assert df.schema == rest_datasource.TWEET_SCHEMA
+    assert df.count() == 180  # 60-cap per topic x 3 topics
+    assert df.rdd.getNumPartitions() == 3  # one partition per topic
+    texts = df.select("text").limit(5).collect()
+    assert all("game update" in r.text for r in texts)
+
+
+def test_rest_datasource_cap_mid_page(spark):
+    rest_datasource.register(spark)
+    df = (
+        spark.read.format("fanstats_rest")
+        .option("topics", "NBA")
+        .option("max_results", "30")  # demo pages are 25 rows → cap mid-page 2
+        .load()
+    )
+    assert df.count() == 30

@@ -1,0 +1,73 @@
+"""Skew and co-location utilities (SURVEY.md §4; the 100 TB levers).
+
+Three tools for the shuffle problems that appear only at scale:
+
+- `salted_join`: explicit key-salting for joins where one side has
+  pathological hot keys (a fan page with 100M posts).  The hot side gets
+  a random salt in [0, n); the other side explodes each row n ways.
+  AQE's skew-join splitting handles *moderate* skew automatically —
+  salting is for the long tail AQE can't split (single-key hot spots in
+  a sort-merge join with aggregation pushed behind it).
+- `salted_groupby_count`: two-phase aggregation for hot grouping keys —
+  partial count per (key, salt), then final sum per key.  For algebraic
+  aggregates Spark's partial aggregation already does this; the explicit
+  form is for when the combine step is custom (collect-like states).
+- `write_bucketed` / co-located join: persist both join sides bucketed
+  by the join key → sort-merge join with ZERO Exchange on either side.
+  At 100 TB this turns every repeated fact-fact join on the same key
+  into a shuffle-free merge (verified by plan assertion in
+  tests/test_scale.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join on `key` with the left side salted (left = the skewed side).
+
+    left rows get salt = pmod(rand-free deterministic hash of a unique
+    expr, n) — we use monotonically_increasing_id so the salt is
+    uniform without an RNG (reproducible runs); right rows replicate
+    across all salts.
+    """
+    lhs = left.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    rhs = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    out = lhs.join(rhs, [key, "__salt"], how)
+    return out.drop("__salt")
+
+
+def salted_groupby_count(df: DataFrame, key: str, n_salts: int = 8) -> DataFrame:
+    """Two-phase hot-key aggregation: (key, salt) partials → key totals."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    partial = salted.groupBy(key, "__salt").agg(F.count("*").alias("__partial"))
+    return partial.groupBy(key).agg(F.sum("__partial").cast("long").alias("n"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist bucketed (+sorted) by the join key: repeated joins on
+    `key` become exchange-free sort-merge joins."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(table)

@@ -184,7 +184,11 @@ def minhash_lsh_pairs(
         F.size("shingles") > 0
     )
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    feats = tf.transform(sh)
+    # Both the fit and both sides of the self-join consume `feats`:
+    # persist so shingling+hashing runs once, not four times.  (At
+    # cluster scale this is a disk+memory persist; the lineage stays
+    # available for recompute on executor loss.)
+    feats = tf.transform(sh).persist()
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     )

@@ -1,0 +1,80 @@
+"""Deterministic sampling operators — the reproducibility primitive of a
+training-data pipeline.
+
+`sample(fraction)` with an RNG is not reproducible across engines, Spark
+versions, or partitionings.  Hash sampling is: a row is in the sample
+iff a stable content digest falls in a fixed range.  md5 is identical
+everywhere, so the *same rows* are selected on this laptop, on a
+1000-executor cluster, and in the DuckDB oracle — and the sample is
+stable under repartitioning, retries, and incremental reruns (a row's
+membership never changes as the corpus grows).
+
+Stratified top-k per stratum uses the same digest as the order key:
+an exact, reproducible per-group quota without an RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+def hash_bucket(col: Column, n_buckets: int = 16) -> Column:
+    """Stable bucket in [0, n_buckets) from the md5 of a column.
+    Uses the first 8 hex chars → 32-bit int → mod."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % n_buckets
+
+
+def hash_sample(df: DataFrame, col: str, keep_buckets: int, n_buckets: int = 16) -> DataFrame:
+    """Keep rows whose hash bucket < keep_buckets (rate ≈ keep/n)."""
+    return df.filter(hash_bucket(F.col(col), n_buckets) < keep_buckets)
+
+
+def stratified_topk(df: DataFrame, stratum: str, key: str, k: int) -> DataFrame:
+    """Exactly k rows per stratum, chosen by digest order (reproducible,
+    RNG-free); strata smaller than k keep all rows."""
+    w = Window.partitionBy(stratum).orderBy(F.md5(F.col(key).cast("string")), key)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+@query(
+    "x14_hash_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 < 2
+    """,
+)
+def x14_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~1/8 deterministic sample of documents by doc_id digest."""
+    return hash_sample(load(spark, sf_dir, "documents"), "doc_id", keep_buckets=2).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "x15_stratified",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 20
+    """,
+)
+def x15_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 docs per language, digest-ordered (a balanced
+    evaluation split drawn without an RNG)."""
+    return stratified_topk(
+        load(spark, sf_dir, "documents"), stratum="lang", key="doc_id", k=20
+    ).select("doc_id", "lang")

@@ -43,7 +43,9 @@ def load_all() -> None:
         dedup,
         joins,
         layout,
+        nested,
         relational,
+        sampling,
         setops,
         similarity,
         windows,

@@ -75,3 +75,34 @@ def test_aqe_coalesces_small_shuffle(spark):
     df.collect()
     n_parts = df.rdd.getNumPartitions()
     assert n_parts < 8  # coalesced below spark.sql.shuffle.partitions
+
+
+def test_repartition_by_range_output_layout(spark, tmp_path):
+    """Write-distribution control: repartitionByRange produces range-
+    clustered output files (what a downstream sorted-merge reader or
+    zone-map-pruning format wants)."""
+    out = str(tmp_path / "ranged")
+    orders = load(spark, SF_DIR, "orders")
+    orders.repartitionByRange(4, "o_orderdate").write.parquet(out)
+    import glob
+
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    # each file covers a disjoint date range
+    ranges = []
+    for f in files:
+        mm = spark.read.parquet(f).agg(
+            F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+        ).collect()[0]
+        ranges.append((mm.lo, mm.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next
+
+
+def test_coalesce_controls_file_count(spark, tmp_path):
+    out = str(tmp_path / "one")
+    load(spark, SF_DIR, "nation").coalesce(1).write.parquet(out)
+    import glob
+
+    assert len(glob.glob(out + "/part-*.parquet")) == 1

@@ -44,6 +44,7 @@ def load_all() -> None:
         joins,
         layout,
         nested,
+        parity_extra,
         relational,
         sampling,
         setops,

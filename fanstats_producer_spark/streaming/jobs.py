@@ -162,3 +162,53 @@ def clicks_to_purchases_join(events: DataFrame, horizon: str = "1 hour") -> Data
             """
         ),
     )
+
+
+def upsert_latest_per_key(
+    df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key: str = "user_id",
+) -> StreamingQuery:
+    """s09: foreachBatch upsert sink — maintain "latest event per key"
+    as a compacted parquet state table.
+
+    foreachBatch is the escape hatch for sinks Structured Streaming
+    can't express declaratively (MERGE/upsert semantics): each
+    micro-batch is a *batch* DataFrame, merged with the current state
+    by key, keeping the max-ts row.  Idempotent per batch (overwrite of
+    the compacted state), exactly-once via the checkpoint.
+    """
+    from pyspark.sql import Window
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            current = spark.read.parquet(state_dir)
+        except Exception:  # first batch: no state yet
+            current = None
+        merged = (
+            current.unionByName(batch_df) if current is not None else batch_df
+        )
+        w = Window.partitionBy(key).orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # stage then swap: state_dir stays readable for the next batch
+        staged = state_dir.rstrip("/") + ".staged"
+        latest.write.mode("overwrite").parquet(staged)
+        import shutil
+
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.move(staged, state_dir)
+
+    return (
+        df.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

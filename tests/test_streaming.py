@@ -178,3 +178,28 @@ def test_stream_stream_join(spark, landing):
     got = _run_to_memory(spark, jobs.clicks_to_purchases_join(stream), "s08_test", "append")
     rows = [(r.purchase_id, r.click_id) for r in got.collect()]
     assert rows == [(2, 1)]
+
+
+def test_foreach_batch_upsert(spark, landing, tmp_path):
+    """s09: latest-per-user state table maintained across two stream runs."""
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck9")
+    _write_batch(landing, "b1.json", [
+        _event(1, "2024-01-01T10:00:00Z", user=1, etype="view"),
+        _event(2, "2024-01-01T11:00:00Z", user=1, etype="click"),
+        _event(3, "2024-01-01T10:30:00Z", user=2, etype="view"),
+    ])
+    q = jobs.upsert_latest_per_key(
+        jobs.read_event_stream(spark, str(landing)), state, ckpt)
+    q.awaitTermination(120)
+    s1 = {r.user_id: r.event_id for r in spark.read.parquet(state).collect()}
+    assert s1 == {1: 2, 2: 3}
+    # newer event for user 1, older (ignored) for user 2
+    _write_batch(landing, "b2.json", [
+        _event(4, "2024-01-01T12:00:00Z", user=1, etype="purchase"),
+        _event(5, "2024-01-01T09:00:00Z", user=2, etype="click"),
+    ])
+    q2 = jobs.upsert_latest_per_key(
+        jobs.read_event_stream(spark, str(landing)), state, ckpt)
+    q2.awaitTermination(120)
+    s2 = {r.user_id: r.event_id for r in spark.read.parquet(state).collect()}
+    assert s2 == {1: 4, 2: 3}  # user1 upserted, user2 keeps newer state

@@ -106,3 +106,62 @@ def test_coalesce_controls_file_count(spark, tmp_path):
     import glob
 
     assert len(glob.glob(out + "/part-*.parquet")) == 1
+
+
+def test_compact_partitions(spark, tmp_path):
+    """Small-files compaction: many files per partition → 1, same rows,
+    other partitions untouched by the dynamic overwrite."""
+    from fanstats_producer_spark.operators.maintenance import compact_partitions
+    import glob
+
+    lake = str(tmp_path / "lake")
+    ev = load(spark, SF_DIR, "events").withColumn("event_date", F.to_date("ts"))
+    # simulate many small files: 8 files per partition
+    ev.repartition(8).write.partitionBy("event_date").parquet(lake)
+    before_rows = spark.read.parquet(lake).count()
+    one_dir = sorted(glob.glob(lake + "/event_date=*"))[0]
+    assert len(glob.glob(one_dir + "/*.parquet")) > 1
+
+    compact_partitions(spark, lake, "event_date")
+    after = glob.glob(one_dir + "/*.parquet")
+    assert len(after) == 1
+    assert spark.read.parquet(lake).count() == before_rows
+
+
+def test_cluster_within_partitions_rowgroup_stats(spark, tmp_path):
+    """Clustered+sorted files → parquet min/max actually selective:
+    a value filter reads fewer rows than a full scan would."""
+    from fanstats_producer_spark.operators.maintenance import (
+        cluster_within_partitions,
+    )
+
+    import glob
+
+    out = str(tmp_path / "clustered")
+    ev = load(spark, SF_DIR, "events").withColumn("event_date", F.to_date("ts"))
+    cluster_within_partitions(ev, "event_date", ["user_id"]).write.parquet(out)
+    files = glob.glob(out + "/part-*.parquet")
+    assert len(files) == 4
+    # each file covers a narrow, mostly-disjoint user_id range → parquet
+    # min/max stats make a user_id predicate skip whole row groups
+    ranges = sorted(
+        tuple(
+            spark.read.parquet(f)
+            .agg(F.min("user_id"), F.max("user_id"))
+            .collect()[0]
+        )
+        for f in files
+    )
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next  # range-clustered, not interleaved
+
+
+def test_analyze_table_feeds_cbo(spark):
+    from fanstats_producer_spark.operators.maintenance import analyze_table
+
+    load(spark, SF_DIR, "customer").write.mode("overwrite").saveAsTable("t_stats")
+    analyze_table(spark, "t_stats", ["c_custkey", "c_mktsegment"])
+    desc = spark.sql("DESCRIBE EXTENDED t_stats c_custkey").collect()
+    info = {r.info_name: r.info_value for r in desc}
+    assert info.get("distinct_count") not in (None, "NULL")
+    spark.sql("DROP TABLE t_stats")

@@ -85,3 +85,36 @@ def test_rest_datasource_cap_mid_page(spark):
         .load()
     )
     assert df.count() == 30
+
+
+def test_landed_data_supports_athena_style_analytics(spark, configs, tmp_path):
+    """The full reference loop: produce → land → analyze.  The analytics
+    the reference delegates to Athena (engagement rollups over the
+    landed layout, main.py:4-5) run directly on our lake."""
+    data_file, platforms_file = configs
+    out = str(tmp_path / "lake2")
+    run_pipeline(
+        spark, data_file, platforms_file, out,
+        fetch_page=demo_fetcher(),
+        now=datetime.datetime(2024, 1, 16, 5, 0, tzinfo=datetime.timezone.utc),
+    )
+    lake = spark.read.json(out)
+    lake.createOrReplaceTempView("landed_tweets")
+    daily = spark.sql(
+        """
+        SELECT topic, year, month, day,
+               COUNT(*) AS n_posts,
+               SUM(public_metrics.like_count) AS likes,
+               SUM(public_metrics.retweet_count) AS retweets,
+               ROUND(AVG(public_metrics.like_count), 2) AS avg_likes
+        FROM landed_tweets
+        GROUP BY topic, year, month, day
+        ORDER BY n_posts DESC
+        """
+    ).collect()
+    assert len(daily) == 1  # one topic-day in the demo fetch
+    row = daily[0]
+    assert (row.topic, row.year, row.month, row.day) == ("NBA", 2024, 1, 15)
+    assert row.n_posts == 150
+    # engagement figures: demo fetcher likes = 2*i for i in 0..24, x2 topics x3 pages
+    assert row.likes == 2 * sum(2 * i for i in range(25)) * 3

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import load, register_views
 from fanstats_producer_spark.registry import query
 
 
@@ -151,4 +151,68 @@ def q42b_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.element_at(kept, "k").alias("k_sq"),
         F.size(F.map_entries(kept)).alias("n_keys"),
+    )
+
+
+# --- q47: null-safe equality join ------------------------------------------------
+@query(
+    "q47_nullsafe_join",
+    oracle="""
+    WITH a AS (SELECT doc_id, NULLIF(lang, 'zh') AS lang_n FROM documents),
+         b AS (SELECT NULLIF(lang, 'zh') AS lang_n, COUNT(*) AS lang_total
+               FROM documents GROUP BY 1)
+    SELECT a.doc_id, COALESCE(a.lang_n, '<null>') AS lang_key, b.lang_total
+    FROM a JOIN b ON a.lang_n IS NOT DISTINCT FROM b.lang_n
+    """,
+)
+def q47_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<=> (eqNullSafe): null keys join to null keys — the semantics a
+    plain equi-join silently drops."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "lang_n", F.nullif(F.col("lang"), F.lit("zh"))
+    )
+    totals = (
+        d.groupBy("lang_n")
+        .agg(F.count("*").alias("lang_total"))
+        .withColumnRenamed("lang_n", "lang_n_t")
+    )
+    a = d.select("doc_id", "lang_n")
+    return (
+        a.join(totals, F.col("lang_n").eqNullSafe(F.col("lang_n_t")))
+        .select(
+            "doc_id",
+            F.coalesce("lang_n", F.lit("<null>")).alias("lang_key"),
+            "lang_total",
+        )
+    )
+
+
+# --- q48: lateral correlated subquery --------------------------------------------
+@query(
+    "q48_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey
+                  LIMIT 2) t
+    """,
+)
+def q48_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery through the SQL front door (top-2
+    orders per customer); Catalyst rewrites it to the same windowed plan
+    as q33."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      LIMIT 2) t
+        """
     )

@@ -68,7 +68,7 @@ def q37_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
            CAST(o_orderdate - INTERVAL 7 DAY AS DATE) AS week_before,
            datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since_epoch0,
-           epoch(o_orderdate) AS unix_ts
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_ts
     FROM orders
     WHERE o_orderkey < 1000
     """,
@@ -98,8 +98,8 @@ def q38_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            ROUND(p_retailprice, 1) AS price_r1,
-           floor(p_retailprice) AS price_floor,
-           ceil(p_retailprice) AS price_ceil,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
            abs(p_size - 25) AS size_dist,
            ROUND(sqrt(p_retailprice), 6) AS price_sqrt,
            ROUND(ln(p_retailprice + 1), 6) AS price_ln,

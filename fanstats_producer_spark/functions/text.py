@@ -83,7 +83,7 @@ def x01_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x02_keyphrases",
     oracle=f"""
-    SELECT source, term, n, rn FROM (
+    SELECT source, term, n, CAST(rn AS INT) AS rn FROM (
       SELECT source, term, n,
              row_number() OVER (PARTITION BY source ORDER BY n DESC, term) AS rn
       FROM (SELECT source, term, COUNT(*) AS n

@@ -100,7 +100,7 @@ def x12_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "x13_ngrams",
     oracle="""
-    SELECT lang, bigram, n, rn FROM (
+    SELECT lang, bigram, n, CAST(rn AS INT) AS rn FROM (
       SELECT lang, bigram, n,
              row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn
       FROM (SELECT lang, bigram, COUNT(*) AS n

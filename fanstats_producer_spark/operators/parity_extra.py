@@ -52,7 +52,7 @@ def q29_minmaxby(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q41b_posexplode",
     oracle="""
     SELECT doc_id,
-           generate_subscripts(toks, 1) AS pos,
+           CAST(generate_subscripts(toks, 1) AS INT) AS pos,
            unnest(toks) AS token
     FROM (SELECT doc_id, string_split(text, ' ') AS toks
           FROM documents WHERE doc_id < 30)

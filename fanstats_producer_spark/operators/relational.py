@@ -157,7 +157,7 @@ def q04_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status,
            COUNT(*) AS n,
-           SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS n_was_null
+           CAST(SUM(CASE WHEN NULLIF(o_orderstatus, 'P') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_was_null
     FROM orders
     GROUP BY 1
     """,

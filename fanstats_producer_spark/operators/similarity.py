@@ -67,7 +67,7 @@ _KNN_K = 5
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY sim DESC, neighbor_id) AS rnk
            FROM scored)
-    SELECT query_id, neighbor_id, cos_sim, rnk FROM ranked WHERE rnk <= {_KNN_K}
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= {_KNN_K}
     """,
 )
 def x05_knn(spark: SparkSession, sf_dir: str) -> DataFrame:

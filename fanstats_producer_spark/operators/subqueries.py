@@ -90,7 +90,7 @@ _SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
     GROUP BY 1
     """.format(
         cols=",\n           ".join(
-            f"SUM(CASE WHEN c.c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS {s.lower()}"
+            f"CAST(SUM(CASE WHEN c.c_mktsegment = '{s}' THEN 1 ELSE 0 END) AS BIGINT) AS {s.lower()}"
             for s in _SEGMENTS
         )
     ),

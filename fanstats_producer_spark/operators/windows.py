@@ -21,10 +21,10 @@ from fanstats_producer_spark.registry import query
     "q30_rank",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           row_number() OVER w AS rn,
-           rank() OVER w AS rnk,
-           dense_rank() OVER w AS drnk,
-           ntile(4) OVER w AS quartile
+           CAST(row_number() OVER w AS INT) AS rn,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(4) OVER w AS INT) AS quartile
     FROM customer
     WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
     """,
@@ -98,7 +98,7 @@ def q32_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q33_topn_group",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
                                 ORDER BY o_totalprice DESC, o_orderkey) AS rn

@@ -42,6 +42,7 @@ def main() -> None:
     # metadata) — steady-state numbers, same treatment the DuckDB baseline
     # gets from its buffer pool.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(1000).write.format("noop").mode("overwrite").save()
     from fanstats_producer_spark.io import TABLES, load
 
     for t in TABLES:

@@ -89,3 +89,71 @@ def x07_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_features,
         schema="doc_id long, n_bytes long, payload_sha string, head_byte int",
     )
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize goes here (PIL.Image.resize). Unavailable in this
+    container — callers catch NotImplementedError and use the
+    deterministic fake below."""
+    raise NotImplementedError("image codecs not available in this environment")
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in with the right contract shape: output size
+    scales with the requested dimensions, content derived from input."""
+    target = max(1, (width * height) // 64)
+    reps = (target // max(len(payload), 1)) + 1
+    return (payload * reps)[:target]
+
+
+def resize_batch(width: int, height: int):
+    """mapInPandas stage: resize every blob in the batch. Arrow batch in,
+    Arrow batch out — the exact shape of a production CV stage."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(blob)
+                try:
+                    resized = resize_image(b, width, height)
+                except NotImplementedError:
+                    resized = _fake_resize(b, width, height)
+                out.append({"doc_id": int(doc_id), "payload": resized,
+                            "width": width, "height": height})
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def sample_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Real frame sampling goes here (pyav/ffmpeg). Unavailable —
+    callers catch and use the deterministic byte-stride fake."""
+    raise NotImplementedError("video codecs not available in this environment")
+
+
+def _fake_frames(payload: bytes, n_frames: int) -> list[bytes]:
+    """Deterministic stride sampling over the byte stream: n_frames
+    evenly spaced 16-byte windows (contract: list of frame blobs)."""
+    if not payload:
+        return []
+    stride = max(len(payload) // n_frames, 1)
+    return [payload[i * stride : i * stride + 16] for i in range(n_frames)]
+
+
+def frame_sample_batch(n_frames: int):
+    """mapInPandas stage: explode each video blob into frame rows."""
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(blob)
+                try:
+                    frames = sample_frames(b, n_frames)
+                except NotImplementedError:
+                    frames = _fake_frames(b, n_frames)
+                for idx, frame in enumerate(frames):
+                    rows.append({"doc_id": int(doc_id), "frame_idx": idx,
+                                 "frame": frame})
+            yield pd.DataFrame(rows)
+
+    return fn

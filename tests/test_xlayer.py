@@ -170,3 +170,47 @@ def test_binary_metadata_struct(spark):
     row = with_payload(docs).collect()[0]
     assert bytes(row.payload) == b"abc"
     assert row.meta.format == "utf8-blob" and row.meta.n_bytes == 3
+
+
+def test_multimodal_resize_stage(spark):
+    from fanstats_producer_spark.operators.multimodal import resize_batch
+
+    docs = spark.createDataFrame(
+        [(1, "hello world " * 10, "en"), (2, "x", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = with_payload(docs).mapInPandas(
+        resize_batch(32, 32), schema="doc_id long, payload binary, width int, height int"
+    )
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(bytes(rows[1].payload)) == (32 * 32) // 64  # sized to target
+    assert (rows[1].width, rows[1].height) == (32, 32)
+
+
+def test_multimodal_frame_sampling(spark):
+    from fanstats_producer_spark.operators.multimodal import frame_sample_batch
+
+    docs = spark.createDataFrame(
+        [(1, "frame content " * 50, "en")], "doc_id long, text string, lang string"
+    )
+    out = with_payload(docs).mapInPandas(
+        frame_sample_batch(4), schema="doc_id long, frame_idx int, frame binary"
+    )
+    rows = out.collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]  # one row per frame
+    assert all(len(bytes(r.frame)) == 16 for r in rows)
+
+
+def test_jaccard_properties(spark):
+    """Property checks: jaccard ∈ (0,1]; identical docs score 1.0;
+    pair orientation is canonical (id_a < id_b always)."""
+    rows = [(i, f"tok{i} common words shared across docs number {i % 3}") for i in range(12)]
+    rows += [(100, rows[0][1]), (101, rows[0][1])]  # exact dup group
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = jaccard_pairs(df, threshold=0.05).collect()
+    assert pairs, "overlapping corpus must produce pairs"
+    for r in pairs:
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.id_a < r.id_b
+    exact = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    assert exact[(0, 100)] == 1.0 and exact[(0, 101)] == 1.0 and exact[(100, 101)] == 1.0

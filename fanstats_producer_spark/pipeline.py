@@ -61,9 +61,17 @@ def run_pipeline(
     fetch_page: FetchPage,
     now: datetime.datetime | None = None,
     lookback_days: int = 1,
+    extra_collectors: dict | None = None,
 ) -> dict[str, bool]:
     """One scheduled run.  Returns {platform: wrote_anything} — the
-    empty-result guard outcome per platform (main.py:183-194)."""
+    empty-result guard outcome per platform (main.py:183-194).
+
+    ``extra_collectors`` registers additional platforms (the Facebook/
+    Reddit sources the reference's architecture diagram plans but never
+    implements): {platform_name: (spark) -> DataFrame}.  Each platform's
+    frame must carry a ``created_at`` column for the partition layout;
+    other columns may differ — the lake tolerates per-source schema
+    drift (JSON landing + mergeSchema read)."""
     cfg = load_data_file(data_file)
     platforms = load_platforms(platforms_file)
     now = now or datetime.datetime.now(datetime.timezone.utc)
@@ -71,14 +79,18 @@ def run_pipeline(
         "%Y-%m-%dT%H:%M:%SZ"
     )  # main.py:262-263 + isotime main.py:138
 
+    collectors = dict(extra_collectors or {})
+    collectors.setdefault(
+        "Twitter",
+        lambda s: collect_twitter(s, cfg, fetch_page, start_time),
+    )
+
     results: dict[str, bool] = {}
     for platform in platforms.platforms:
-        if platform == "Twitter":
-            df = collect_twitter(spark, cfg, fetch_page, start_time)
-        else:
-            raise ValueError(
-                f"platform not supported: {platform!r}"
-            )  # main.py:219, as a real error
+        collector = collectors.get(platform)
+        if collector is None:  # main.py:219, as a real error
+            raise ValueError(f"platform not supported: {platform!r}")
+        df = collector(spark)
         partitioned = with_partition_columns(
             df, platform=platform, topic=cfg.partition_key
         )

@@ -118,3 +118,35 @@ def test_landed_data_supports_athena_style_analytics(spark, configs, tmp_path):
     assert row.n_posts == 150
     # engagement figures: demo fetcher likes = 2*i for i in 0..24, x2 topics x3 pages
     assert row.likes == 2 * sum(2 * i for i in range(25)) * 3
+
+
+def test_pipeline_second_platform_collector(spark, configs, tmp_path):
+    """P9 extensibility: a Reddit-shaped collector (different schema)
+    lands beside Twitter in the same run, same lake."""
+    data_file, _ = configs
+    plats = tmp_path / "two_platforms.yaml"
+    plats.write_text("version: 1.0\n---\nPlatforms:\n  - Twitter\n  - Reddit\n")
+    out = str(tmp_path / "lake3")
+
+    def reddit_collector(s):
+        return s.createDataFrame(
+            [("r1", "NBA thread", "2024-01-15T08:00:00.000Z", 42),
+             ("r2", "trade rumors", "2024-01-15T09:00:00.000Z", 7)],
+            "id string, title string, created_at string, upvotes int",
+        )
+
+    wrote = run_pipeline(
+        spark, data_file, str(plats), out,
+        fetch_page=demo_fetcher(),
+        now=datetime.datetime(2024, 1, 16, 5, 0, tzinfo=datetime.timezone.utc),
+        extra_collectors={"Reddit": reddit_collector},
+    )
+    assert wrote == {"Twitter": True, "Reddit": True}
+    lake = spark.read.option("mergeSchema", True).json(out)
+    by_platform = {
+        r.platform: r.n for r in
+        lake.groupBy("platform").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_platform == {"Twitter": 150, "Reddit": 2}
+    # schema drift tolerated: upvotes only on Reddit rows
+    assert lake.filter(F.col("upvotes").isNotNull()).count() == 2

@@ -214,3 +214,18 @@ def test_jaccard_properties(spark):
         assert r.id_a < r.id_b
     exact = {(r.id_a, r.id_b): r.jaccard for r in pairs}
     assert exact[(0, 100)] == 1.0 and exact[(0, 101)] == 1.0 and exact[(100, 101)] == 1.0
+
+
+def test_minhash_native_recall_vs_exact(spark):
+    """Native DataFrame MinHash must cover the exact near-dup pairs
+    (same recall contract as the MLlib arm)."""
+    from fanstats_producer_spark.operators.dedup import minhash_native_pairs
+
+    docs = load(spark, SF_DIR, "documents")
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.6).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_native_pairs(docs, threshold=0.4).collect()
+    }
+    assert exact
+    assert len(exact - approx) / len(exact) <= 0.2  # ≥80% recall

@@ -104,7 +104,9 @@ def q38_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(sqrt(p_retailprice), 6) AS price_sqrt,
            ROUND(ln(p_retailprice + 1), 6) AS price_ln,
            ROUND(pow(p_size, 2), 6) AS size_sq,
-           ((p_size % 7) + 7) % 7 AS size_mod7
+           ((p_size % 7) + 7) % 7 AS size_mod7,
+           CAST(greatest(p_size, 25) AS INT) AS size_hi,
+           least(CAST(p_size AS DOUBLE), p_retailprice / 100) AS size_lo
     FROM part
     """,
 )
@@ -122,6 +124,8 @@ def q39_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(price + 1), 6).alias("price_ln"),
         F.round(F.pow(size, 2), 6).alias("size_sq"),
         F.pmod(size, F.lit(7)).alias("size_mod7"),
+        F.greatest(size, F.lit(25)).alias("size_hi"),
+        F.least(size.cast("double"), price / 100).alias("size_lo"),
     )
 
 
@@ -167,7 +171,8 @@ def q41_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            event_type AS type_val,
            CAST(user_id AS VARCHAR) AS uid_val,
-           'type,uid' AS key_list
+           'type,uid' AS key_list,
+           'type=' || event_type || ',uid=' || CAST(user_id AS VARCHAR) AS kv_pairs
     FROM events
     WHERE event_id < 500
     """,
@@ -183,6 +188,13 @@ def q42_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_val"),
         F.element_at(m, "uid").alias("uid_val"),
         F.array_join(F.sort_array(F.map_keys(m)), ",").alias("key_list"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.map_entries(m)),
+                lambda e: F.concat_ws("=", e.key, e.value),
+            ),
+            ",",
+        ).alias("kv_pairs"),
     )
 
 

@@ -95,5 +95,41 @@ def main() -> int:
     return 1 if failures else 0
 
 
+def audit_types() -> int:
+    """--types: assert Spark output dtypes equal DuckDB oracle dtypes
+    (the driver may compare schemas strictly; int32-vs-int64 drift is a
+    silent correctness failure waiting to happen)."""
+    sf_dir = "/root/testdata/sf0.01"
+    spark = get_spark("type-audit")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    dmap = {
+        "BIGINT": "bigint", "INTEGER": "int", "DOUBLE": "double",
+        "VARCHAR": "string", "DATE": "date", "BOOLEAN": "boolean",
+        "FLOAT": "float", "TIMESTAMP": "timestamp",
+    }
+    bad = 0
+    for key in sorted(registry.ORACLE):
+        sdf = registry.QUERIES[key](spark, sf_dir)
+        stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        desc = con.execute(
+            f"DESCRIBE SELECT * FROM ({registry.ORACLE[key]})"
+        ).fetchall()
+        dtypes = {r[0]: r[1] for r in desc}
+        for col, st in stypes.items():
+            dt = dtypes.get(col)
+            if dt is None:
+                print(f"TYPE  {key}.{col}: missing in oracle")
+                bad += 1
+            elif dmap.get(dt, dt.lower()) != st:
+                print(f"TYPE  {key}.{col}: spark={st} duckdb={dt}")
+                bad += 1
+    print(f"type audit: {bad} mismatches")
+    return 1 if bad else 0
+
+
 if __name__ == "__main__":
+    if "--types" in sys.argv:
+        raise SystemExit(audit_types())
     raise SystemExit(main())

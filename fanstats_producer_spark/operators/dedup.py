@@ -347,3 +347,74 @@ def x04d_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_native_pairs(load(spark, sf_dir, "documents")).orderBy(
         "id_a", "id_b"
     )
+
+
+# --- x04e: dedup clustering (connected components over near-dup pairs) ----------
+def connected_components(
+    pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Cluster near-dup pairs into groups via iterative min-label
+    propagation: every node's label converges to the smallest doc_id in
+    its component.  Returns (doc_id, cluster_id).
+
+    This is the step that turns pairwise similarity into an actual dedup
+    decision (keep one doc per cluster).  Iterations are O(diameter) —
+    near-dup graphs are overwhelmingly tiny star/clique components, so
+    convergence is fast; each iteration is one shuffle, and
+    localCheckpoint truncates the growing lineage (at cluster scale:
+    checkpoint to reliable storage instead).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select("src").distinct().select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+            .filter(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy-dedup decision: keep the min-id representative of every
+    near-dup cluster, plus all unpaired docs."""
+    clusters = connected_components(pairs)
+    tagged = docs.join(clusters, on=id_col, how="left")
+    keep = tagged.filter(
+        F.col("cluster_id").isNull() | (F.col(id_col) == F.col("cluster_id"))
+    )
+    return keep.drop("cluster_id")
+
+
+@query("x04e_dedup_clusters")  # iterative → rows-only driver check
+def x04e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignments from the exact-Jaccard pairs at the x04
+    threshold — deterministic (exact pairs + min-label convergence)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3)
+    return connected_components(pairs).orderBy("doc_id")

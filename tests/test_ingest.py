@@ -227,3 +227,30 @@ def test_platform_dispatch_unsupported(spark):
     reg.register("Twitter", lambda s: s.range(1))
     with pytest.raises(ValueError, match="platform not supported: 'Facebook'"):
         reg.collect_all(spark, ["Facebook"])
+
+
+def test_corrupt_records_tolerated(spark, tmp_path):
+    """PERMISSIVE ingest: malformed NDJSON lines land in _corrupt_record
+    instead of failing the job (the reference appends API responses
+    blindly, main.py:151-153 — garbage would poison its whole file)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"id": "1", "text": "good", "lang": "en"}\n'
+        "this is not json at all\n"
+        '{"id": "2", "text": "also good", "lang": "en"}\n'
+    )
+    schema = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = spark.read.schema(schema).json(str(p)).cache()
+    assert df.count() == 3
+    assert df.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+    assert df.filter(F.col("id").isNotNull()).count() == 2
+    df.unpersist()

@@ -229,3 +229,36 @@ def test_minhash_native_recall_vs_exact(spark):
     }
     assert exact
     assert len(exact - approx) / len(exact) <= 0.2  # ≥80% recall
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A chain a-b-c-d collapses to one cluster even though a-d never
+    paired directly (transitive near-dup), separate clique separate."""
+    from fanstats_producer_spark.operators.dedup import (
+        connected_components,
+        dedup_corpus,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (3, 4, 0.9), (10, 11, 0.8)],
+        "id_a long, id_b long, jaccard double",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_corpus(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # one rep per cluster + the unpaired doc
+
+
+def test_dedup_clusters_idempotent_on_fixture(spark):
+    """Running the clustering twice gives identical assignments."""
+    from fanstats_producer_spark.operators.dedup import connected_components
+
+    docs = load(spark, SF_DIR, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5)
+    a = sorted(map(tuple, connected_components(pairs).collect()))
+    b = sorted(map(tuple, connected_components(pairs).collect()))
+    assert a == b and a  # deterministic and non-empty on the fixture

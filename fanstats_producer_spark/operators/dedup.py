@@ -368,35 +368,36 @@ def connected_components(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        # materialize once: the upstream pair computation (e.g. the whole
+        # Jaccard pipeline) must NOT re-execute on every iteration
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )
-    for _ in range(max_iterations):
+    def propagate(lbl: DataFrame) -> DataFrame:
         neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lbl, edges.dst == lbl.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+        return lbl.join(neighbor_min, lbl.node == neighbor_min.src, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
         )
-        updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
+
+    # Labels only ever decrease, so sum(label) is a cheap monotone
+    # convergence witness (no per-iteration diff join).  Two propagation
+    # steps per materialization halve the fixed job overhead.
+    prev_sum = None
+    for _ in range(max_iterations):
+        labels = propagate(propagate(labels)).localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

@@ -19,7 +19,12 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from fanstats_producer_spark.sources.ndjson import TWEET_SCHEMA
 from fanstats_producer_spark.sources.rest import FetchPage
@@ -84,6 +89,54 @@ def _to_row_value(v):
     return v
 
 
+class RestStreamReader(SimpleDataSourceStreamReader):
+    """Streaming arm: each micro-batch polls every topic's cursor chain
+    from the last committed offset — the reference's scheduled re-crawl
+    (main.tf:214-218) as a continuous source with exactly-once offsets.
+
+    Offset = {topic: next_token}; Spark checkpoints it, so a restarted
+    query resumes the crawl exactly where the last batch committed (vs
+    the reference's stateless daily re-pull).  `pages_per_batch` is the
+    per-trigger rate limit (the P4 clamp as back-pressure).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.topics = [t for t in options.get("topics", "").split(",") if t]
+        self.fetcher_name = options.get("fetcher", "demo")
+        self.start_time = options.get("start_time", "1970-01-01T00:00:00Z")
+        self.page_size = min(int(options.get("page_size", "100")), 100)
+        self.pages_per_batch = int(options.get("pages_per_batch", "1"))
+        self._fetch = None
+        self._field_names = [f.name for f in TWEET_SCHEMA.fields]
+
+    def initialOffset(self) -> dict:
+        return {t: None for t in self.topics}
+
+    def read(self, start: dict):
+        if self._fetch is None:
+            self._fetch = FETCHERS[self.fetcher_name]()
+        rows_out: list[tuple] = []
+        end: dict = {}
+        for topic in self.topics:
+            token = start.get(topic)
+            if token == "__done__":
+                end[topic] = token
+                continue
+            for _ in range(self.pages_per_batch):
+                rows, token = self._fetch(
+                    topic, self.start_time, token, self.page_size
+                )
+                rows_out.extend(
+                    tuple(_to_row_value(r.get(n)) for n in self._field_names)
+                    for r in rows
+                )
+                if token is None:
+                    token = "__done__"  # cursor exhausted; stop polling
+                    break
+            end[topic] = token
+        return iter(rows_out), end
+
+
 class RestDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -94,6 +147,9 @@ class RestDataSource(DataSource):
 
     def reader(self, schema) -> RestReader:
         return RestReader(self.options)
+
+    def simpleStreamReader(self, schema) -> RestStreamReader:
+        return RestStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -212,3 +212,54 @@ def upsert_latest_per_key(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def user_value_stats_tws(events: DataFrame) -> DataFrame:
+    """s10: transformWithStateInPandas (Spark 4 stateful API) — per-user
+    running count/total via an explicit ValueState.  This is the modern
+    replacement for applyInPandasWithState (s07): typed state handles,
+    timers, and TTL support; state lives in the state store (RocksDB at
+    scale), not executor memory.
+
+    Requires the RocksDB state store provider AND the google.protobuf
+    package (the JVM <-> Python state protocol); this container lacks
+    protobuf, so the pytest skips — the code path is exercised wherever
+    the dependency exists, and s07 covers the stateful contract here.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class UserStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserStats(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -203,3 +203,27 @@ def test_foreach_batch_upsert(spark, landing, tmp_path):
     q2.awaitTermination(120)
     s2 = {r.user_id: r.event_id for r in spark.read.parquet(state).collect()}
     assert s2 == {1: 4, 2: 3}  # user1 upserted, user2 keeps newer state
+
+
+def test_transform_with_state(spark, landing):
+    """s10: typed-state processor accumulates across rows per key."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    # the TWS protocol speaks protobuf between JVM and the Python driver
+    # worker; not installed in this container → skip (s07 covers the
+    # stateful contract via applyInPandasWithState)
+    pytest.importorskip("google.protobuf")
+    # transformWithState requires the RocksDB state store provider
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    _write_batch(landing, "b1.json", [
+        _event(1, "2024-01-01T10:00:00Z", user=7, value=1.5),
+        _event(2, "2024-01-01T10:01:00Z", user=7, value=2.5),
+        _event(3, "2024-01-01T10:02:00Z", user=8, value=10.0),
+    ])
+    stream = jobs.read_event_stream(spark, str(landing))
+    got = _run_to_memory(spark, jobs.user_value_stats_tws(stream), "s10_test", "update")
+    rows = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
+    assert rows[7] == (2, 4.0)
+    assert rows[8] == (1, 10.0)

@@ -36,7 +36,17 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
-    spark = get_spark("fanstats-bench")
+    from fanstats_producer_spark.session import shuffle_partitions_for_bytes
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    spark = get_spark(
+        "fanstats-bench",
+        shuffle_partitions=shuffle_partitions_for_bytes(total_bytes),
+    )
     # JVM/codegen warm-up so q00 doesn't absorb first-query startup cost,
     # plus one footer-touching pass over each table (OS page cache + parquet
     # metadata) — steady-state numbers, same treatment the DuckDB baseline

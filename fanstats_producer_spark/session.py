@@ -38,6 +38,19 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def shuffle_partitions_for_bytes(total_bytes: int, cores: int | None = None) -> int:
+    """Size the static shuffle-partition count to the data: target
+    ~64 MiB per post-shuffle partition, floored at 8 and capped at
+    3x cores (the healthy task:core ratio).  At 100 TB this yields
+    thousands of partitions; at bench SFs it stops 600 k rows from
+    being scheduled as 32 near-empty tasks.  AQE still coalesces
+    per-stage below this bound at runtime.
+    """
+    cores = cores or _default_parallelism()
+    by_size = max(total_bytes // (64 << 20), 1)
+    return int(max(8, min(cores * 3, by_size)))
+
+
 def get_spark(
     app_name: str = "fanstats-producer-spark",
     master: str | None = None,

@@ -11,7 +11,10 @@ built-ins (split→explode→count→top-k).
 
 All scoring is deterministic and lexicon-based so results are auditable
 and oracle-checkable; swapping in a real model is a one-function change
-(the pandas UDF boundary is the extension point).
+(the pandas UDF boundary is the extension point).  The batched
+Spark-side sentiment architecture follows the pattern of
+"Large Scale Sentiment Analysis on Twitter with Spark" (EDBT 2016 —
+PAPERS.md): tweet-level lexicon scoring parallelized over partitions.
 """
 
 from __future__ import annotations

@@ -198,3 +198,24 @@ def q06_case(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+# --- q49: table-function source (range/generate_series) ----------------------
+@query(
+    "q49_range_source",
+    oracle="""
+    SELECT CAST(r.range AS BIGINT) AS n,
+           CAST(r.range * r.range AS BIGINT) AS n_sq,
+           CAST(r.range % 10 AS BIGINT) AS bucket
+    FROM range(0, 10000) r
+    """,
+)
+def q49_range_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic table-function source: spark.range is the idiomatic way
+    to generate distributed test/probe data (it parallelizes across the
+    cluster; no driver-side list materialization)."""
+    return spark.range(0, 10000).select(
+        F.col("id").alias("n"),
+        (F.col("id") * F.col("id")).alias("n_sq"),
+        (F.col("id") % 10).alias("bucket"),
+    )

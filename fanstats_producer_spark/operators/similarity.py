@@ -16,7 +16,9 @@ Scale design:
 
 All math is done in float64 (embeddings are float32 on disk; both
 engines upcast identically) so results are reproducible and
-oracle-checkable.
+oracle-checkable.  Top-k-search staging (cheap exact baseline + pruned
+approximate arm) follows the incremental top-k similarity-search
+framing of EDBT 2020 (PAPERS.md).
 """
 
 from __future__ import annotations

@@ -168,3 +168,32 @@ def q32b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM q32b_events
         """
     )
+
+
+# --- q30b: distribution window functions -------------------------------------
+@query(
+    "q30b_distribution",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(percent_rank() OVER w, 6) AS pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS cume,
+           nth_value(c_custkey, 3) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_acctbal DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING)
+             AS third_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def q30b_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value("c_custkey", 3).over(w_full).alias("third_richest"),
+    )

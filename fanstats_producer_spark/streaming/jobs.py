@@ -10,6 +10,12 @@ at-least-once append (main.py:151) to exactly-once.
 
 The 30-minute watermark mirrors the reference's implicit lateness
 allowance (producer at 05:00, crawler at 05:30 — main.tf:217 vs 309).
+
+Design follows the Structured Streaming model (Armbrust et al.,
+"Structured Streaming: A Declarative API for Real-Time Applications in
+Apache Spark", SIGMOD 2018 — PAPERS.md): identical declarative
+transforms for batch and stream, incremental execution with watermarks,
+exactly-once via checkpointed offsets.
 """
 
 from __future__ import annotations

@@ -1,0 +1,109 @@
+"""Data-quality constraint auditing — the validation stage every landed
+zone needs (AWS's own answer is Glue Data Quality over the same catalog
+the reference provisions, main.tf:301-314; the reference itself lands
+blindly, main.py:151-153).
+
+Rules compile to aggregate expressions and run in ONE pass per table
+(a single job computes every violation count — no per-rule scans), plus
+set-based rules (uniqueness, referential integrity) that need their own
+shuffles.  Output is a tidy (rule, n_violations) frame a pipeline can
+gate on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+def violations(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
+    """Row-predicate rules in one aggregation pass: each rule is a
+    boolean Column that is True when the row VIOLATES the rule."""
+    aggs = [
+        F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+        for name, cond in rules.items()
+    ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', `{name}`" for name in rules)
+    return wide.selectExpr(
+        f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+    )
+
+
+def uniqueness_violations(df: DataFrame, cols: list[str], rule_name: str) -> DataFrame:
+    dups = (
+        df.groupBy(*cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.coalesce(F.sum(F.col("n") - 1), F.lit(0)).cast("long").alias("n_violations"))
+    )
+    return dups.select(F.lit(rule_name).alias("rule"), "n_violations")
+
+
+def referential_violations(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str, rule_name: str
+) -> DataFrame:
+    orphans = child.join(parent, child[fk] == parent[pk], "left_anti")
+    return orphans.agg(F.count("*").cast("long").alias("n_violations")).select(
+        F.lit(rule_name).alias("rule"), "n_violations"
+    )
+
+
+@query(
+    "x16_data_quality",
+    oracle="""
+    SELECT 'orders_negative_price' AS rule,
+           CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations FROM orders
+    UNION ALL
+    SELECT 'orders_bad_status',
+           CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END)
+                AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'orders_null_date',
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_pk_unique',
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           CAST(SUM(CASE WHEN l_quantity < 0 OR l_quantity > 50 THEN 1 ELSE 0 END)
+                AS BIGINT) FROM lineitem
+    """,
+)
+def x16_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    row_rules = violations(
+        orders,
+        {
+            "orders_negative_price": F.col("o_totalprice") < 0,
+            "orders_bad_status": ~F.col("o_orderstatus").isin("F", "O", "P"),
+            "orders_null_date": F.col("o_orderdate").isNull(),
+        },
+    )
+    li_rules = violations(
+        lineitem,
+        {"lineitem_qty_range": (F.col("l_quantity") < 0) | (F.col("l_quantity") > 50)},
+    )
+    return (
+        row_rules.unionByName(
+            uniqueness_violations(orders, ["o_orderkey"], "orders_pk_unique")
+        )
+        .unionByName(
+            referential_violations(
+                lineitem, orders, "l_orderkey", "o_orderkey", "lineitem_fk_orders"
+            )
+        )
+        .unionByName(li_rules)
+    )

@@ -45,6 +45,7 @@ def load_all() -> None:
         layout,
         nested,
         parity_extra,
+        quality_checks,
         relational,
         sampling,
         setops,

@@ -262,3 +262,28 @@ def test_dedup_clusters_idempotent_on_fixture(spark):
     a = sorted(map(tuple, connected_components(pairs).collect()))
     b = sorted(map(tuple, connected_components(pairs).collect()))
     assert a == b and a  # deterministic and non-empty on the fixture
+
+
+def test_quality_checks_detect_planted_violations(spark):
+    """Constraint audit finds exactly the planted bad rows."""
+    from fanstats_producer_spark.operators.quality_checks import (
+        referential_violations,
+        uniqueness_violations,
+        violations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 3.0), (4, None)], "id long, amount double"
+    )
+    row = {r.rule: r.n_violations for r in violations(df, {
+        "negative_amount": F.col("amount") < 0,
+        "null_amount": F.col("amount").isNull(),
+    }).collect()}
+    assert row == {"negative_amount": 1, "null_amount": 1}
+
+    uniq = uniqueness_violations(df, ["id"], "id_unique").collect()[0]
+    assert uniq.n_violations == 1  # one extra copy of id=2
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    ref = referential_violations(df, parent, "id", "pk", "fk").collect()[0]
+    assert ref.n_violations == 1  # id=4 is an orphan

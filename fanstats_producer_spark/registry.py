@@ -53,6 +53,7 @@ def load_all() -> None:
         windows,
     )
     from fanstats_producer_spark.functions import (  # noqa: F401
+        chunking,
         scalars,
         text,
         text_extra,

@@ -269,3 +269,17 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def deduped_by_content(events_or_docs: DataFrame, text_col: str = "props",
+                       watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact content dedup (the x03 hash dedup made
+    continuous): first arrival of each content digest within the
+    watermark wins; digest state evicts with the watermark, so memory
+    stays bounded no matter how long the stream runs."""
+    with_hash = events_or_docs.withColumn(
+        "content_hash", F.sha2(F.col(text_col).cast("string"), 256)
+    )
+    return with_hash.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )

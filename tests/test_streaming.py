@@ -227,3 +227,18 @@ def test_transform_with_state(spark, landing):
     rows = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
     assert rows[7] == (2, 4.0)
     assert rows[8] == (1, 10.0)
+
+
+def test_streaming_content_dedup(spark, landing):
+    """s11: same payload content arriving twice within the watermark is
+    emitted once (hash dedup over the stream)."""
+    rows = [
+        _event(1, "2024-01-01T10:00:00Z"),
+        _event(2, "2024-01-01T10:01:00Z"),
+        _event(3, "2024-01-01T10:02:00Z"),
+    ]
+    rows[1]["props"] = rows[0]["props"]  # duplicate content, different id
+    _write_batch(landing, "b.json", rows)
+    stream = jobs.read_event_stream(spark, str(landing))
+    got = _run_to_memory(spark, jobs.deduped_by_content(stream), "s11_test", "append")
+    assert sorted(r.event_id for r in got.collect()) == [1, 3]

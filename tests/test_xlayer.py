@@ -287,3 +287,33 @@ def test_quality_checks_detect_planted_violations(spark):
     parent = spark.createDataFrame([(1,), (2,)], "pk long")
     ref = referential_violations(df, parent, "id", "pk", "fk").collect()[0]
     assert ref.n_violations == 1  # id=4 is an orphan
+
+
+def test_chunking_overlap_and_tail(spark):
+    """Chunks overlap by chunk-stride tokens and the tail is kept."""
+    from fanstats_producer_spark.functions.chunking import chunk_documents
+
+    doc = " ".join(f"t{i}" for i in range(47))
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    chunks = {r.chunk_idx: r for r in chunk_documents(df, 20, 15).collect()}
+    assert len(chunks) == 3  # starts 0, 15, 30 cover 47 tokens
+    assert chunks[0].chunk_text.split(" ")[15:] == chunks[1].chunk_text.split(" ")[:5]
+    assert chunks[2].n_chunk_tokens == 17  # tail kept, not dropped
+    # every token appears in at least one chunk
+    seen = set(t for r in chunks.values() for t in r.chunk_text.split(" "))
+    assert len(seen) == 47
+
+
+def test_packing_budget_respected(spark):
+    """Each pack's token total stays under budget + one doc's length
+    (the greedy concat-and-chop guarantee)."""
+    from fanstats_producer_spark.functions.chunking import pack_documents
+
+    docs = load(spark, SF_DIR, "documents")
+    packed = pack_documents(docs, budget=256)
+    totals = packed.groupBy("shard", "pack_id").agg(
+        F.sum("n_tokens").alias("tok"), F.max("n_tokens").alias("max_doc")
+    )
+    over = totals.filter(F.col("tok") >= 256 + F.col("max_doc")).count()
+    assert over == 0
+    assert packed.select("shard", "pack_id").distinct().count() > 5

@@ -57,6 +57,26 @@ def main() -> None:
 
     for t in TABLES:
         load(spark, sf_dir, t).count()
+    # Warm the execution paths the queries actually use (count() is a
+    # metadata-only parquet read, so on its own it leaves scan/join/agg
+    # codegen and the Python worker pool cold — measured ~1.5 s absorbed
+    # by whichever queries happen to run first otherwise):
+    # columnar parquet scan -> shuffle join -> hash aggregate ...
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    o.join(c, o.o_custkey == c.c_custkey).groupBy("o_orderstatus").count().write.format(
+        "noop"
+    ).mode("overwrite").save()
+    # ... plus the row-at-a-time Python UDF bridge and the Arrow batch path.
+    from pyspark.sql import functions as _F
+    from pyspark.sql.types import LongType as _Long
+
+    _plain = _F.udf(lambda x: x + 1, _Long())
+    _vec = _F.pandas_udf(lambda s: s + 1, _Long())
+
+    spark.range(1000).select(_plain("id"), _vec("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for key in sorted(registry.QUERIES):

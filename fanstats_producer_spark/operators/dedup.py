@@ -261,7 +261,35 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", simhash_udf("text").alias("simhash"))
 
 
-@query("x04c_simhash")  # signature only; banding join tested in unit tests
+# The md5-derived token hash makes the signature engine-independent:
+# int.from_bytes(digest[:8], "big") on the Python side equals parsing the
+# first 16 hex chars of DuckDB's md5() — so the whole SimHash is exactly
+# SQL-expressible and oracle-checked despite being computed in a pandas UDF.
+@query(
+    "x04c_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    th AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+      FROM toks),
+    bits AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM th, range(64) AS t(i)
+      GROUP BY doc_id, i),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN acc > 0 THEN CAST(1 AS HUGEINT) << i ELSE 0 END) AS u
+      FROM bits GROUP BY doc_id)
+    SELECT doc_id,
+           CAST(u - CASE WHEN u >= CAST(1 AS HUGEINT) << 63
+                         THEN CAST(1 AS HUGEINT) << 64
+                         ELSE CAST(0 AS HUGEINT) END
+                AS BIGINT) AS simhash
+    FROM sig ORDER BY doc_id
+    """,
+)
 def x04c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
@@ -433,7 +461,46 @@ def dedup_corpus(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
     return keep.drop("cluster_id")
 
 
-@query("x04e_dedup_clusters")  # iterative → rows-only driver check
+# Deterministic despite being iterative (exact pairs + min-label
+# convergence), so it IS oracle-checkable: the DuckDB side re-derives the
+# x04 pair set and closes it with a recursive transitive-reachability CTE
+# (closure size is Σ component², fine for near-dup graphs whose components
+# are tiny cliques/stars — the same property that bounds our iteration
+# count).
+@query(
+    "x04e_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    sizes AS (SELECT doc_id, len(shingles) AS n_sh FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM post a JOIN post b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+            >= {_X04_THRESHOLD}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node)
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
 def x04e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignments from the exact-Jaccard pairs at the x04
     threshold — deterministic (exact pairs + min-label convergence)."""

@@ -407,11 +407,15 @@ def connected_components(
     its component.  Returns (doc_id, cluster_id).
 
     This is the step that turns pairwise similarity into an actual dedup
-    decision (keep one doc per cluster).  Iterations are O(diameter) —
-    near-dup graphs are overwhelmingly tiny star/clique components, so
-    convergence is fast; each iteration is one shuffle, and
-    localCheckpoint truncates the growing lineage (at cluster scale:
-    checkpoint to reliable storage instead).
+    decision (keep one doc per cluster).  Each round does one
+    neighbor-min propagation (hash-to-min) followed by one pointer jump
+    (label ← label of my label), so convergence is O(log diameter)
+    rounds, not O(diameter) — a 64-node chain closes in ~6 rounds instead
+    of ~32.  Near-dup graphs are overwhelmingly tiny star/clique
+    components, but templated/boilerplate corpora do produce long chains,
+    and at 100 TB each saved round is a full shuffle.  localCheckpoint
+    truncates the growing lineage (at cluster scale: checkpoint to
+    reliable storage instead).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -437,12 +441,27 @@ def connected_components(
             ).alias("label"),
         )
 
+    def jump(lbl: DataFrame) -> DataFrame:
+        # label ← label[label]: follow my representative's pointer.  The
+        # parent lookup misses only when my label is already a root that
+        # never appears as a node... which cannot happen here (labels are
+        # node ids drawn from the same table), but coalesce keeps the
+        # contract explicit.
+        parent = lbl.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        return lbl.join(parent, lbl.label == parent.p_node, "left").select(
+            "node",
+            F.coalesce(F.col("p_label"), F.col("label")).alias("label"),
+        )
+
     # Labels only ever decrease, so sum(label) is a cheap monotone
-    # convergence witness (no per-iteration diff join).  Two propagation
-    # steps per materialization halve the fixed job overhead.
+    # convergence witness (no per-iteration diff join).  One hash-to-min
+    # propagation + one pointer jump per materialization: the jump
+    # compresses paths so the label tree's depth halves every round.
     prev_sum = None
     for _ in range(max_iterations):
-        labels = propagate(propagate(labels)).localCheckpoint(eager=True)
+        labels = jump(propagate(labels)).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break

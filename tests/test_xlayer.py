@@ -253,6 +253,19 @@ def test_connected_components_chain_and_clique(spark):
     assert kept == [1, 10, 99]  # one rep per cluster + the unpaired doc
 
 
+def test_connected_components_long_chain_pointer_jumping(spark):
+    """A 64-node path converges within 8 rounds — only possible with the
+    O(log diameter) propagate+jump scheme (pure min-propagation at two
+    hops per round would need ~32 and return wrong labels when capped)."""
+    from fanstats_producer_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 0.9) for i in range(63)], "id_a long, id_b long, jaccard double"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs, max_iterations=8).collect()}
+    assert got == {i: 0 for i in range(64)}
+
+
 def test_dedup_clusters_idempotent_on_fixture(spark):
     """Running the clustering twice gives identical assignments."""
     from fanstats_producer_spark.operators.dedup import connected_components

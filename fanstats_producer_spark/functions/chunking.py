@@ -26,10 +26,15 @@ _STRIDE = 15  # overlap = _CHUNK - _STRIDE = 5 tokens
 
 
 def chunk_documents(
-    docs: DataFrame, chunk_size: int = _CHUNK, stride: int = _STRIDE
+    docs: DataFrame,
+    chunk_size: int = _CHUNK,
+    stride: int = _STRIDE,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, chunk_idx, chunk_text, n_chunk_tokens) — overlapping
-    windows; the final partial window is kept (training wants the tail)."""
+    windows; the final partial window is kept (training wants the tail).
+    ``passthrough`` names extra columns to carry onto every chunk row
+    (e.g. the shard key for downstream packing)."""
     toks = F.split("text", " ")
     n = F.size(toks)
     n_chunks = F.greatest(
@@ -49,8 +54,8 @@ def chunk_documents(
         ),
     )
     return docs.select(
-        "doc_id", F.explode(chunks).alias("c")
-    ).select("doc_id", "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
+        "doc_id", *passthrough, F.explode(chunks).alias("c")
+    ).select("doc_id", *passthrough, "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
 
 
 @query(

@@ -40,6 +40,7 @@ def load_all() -> None:
     from fanstats_producer_spark.operators import (  # noqa: F401
         aggregates,
         asof,
+        corpus,
         dedup,
         joins,
         layout,

@@ -277,6 +277,29 @@ def test_dedup_clusters_idempotent_on_fixture(spark):
     assert a == b and a  # deterministic and non-empty on the fixture
 
 
+def test_corpus_pipeline_stages(spark):
+    """Planted dup/junk docs are dropped; survivors chunk and pack with
+    the documented windows."""
+    from fanstats_producer_spark.operators.corpus import prepare_corpus
+
+    good = "the a " + " ".join(f"w{i}" for i in range(23))  # 25 toks, 8% stopwords
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en"),
+            (2, good, "en"),  # exact duplicate -> dropped (keep doc 1)
+            (3, "x y", "en"),  # too short -> quality gate drops
+            (4, "z " * 50, "en"),  # no stopwords -> language gate drops
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = prepare_corpus(docs, chunk_size=20, stride=15, budget=30).collect()
+    assert {r.doc_id for r in out} == {1}
+    # 25 tokens, chunk 20 / stride 15 -> chunks at 0 (20 toks) and 15 (10 toks)
+    assert [(r.chunk_idx, r.n_chunk_tokens) for r in out] == [(0, 20), (1, 10)]
+    # budget 30: chunk 0 starts at 0 tokens before, chunk 1 at 20 -> both pack 0
+    assert [r.pack_id for r in out] == [0, 0]
+
+
 def test_quality_checks_detect_planted_violations(spark):
     """Constraint audit finds exactly the planted bad rows."""
     from fanstats_producer_spark.operators.quality_checks import (

@@ -353,3 +353,61 @@ def test_packing_budget_respected(spark):
     over = totals.filter(F.col("tok") >= 256 + F.col("max_doc")).count()
     assert over == 0
     assert packed.select("shard", "pack_id").distinct().count() > 5
+
+
+# --- hypothesis: chunking/packing properties (SURVEY.md §5.5) --------------------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n_toks=st.lists(st.integers(min_value=1, max_value=60), min_size=1, max_size=8),
+        chunk=st.integers(min_value=2, max_value=25),
+        stride_frac=st.floats(min_value=0.3, max_value=1.0),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_chunking_property(n_toks, chunk, stride_frac):
+        """Every chunk i holds exactly tokens [i*stride, i*stride+chunk) of
+        its document, and every token lands in at least one chunk."""
+        from fanstats_producer_spark.functions.chunking import chunk_documents
+        from fanstats_producer_spark.session import get_spark
+
+        spark = get_spark("fanstats-tests")
+        stride = max(1, int(chunk * stride_frac))
+        rows = [(i, " ".join(f"t{i}_{j}" for j in range(n))) for i, n in enumerate(n_toks)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = chunk_documents(docs, chunk_size=chunk, stride=stride).collect()
+        toks = {i: rows[i][1].split(" ") for i in range(len(rows))}
+        covered = {i: set() for i in toks}
+        for r in out:
+            expect = toks[r.doc_id][r.chunk_idx * stride : r.chunk_idx * stride + chunk]
+            assert r.chunk_text.split(" ") == expect
+            assert r.n_chunk_tokens == len(expect)
+            covered[r.doc_id].update(expect)
+        for i, ts in toks.items():
+            assert covered[i] == set(ts)
+
+    @given(
+        n_toks=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=12),
+        budget=st.integers(min_value=10, max_value=120),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_packing_property(n_toks, budget):
+        """Packs partition the docs contiguously in doc order; each pack's
+        first doc starts in [pack*budget, (pack+1)*budget)."""
+        from fanstats_producer_spark.functions.chunking import pack_documents
+        from fanstats_producer_spark.session import get_spark
+
+        spark = get_spark("fanstats-tests")
+        rows = [(i, " ".join("w" for _ in range(n)), "en") for i, n in enumerate(n_toks)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        out = sorted(
+            ((r.doc_id, r.n_tokens, r.pack_id) for r in pack_documents(docs, budget=budget).collect())
+        )
+        before = 0
+        for doc_id, n, pack in out:
+            assert pack == before // budget
+            before += n
+        assert [p for _, _, p in out] == sorted(p for _, _, p in out)  # contiguous
+except ImportError:  # pragma: no cover
+    pass

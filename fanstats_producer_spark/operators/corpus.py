@@ -32,6 +32,21 @@ from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
 
+def language_quality_gate(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The x08 language filter + x09 quality gate as pure row filters
+    (stateless → usable verbatim on a stream): stopword density says
+    'en', 10 ≤ tokens ≤ 1000, type-token-ratio > 0.15."""
+    toks = F.split(text_col, " ")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n_tokens
+    )
+    return docs.filter(stop_ratio > 0.05).filter(
+        n_tokens.between(10, 1000) & (ttr > 0.15)
+    )
+
+
 def prepare_corpus(
     docs: DataFrame,
     chunk_size: int = _CHUNK,
@@ -49,19 +64,9 @@ def prepare_corpus(
     5. pack: floor(running-tokens-before / budget) per shard, over the
        deterministic (doc_id, chunk_idx) order.
     """
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n_tokens
-    )
-
     dedup_w = Window.partitionBy(F.sha2(F.col("text"), 256)).orderBy("doc_id")
-    clean = (
-        docs.withColumn("rn", F.row_number().over(dedup_w))
-        .filter(F.col("rn") == 1)
-        .filter(stop_ratio > 0.05)
-        .filter(n_tokens.between(10, 1000) & (ttr > 0.15))
+    clean = language_quality_gate(
+        docs.withColumn("rn", F.row_number().over(dedup_w)).filter(F.col("rn") == 1)
     )
 
     chunks = chunk_documents(

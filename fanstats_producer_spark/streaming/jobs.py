@@ -271,6 +271,42 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
     )
 
 
+DOCUMENT_SCHEMA = "doc_id long, ts timestamp, text string, lang string"
+
+
+def read_document_stream(
+    spark: SparkSession, landing_dir: str, schema: str = DOCUMENT_SCHEMA
+) -> DataFrame:
+    """Document landing-dir stream (the x-layer corpus made continuous)."""
+    return spark.readStream.schema(schema).json(landing_dir)
+
+
+def corpus_prep_stream(docs: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """s12: the streamable prefix of the x19 corpus pipeline — content
+    dedup (watermark-bounded digest state), the x08/x09 language+quality
+    gates, and chunking, all running continuously on arriving documents.
+
+    Every stage after the dedup is stateless row logic, so the SAME
+    functions the batch pipeline uses (language_quality_gate,
+    chunk_documents) apply verbatim to the stream — one codepath, two
+    execution modes.  Pack assignment is deliberately absent: packing
+    needs a per-shard total order (running token sum), which an unbounded
+    stream cannot provide without unbounded state; in production the
+    packing step runs as the batch compaction pass over each landed
+    partition (operators/corpus.py::prepare_corpus stage 5), exactly like
+    the reference's crawl-then-query split (main.tf:217 vs :309).
+    """
+    from fanstats_producer_spark.functions.chunking import chunk_documents
+    from fanstats_producer_spark.operators.corpus import language_quality_gate
+
+    deduped = (
+        docs.withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    return chunk_documents(language_quality_gate(deduped), passthrough=("lang",))
+
+
 def deduped_by_content(events_or_docs: DataFrame, text_col: str = "props",
                        watermark: str = "30 minutes") -> DataFrame:
     """Streaming exact content dedup (the x03 hash dedup made

@@ -242,3 +242,21 @@ def test_streaming_content_dedup(spark, landing):
     stream = jobs.read_event_stream(spark, str(landing))
     got = _run_to_memory(spark, jobs.deduped_by_content(stream), "s11_test", "append")
     assert sorted(r.event_id for r in got.collect()) == [1, 3]
+
+
+def test_streaming_corpus_prep(spark, landing):
+    """s12: duplicate and junk docs are gated on the stream; the survivor
+    chunks with the batch pipeline's exact windows."""
+    import json as _json
+
+    good = "the a " + " ".join(f"w{i}" for i in range(23))  # 25 toks, passes gates
+    docs = [
+        {"doc_id": 1, "ts": "2024-01-01T10:00:00Z", "text": good, "lang": "en"},
+        {"doc_id": 2, "ts": "2024-01-01T10:01:00Z", "text": good, "lang": "en"},  # dup
+        {"doc_id": 3, "ts": "2024-01-01T10:02:00Z", "text": "x y", "lang": "en"},  # junk
+    ]
+    (landing / "docs.json").write_text("\n".join(_json.dumps(d) for d in docs))
+    stream = jobs.read_document_stream(spark, str(landing))
+    got = _run_to_memory(spark, jobs.corpus_prep_stream(stream), "s12_test", "append")
+    rows = sorted((r.doc_id, r.chunk_idx, r.n_chunk_tokens) for r in got.collect())
+    assert rows == [(1, 0, 20), (1, 1, 10)]  # one surviving doc, two chunks

@@ -526,3 +526,70 @@ def x04e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3)
     return connected_components(pairs).orderBy("doc_id")
+
+
+# --- x04f: embedding-cosine near-dup dedup (T4 semantic arm) -------------------
+# The reference's near-dup family is lexical (shingles); this arm catches
+# SEMANTIC duplicates — paraphrases that share no n-grams but embed close
+# together.  Same decision machinery (pairs -> components -> min-id
+# representative), different pair generator: the exact cosine self-join.
+# Deterministic (exact pairs + min-label convergence) => oracle-checkable
+# via the same recursive-closure pattern as x04e.  Scale path: swap the
+# quadratic pair join for lsh_simjoin (x06b) or ivf_topk buckets; the
+# clustering and keep-decision stages are unchanged.
+_X04F_LIMIT = 200
+_X04F_THRESHOLD = 0.35
+
+
+@query(
+    "x04f_embed_neardup",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      WHERE vec_id < {_X04F_LIMIT}),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {_X04F_THRESHOLD}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+    cl AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node)
+    SELECT v.vec_id AS doc_id,
+           CAST(COALESCE(cl.cluster_id, v.vec_id) AS BIGINT) AS cluster_id,
+           COALESCE(cl.cluster_id, v.vec_id) = v.vec_id AS is_kept
+    FROM v LEFT JOIN cl ON cl.node = v.vec_id
+    ORDER BY doc_id
+    """,
+)
+def x04f_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: every vector gets the min-id of
+    its cosine-similarity component as cluster_id (itself if unpaired)
+    and a keep/drop decision (keep = the representative)."""
+    from fanstats_producer_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _X04F_LIMIT)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("va"), F.col("vb")) >= _X04F_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    clusters = connected_components(pairs)
+    return (
+        emb.select(F.col("vec_id").alias("doc_id"))
+        .join(clusters, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            (F.coalesce("cluster_id", F.col("doc_id")) == F.col("doc_id")).alias(
+                "is_kept"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -411,3 +411,27 @@ try:
         assert [p for _, _, p in out] == sorted(p for _, _, p in out)  # contiguous
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_embed_neardup_dedups_identical_vectors(spark, tmp_path):
+    """x04f on a tiny planted fixture: identical/near-identical vectors
+    collapse to one kept representative; the orthogonal vector survives."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.operators.dedup import x04f_embed_neardup
+
+    e1 = [1.0] + [0.0] * 63
+    e1b = [0.999] + [0.001] * 63          # cosine ~1 with e1
+    e3 = [0.0, 1.0] + [0.0] * 62          # orthogonal to both
+    emb = spark.createDataFrame(
+        [(0, e1, 0), (1, e1b, 0), (2, e3, 1)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    emb.write.parquet(str(sf / "embeddings.parquet"))
+
+    rows = {r.doc_id: r for r in x04f_embed_neardup(spark, str(sf)).collect()}
+    assert rows[0].cluster_id == 0 and rows[0].is_kept
+    assert rows[1].cluster_id == 0 and not rows[1].is_kept
+    assert rows[2].cluster_id == 2 and rows[2].is_kept

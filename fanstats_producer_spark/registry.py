@@ -49,6 +49,7 @@ def load_all() -> None:
         quality_checks,
         relational,
         sampling,
+        scd,
         setops,
         similarity,
         windows,

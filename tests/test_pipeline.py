@@ -186,3 +186,35 @@ def test_rest_stream_source_resumes_from_checkpoint(spark, tmp_path):
     assert after2.select("id").distinct().count() == 75  # no page re-read
     run_once()  # restart on a drained cursor: nothing re-read
     assert spark.read.parquet(out).count() == 75
+
+
+def test_scd2_merge_closes_and_opens(spark):
+    """Matched keys emit a closed old row + an open new row; unmatched
+    keys pass through current; point-in-time lookup works."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [(1, "AUTO", datetime.date(1990, 1, 1)), (2, "BIKE", datetime.date(1991, 5, 2))],
+        "k long, segment string, valid_from date",
+    )
+    upd = spark.createDataFrame(
+        [(1, "HOUSE", datetime.date(1995, 6, 1))],
+        "k long, segment string, eff_date date",
+    )
+    hist = scd2_merge(dim, upd, key="k", attr="segment")
+    rows = sorted(hist.collect(), key=lambda r: (r.k, r.valid_from))
+    assert [(r.k, r.segment, str(r.valid_from), r.valid_to and str(r.valid_to), r.is_current) for r in rows] == [
+        (1, "AUTO", "1990-01-01", "1995-06-01", False),
+        (1, "HOUSE", "1995-06-01", None, True),
+        (2, "BIKE", "1991-05-02", None, True),
+    ]
+    # point-in-time join: as of 1993-01-01, key 1 is still AUTO
+    asof = hist.filter(
+        (F.lit("1993-01-01").cast("date") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.lit("1993-01-01").cast("date") < F.col("valid_to")))
+    )
+    assert {(r.k, r.segment) for r in asof.collect()} == {(1, "AUTO"), (2, "BIKE")}

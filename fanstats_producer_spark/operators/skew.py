@@ -12,6 +12,9 @@ Three tools for the shuffle problems that appear only at scale:
   partial count per (key, salt), then final sum per key.  For algebraic
   aggregates Spark's partial aggregation already does this; the explicit
   form is for when the combine step is custom (collect-like states).
+- `runtime_bloom_filters`: opt-in runtime semi-join reduction — a
+  bloom filter built from the selective build side is probed on the
+  fact side BEFORE its shuffle, cutting exchange bytes at the source.
 - `write_bucketed` / co-located join: persist both join sides bucketed
   by the join key → sort-merge join with ZERO Exchange on either side.
   At 100 TB this turns every repeated fact-fact join on the same key
@@ -20,6 +23,8 @@ Three tools for the shuffle problems that appear only at scale:
 """
 
 from __future__ import annotations
+
+import contextlib
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -71,3 +76,42 @@ def write_bucketed(
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(table)
+
+
+@contextlib.contextmanager
+def runtime_bloom_filters(
+    spark,
+    creation_side_threshold: str = "100MB",
+    application_side_threshold: str = "10GB",
+):
+    """Enable Catalyst's runtime bloom-filter semi-join reduction for the
+    enclosed plans (and restore prior conf on exit).
+
+    When a shuffle join's build side is selective, the optimizer inserts a
+    bloom_filter_agg over the build keys and a might_contain probe on the
+    stream side BEFORE its shuffle — at 100 TB this drops the bulk of the
+    fact table's rows ahead of the exchange, which is exactly where the
+    bytes are.  Thresholds gate injection: the filter is only worth
+    building when the build side is small enough to aggregate cheaply and
+    the probe side scan is big enough to care (defaults here mirror that
+    trade; tests shrink the probe threshold so sf-scale fixtures inject)."""
+    pairs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": creation_side_threshold,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": application_side_threshold,
+    }
+    saved = {}
+    for k, v in pairs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield spark
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

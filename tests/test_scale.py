@@ -165,3 +165,37 @@ def test_analyze_table_feeds_cbo(spark):
     info = {r.info_name: r.info_value for r in desc}
     assert info.get("distinct_count") not in (None, "NULL")
     spark.sql("DROP TABLE t_stats")
+
+
+def test_runtime_bloom_filter_prunes_before_shuffle(spark):
+    """With the lever on, a selective shuffle join injects a bloom probe
+    on the fact side (bloom_filter_agg build + might_contain probe in the
+    physical plan) and the join result is unchanged."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.operators.skew import runtime_bloom_filters
+
+    sf = "/root/testdata/sf0.01"
+    def q():
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n"))
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+    try:
+        baseline = {(r.o_orderstatus, r.n) for r in q().collect()}
+        with runtime_bloom_filters(spark, application_side_threshold="0"):
+            df = q()
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "bloom_filter_agg" in plan
+            assert "might_contain" in plan
+            assert {(r.o_orderstatus, r.n) for r in df.collect()} == baseline
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

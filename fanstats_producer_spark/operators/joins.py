@@ -216,3 +216,84 @@ def q11b_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
         )
     )
+
+
+# --- q51: big-big interval-overlap join via bin bucketing ------------------------
+# q15's band join broadcasts a tiny range table; when BOTH interval sets
+# are large (100 TB of sessions x incident windows) a nested-loop join is
+# quadratic and a broadcast impossible.  The scale answer is bin
+# bucketing: each interval explodes to the fixed-width bins it spans, the
+# join becomes an equi-join on bin, and the true overlap predicate
+# filters within the bin.  Each overlapping pair shares exactly the bin
+# of max(start_a, start_b), so requiring bin == that value emits every
+# pair exactly once — no distinct pass.  Shuffle is by bin: bounded
+# fan-out (interval_len / bin_size + 1 rows per interval), even
+# partitioning as long as bin_size tracks the typical interval length.
+_Q51_BIN = 600  # seconds; = the longer interval length
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    bin_size: int = _Q51_BIN,
+) -> DataFrame:
+    """Overlap-join two interval sets carrying (id, start, end) in epoch
+    seconds, half-open [start, end).  Returns one row per overlapping
+    (a_id, b_id) pair via bin-bucketed equi-join."""
+
+    def binned(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col("id").alias(f"{prefix}_id"),
+            F.col("start").alias(f"{prefix}_start"),
+            F.col("end").alias(f"{prefix}_end"),
+            F.explode(
+                F.sequence(
+                    (F.col("start") / bin_size).cast("long"),
+                    ((F.col("end") - 1) / bin_size).cast("long"),
+                )
+            ).alias("bin"),
+        )
+
+    ab = binned(a, "a")
+    bb = binned(b, "b")
+    overlap = (F.col("a_start") < F.col("b_end")) & (
+        F.col("b_start") < F.col("a_end")
+    )
+    emit_once = F.col("bin") == (
+        F.greatest("a_start", "b_start") / bin_size
+    ).cast("long")
+    return (
+        ab.join(bb, "bin")
+        .filter(overlap & emit_once)
+        .select("a_id", "b_id")
+    )
+
+
+@query(
+    "q51_interval_join",
+    oracle="""
+    WITH a AS (SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+               FROM events WHERE event_type = 'error'),
+         b AS (SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS s
+               FROM events WHERE event_type = 'purchase')
+    SELECT a.id AS a_id, b.id AS b_id
+    FROM a JOIN b ON a.s < b.s + 300 AND b.s < a.s + 600
+    """,
+)
+def q51_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which purchases fall inside a 10-minute error window?  Error
+    events open [ts, ts+600s), purchases [ts, ts+300s); pairs overlap."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("ts").cast("long").alias("s")
+    )
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("id"),
+        F.col("s").alias("start"),
+        (F.col("s") + 600).alias("end"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("id"),
+        F.col("s").alias("start"),
+        (F.col("s") + 300).alias("end"),
+    )
+    return interval_overlap_join(a, b)

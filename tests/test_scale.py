@@ -199,3 +199,27 @@ def test_runtime_bloom_filter_prunes_before_shuffle(spark):
             assert {(r.o_orderstatus, r.n) for r in df.collect()} == baseline
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_interval_overlap_join_bins_emit_each_pair_once(spark):
+    """Binned interval join: multi-bin spans emit one row per pair,
+    half-open endpoints do not touch-overlap, disjoint bins still pair
+    when intervals overlap across a bin boundary."""
+    from fanstats_producer_spark.operators.joins import interval_overlap_join
+
+    a = spark.createDataFrame(
+        [(1, 0, 100), (2, 95, 105), (3, 200, 210)],
+        "id long, start long, end long",
+    )
+    b = spark.createDataFrame(
+        [(10, 50, 60), (11, 99, 101), (12, 100, 110), (13, 210, 220)],
+        "id long, start long, end long",
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(a, b, bin_size=10).collect()
+    )
+    # a1=[0,100): overlaps b10, b11; NOT b12 ([100,110) half-open touch)
+    # a2=[95,105): overlaps b11, b12 (spans bins 9-10, emitted once each)
+    # a3=[200,210): NOT b13 (touch at 210)
+    assert got == [(1, 10), (1, 11), (2, 11), (2, 12)]

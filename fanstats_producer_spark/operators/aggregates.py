@@ -223,3 +223,57 @@ def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --- q52: correlation / covariance / regression slope ------------------------
+# Spark's corr()/covar_samp() accumulate in partition-order-dependent
+# doubles (Welford-style), so they can never bitwise-match a
+# single-threaded oracle.  Instead both engines compute the SAME closed
+# formula from exact decimal sums (the dsum pattern): every input to the
+# final double arithmetic is bit-identical, IEEE ops are exactly
+# rounded, so the outputs are bit-identical too — on any partitioning,
+# which is also what makes the result reproducible on a real cluster.
+@query(
+    "q52_corr",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*)::DOUBLE AS n,
+             {sx} AS sx, {sy} AS sy, {sxx} AS sxx, {syy} AS syy, {sxy} AS sxy
+      FROM lineitem GROUP BY 1)
+    SELECT l_returnflag,
+           ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+             AS corr_qty_price,
+           ROUND((n*sxy - sx*sy) / (n*(n-1)), 4) AS covar_qty_price,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope_price_per_qty
+    FROM s
+    """.format(
+        sx=sql_dsum("l_quantity"),
+        sy=sql_dsum("l_extendedprice"),
+        sxx=sql_dsum("l_quantity * l_quantity"),
+        syy=sql_dsum("l_extendedprice * l_extendedprice"),
+        sxy=sql_dsum("l_quantity * l_extendedprice"),
+    ),
+)
+def q52_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * x).alias("sxx"),
+        dsum(y * y).alias("syy"),
+        dsum(x * y).alias("sxy"),
+    )
+    n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
+    return s.select(
+        "l_returnflag",
+        F.round(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+        ).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * (n - 1)), 4).alias("covar_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
+            "slope_price_per_qty"
+        ),
+    )

@@ -1,0 +1,67 @@
+"""Mergeable-sketch aggregation (SURVEY.md §2C scale path; the
+"re-aggregatable summary" pattern every 100 TB rollup pipeline needs).
+
+The reference's delegated query layer answers distinct-count questions by
+rescanning the landed data (Athena over the full S3 table, main.py:4-5).
+At 100 TB the scan is the cost, so the scale answer is: sketch ONCE at
+the finest grain, persist the fixed-size sketch blobs, and answer every
+coarser rollup by MERGING sketches — never touching raw data again.
+Spark 3.5+ ships Apache DataSketches HLL natively (hll_sketch_agg /
+hll_union_agg / hll_sketch_estimate), so the whole pipeline stays
+JVM-side and the partial aggregation is a few-KB blob per group, not a
+distinct-shuffle of raw keys.
+
+Determinism note: a DataSketches HLL stays in exact (list/set) mode up
+to a few hundred distinct items (lgConfigK=12), so at fixture
+cardinalities (150 users) the estimate IS the exact distinct count —
+which makes the operator oracle-checkable against COUNT(DISTINCT), same
+trick as q22's HLL++.  The error-bound
+behavior past exact mode is covered by a property test instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+def sketch_distinct(
+    df: DataFrame, key: str, grain: list[str], lg_config_k: int = 12
+) -> DataFrame:
+    """Finest-grain partial sketches: one fixed-size HLL blob of ``key``
+    per ``grain`` group.  This is the state you persist."""
+    return df.groupBy(*grain).agg(
+        F.hll_sketch_agg(key, F.lit(lg_config_k)).alias("sketch")
+    )
+
+
+def rollup_distinct(sketches: DataFrame, to_grain: list[str]) -> DataFrame:
+    """Re-aggregate persisted sketches to any coarser grain by merging —
+    no rescan of the raw table, shuffle payload = KB-size blobs."""
+    return sketches.groupBy(*to_grain).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_distinct")
+    )
+
+
+@query(
+    "x20_hll_rollup",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events
+    GROUP BY 1
+    """,
+)
+def x20_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type, answered from per-(type, day)
+    sketches merged upward — the sketch-once / re-aggregate-forever
+    pattern.  Exact at fixture cardinality (see module doc), so the
+    COUNT(DISTINCT) oracle hash-matches."""
+    ev = load(spark, sf_dir, "events")
+    daily = sketch_distinct(
+        ev.withColumn("day", F.to_date("ts")), key="user_id",
+        grain=["event_type", "day"],
+    )
+    return rollup_distinct(daily, ["event_type"])

@@ -52,6 +52,7 @@ def load_all() -> None:
         scd,
         setops,
         similarity,
+        sketches,
         windows,
     )
     from fanstats_producer_spark.functions import (  # noqa: F401

@@ -435,3 +435,45 @@ def test_embed_neardup_dedups_identical_vectors(spark, tmp_path):
     assert rows[0].cluster_id == 0 and rows[0].is_kept
     assert rows[1].cluster_id == 0 and not rows[1].is_kept
     assert rows[2].cluster_id == 2 and rows[2].is_kept
+
+
+def test_hll_sketch_merge_equals_direct(spark):
+    """Merging per-day sketches gives the same estimate as sketching the
+    whole table directly (mergeability — the property that lets coarse
+    rollups come from persisted fine-grain sketches)."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.operators.sketches import (
+        rollup_distinct,
+        sketch_distinct,
+    )
+
+    ev = spark.range(5000).select(
+        (F.col("id") % 37).alias("day"), (F.col("id") % 150).alias("user_id"),
+        F.lit("t").alias("event_type"),
+    )
+    daily = sketch_distinct(ev, key="user_id", grain=["event_type", "day"])
+    merged = rollup_distinct(daily, ["event_type"]).collect()[0].n_distinct
+    direct = rollup_distinct(
+        sketch_distinct(ev, key="user_id", grain=["event_type"]), ["event_type"]
+    ).collect()[0].n_distinct
+    assert merged == direct == 150  # exact mode at this cardinality
+
+
+def test_hll_sketch_error_bound_past_exact_mode(spark):
+    """Past exact mode (~2^lgConfigK distinct), the estimate stays within
+    the configured accuracy envelope (~1.6% rsd at lgConfigK=12; assert
+    a generous 5%)."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.operators.sketches import (
+        rollup_distinct,
+        sketch_distinct,
+    )
+
+    n = 200_000
+    df = spark.range(n).select(F.lit("g").alias("g"), F.col("id").alias("user_id"))
+    est = rollup_distinct(
+        sketch_distinct(df, key="user_id", grain=["g"]), ["g"]
+    ).collect()[0].n_distinct
+    assert abs(est - n) / n < 0.05

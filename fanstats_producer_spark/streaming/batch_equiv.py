@@ -151,3 +151,36 @@ def s06_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_first_by_time(
         load(spark, sf_dir, "events"), ["user_id", "event_type"]
     ).select("event_id", "user_id", "event_type")
+
+
+def windowed_distinct_users(events: DataFrame) -> DataFrame:
+    """s13: distinct users per day per event type from HLL sketches —
+    the x20 mergeable-sketch pattern inside a window aggregation.  On a
+    stream this runs with a watermark and fixed per-window state (a KB
+    blob), where exact distinct would hold every key seen; exact at
+    fixture cardinality, so the batch arm oracle-checks."""
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_users")
+        )
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "s13_stream_distinct",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '{fmt}') AS window_start,
+           event_type,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """.format(fmt=_FMT_DUCK),
+)
+def s13_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_distinct_users(load(spark, sf_dir, "events"))

@@ -260,3 +260,23 @@ def test_streaming_corpus_prep(spark, landing):
     got = _run_to_memory(spark, jobs.corpus_prep_stream(stream), "s12_test", "append")
     rows = sorted((r.doc_id, r.chunk_idx, r.n_chunk_tokens) for r in got.collect())
     assert rows == [(1, 0, 20), (1, 1, 10)]  # one surviving doc, two chunks
+
+
+def test_streaming_windowed_distinct_users(spark, landing):
+    """s13 stream arm: the windowed HLL distinct runs on a real file
+    stream and counts each user once per (window, type)."""
+    from fanstats_producer_spark.streaming.batch_equiv import windowed_distinct_users
+
+    rows = [
+        _event(1, "2024-01-01T10:00:00Z", user=1),
+        _event(2, "2024-01-01T11:00:00Z", user=1),  # same user, same day
+        _event(3, "2024-01-01T12:00:00Z", user=2),
+        _event(4, "2024-01-02T09:00:00Z", user=1),  # next day
+    ]
+    _write_batch(landing, "b1.json", rows)
+    stream = jobs.read_event_stream(spark, str(landing))
+    got = _run_to_memory(
+        spark, windowed_distinct_users(stream), "s13_test", "complete"
+    )
+    by_win = {r.window_start: r.n_users for r in got.collect()}
+    assert by_win == {"2024-01-01 00:00:00": 2, "2024-01-02 00:00:00": 1}

@@ -8,15 +8,18 @@ exactly the small-files problem these jobs fix).
   partitions are untouched — the only safe overwrite mode for a live
   table).
 - `cluster_within_partitions`: range-partition + sort-within-files on
-  chosen keys (poor-man's Z-order): parquet min/max page stats become
-  selective, so post-compaction scans prune at the row-group level.
+  chosen keys: parquet min/max page stats become selective, so
+  post-compaction scans prune at the row-group level (leading-key only).
+- `zorder_by`: true multi-dimension clustering — Morton bit-interleave
+  of rank-normalized keys, so min/max pruning works for filters on ANY
+  of the clustered columns, not just the leading sort key.
 - `analyze_table`: collect table+column statistics so the cost-based
   optimizer can reorder joins / pick broadcast sides from real NDVs.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -63,3 +66,54 @@ def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = N
     if columns:
         cols = ", ".join(columns)
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def zorder_by(
+    df: DataFrame, cols: list[str], n_files: int = 4, bits: int = 16
+) -> DataFrame:
+    """Z-order (Morton-interleave) layout across several columns at once.
+
+    `cluster_within_partitions` gives tight min/max stats on ONE leading
+    sort key; a query filtering only the second key still reads every
+    file.  Z-ordering interleaves the bits of all cluster keys so file
+    ranges are locality-preserving in EVERY keyed dimension — each file
+    holds a hypercube of the key space, and min/max pruning works for
+    filters on any subset of `cols`.
+
+    Pure JVM expressions: each column is rank-normalized to [0, 2^bits)
+    via a window percent_rank (distribution-robust — raw values would let
+    one skewed column dominate the interleave), then bits interleave via
+    shift/or folds.  Rows land in files by range over the z-value.
+    """
+    normed = df
+    zcols = []
+    for c in cols:
+        nc = f"__n_{c}"
+        w = Window.orderBy(F.col(c))
+        # percent_rank's global window is one sort per column at write
+        # time — acceptable for a maintenance pass; at cluster scale
+        # swap in approxQuantile bucket edges to avoid the single-task
+        # window.
+        normed = normed.withColumn(
+            nc,
+            (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long"),
+        )
+        zcols.append(nc)
+    # interleave: bit i of column j lands at position i * n_cols + j
+    n = len(zcols)
+    terms = [
+        F.shiftleft(
+            F.shiftright(F.col(c), i).bitwiseAND(F.lit(1)), i * n + j
+        )
+        for i in range(bits)
+        for j, c in enumerate(zcols)
+    ]
+    z = terms[0]
+    for t in terms[1:]:
+        z = z.bitwiseOR(t)
+    return (
+        normed.withColumn("__z", z)
+        .repartitionByRange(n_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *zcols)
+    )

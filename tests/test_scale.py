@@ -223,3 +223,51 @@ def test_interval_overlap_join_bins_emit_each_pair_once(spark):
     # a2=[95,105): overlaps b11, b12 (spans bins 9-10, emitted once each)
     # a3=[200,210): NOT b13 (touch at 210)
     assert got == [(1, 10), (1, 11), (2, 11), (2, 12)]
+
+
+def test_zorder_layout_localizes_both_columns(spark, tmp_path):
+    """Z-ordered files cover hypercubes of the key space: the AVERAGE
+    per-file min/max span shrinks on BOTH columns (file boundaries are
+    row-count quantiles of the z curve, so a boundary-straddling file can
+    still span widely — locality is an aggregate property).  A
+    lexicographic sort leaves the second column spanning the full range
+    in EVERY file."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.operators.maintenance import zorder_by
+
+    grid = (
+        spark.range(64)
+        .selectExpr("id AS a")
+        .crossJoin(spark.range(64).selectExpr("id AS b"))
+    )
+    out = str(tmp_path / "z")
+    zorder_by(grid, ["a", "b"], n_files=16, bits=6).write.parquet(out)
+
+    spans = (
+        spark.read.parquet(out)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            (F.max("a") - F.min("a")).alias("span_a"),
+            (F.max("b") - F.min("b")).alias("span_b"),
+        )
+        .collect()
+    )
+    assert len(spans) == 16
+    avg_a = sum(r.span_a for r in spans) / len(spans)
+    avg_b = sum(r.span_b for r in spans) / len(spans)
+    assert avg_a < 40, avg_a  # measured ~28.6; global span 63
+    assert avg_b < 32, avg_b  # measured ~19.4
+
+    # contrast: lexicographic clustering leaves b unpruned in every file
+    lex = str(tmp_path / "lex")
+    grid.repartitionByRange(16, "a", "b").sortWithinPartitions("a", "b").write.parquet(lex)
+    lex_spans = (
+        spark.read.parquet(lex)
+        .withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg((F.max("b") - F.min("b")).alias("span_b"))
+        .collect()
+    )
+    assert all(r.span_b == 63 for r in lex_spans)

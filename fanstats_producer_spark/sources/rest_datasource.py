@@ -22,8 +22,10 @@ from collections.abc import Callable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 from fanstats_producer_spark.sources.ndjson import TWEET_SCHEMA
@@ -148,9 +150,81 @@ class RestDataSource(DataSource):
     def reader(self, schema) -> RestReader:
         return RestReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "UploadWriter":
+        return UploadWriter(self.options, overwrite)
+
     def simpleStreamReader(self, schema) -> RestStreamReader:
         return RestStreamReader(self.options)
 
 
 def register(spark) -> None:
     spark.dataSource.register(RestDataSource)
+
+
+# --- write path: the reference's upload step as a committing sink ---------------
+# upload_results (reference main.py:64-81) is a blind put: a crashed run
+# can leave partial objects and a re-run double-appends (at-least-once).
+# The DataSourceWriter protocol upgrades this to task-staged, job-committed
+# output: each task writes to a staging area and returns a commit message;
+# only if ALL tasks succeed does the driver promote staged files into the
+# destination (plus a _SUCCESS manifest with the row count); any failure
+# aborts and removes the staged files.  On a real deployment the staging
+# rename becomes S3 multipart-upload completion — same two-phase shape.
+
+
+class _StagedUpload(WriterCommitMessage):
+    def __init__(self, staged: str, n_rows: int) -> None:
+        self.staged = staged
+        self.n_rows = n_rows
+
+
+class UploadWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.dest = options["dest"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _StagedUpload:
+        import json as _json
+        import os
+        import uuid
+
+        staging = os.path.join(self.dest, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, uuid.uuid4().hex + ".json")
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(recursive=True), default=str) + "\n")
+                n += 1
+        return _StagedUpload(staged=path, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.dest):
+                if name.startswith("part-") or name == "_SUCCESS":
+                    os.remove(os.path.join(self.dest, name))
+        total = 0
+        part = 0
+        for m in messages:
+            if m is None:
+                continue
+            if m.n_rows == 0:
+                # the reference's empty-result guard (main.py:183-194):
+                # nothing to upload -> no object created
+                os.remove(m.staged)
+                continue
+            os.replace(m.staged, os.path.join(self.dest, f"part-{part:05d}.json"))
+            part += 1
+            total += m.n_rows
+        with open(os.path.join(self.dest, "_SUCCESS"), "w") as f:
+            f.write(_json.dumps({"rows": total, "files": part}))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)

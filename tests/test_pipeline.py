@@ -218,3 +218,46 @@ def test_scd2_merge_closes_and_opens(spark):
         & (F.col("valid_to").isNull() | (F.lit("1993-01-01").cast("date") < F.col("valid_to")))
     )
     assert {(r.k, r.segment) for r in asof.collect()} == {(1, "AUTO"), (2, "BIKE")}
+
+
+def test_upload_sink_commit_protocol(spark, tmp_path):
+    """The custom sink stages per-task output and only promotes it on job
+    commit: committed files + _SUCCESS manifest appear, empty partitions
+    upload nothing, the staging area drains."""
+    import json as _json
+    import os
+
+    from fanstats_producer_spark.sources.rest_datasource import RestDataSource
+
+    spark.dataSource.register(RestDataSource)
+    dest = tmp_path / "up"
+    dest.mkdir()
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    ).repartition(8)  # most partitions empty -> empty-result guard per task
+    df.write.format("fanstats_rest").mode("append").option("dest", str(dest)).save()
+
+    manifest = _json.loads((dest / "_SUCCESS").read_text())
+    parts = sorted(p for p in os.listdir(dest) if p.startswith("part-"))
+    assert manifest["rows"] == 3
+    assert manifest["files"] == len(parts) <= 3  # empties not uploaded
+    got = sorted(
+        _json.loads(line)["id"]
+        for p in parts
+        for line in (dest / p).read_text().splitlines()
+    )
+    assert got == [1, 2, 3]
+    assert os.listdir(dest / "_staging") == []  # staged files all promoted
+
+    # overwrite mode replaces previously committed objects
+    df2 = spark.createDataFrame([(9, "z")], "id long, v string")
+    df2.write.format("fanstats_rest").mode("overwrite").option("dest", str(dest)).save()
+    manifest2 = _json.loads((dest / "_SUCCESS").read_text())
+    assert manifest2["rows"] == 1
+    rows = [
+        _json.loads(line)
+        for p in os.listdir(dest)
+        if p.startswith("part-")
+        for line in (dest / p).read_text().splitlines()
+    ]
+    assert [r["id"] for r in rows] == [9]

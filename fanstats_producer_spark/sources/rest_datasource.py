@@ -22,6 +22,7 @@ from collections.abc import Callable, Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -153,6 +154,9 @@ class RestDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "UploadWriter":
         return UploadWriter(self.options, overwrite)
 
+    def streamWriter(self, schema, overwrite: bool) -> "UploadStreamWriter":
+        return UploadStreamWriter(self.options)
+
     def simpleStreamReader(self, schema) -> RestStreamReader:
         return RestStreamReader(self.options)
 
@@ -223,6 +227,48 @@ class UploadWriter(DataSourceWriter):
             f.write(_json.dumps({"rows": total, "files": part}))
 
     def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class UploadStreamWriter(DataSourceStreamWriter):
+    """Streaming arm of the committing sink: every micro-batch is its own
+    two-phase commit, with the batch id in the object names — re-running
+    a failed batch after recovery overwrites the same keys instead of
+    appending duplicates (idempotent replay = exactly-once output on top
+    of the checkpoint's at-least-once delivery)."""
+
+    def __init__(self, options: dict) -> None:
+        self.dest = options["dest"]
+
+    def write(self, iterator) -> _StagedUpload:
+        return UploadWriter({"dest": self.dest}, overwrite=False).write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json as _json
+        import os
+
+        total = 0
+        part = 0
+        for m in messages:
+            if m is None:
+                continue
+            if m.n_rows == 0:
+                os.remove(m.staged)
+                continue
+            os.replace(
+                m.staged,
+                os.path.join(self.dest, f"batch-{batchId:05d}-part-{part:05d}.json"),
+            )
+            part += 1
+            total += m.n_rows
+        with open(os.path.join(self.dest, f"_batch-{batchId:05d}.manifest"), "w") as f:
+            f.write(_json.dumps({"batch": batchId, "rows": total, "files": part}))
+
+    def abort(self, messages, batchId: int) -> None:
         import os
 
         for m in messages:

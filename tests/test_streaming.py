@@ -280,3 +280,47 @@ def test_streaming_windowed_distinct_users(spark, landing):
     )
     by_win = {r.window_start: r.n_users for r in got.collect()}
     assert by_win == {"2024-01-01 00:00:00": 2, "2024-01-02 00:00:00": 1}
+
+
+def test_stream_upload_sink_per_batch_commit(spark, landing, tmp_path):
+    """Streaming committing sink: each micro-batch promotes its staged
+    files under batch-stamped names with a per-batch manifest; a second
+    batch appends without disturbing the first."""
+    import json as _json
+    import os
+
+    from fanstats_producer_spark.sources.rest_datasource import RestDataSource
+
+    spark.dataSource.register(RestDataSource)
+    dest = tmp_path / "up"
+    dest.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            jobs.read_event_stream(spark, str(landing))
+            .select("event_id", "event_type")
+            .writeStream.format("fanstats_rest")
+            .option("dest", str(dest))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(landing, "b1.json", [_event(1, "2024-01-01T10:00:00Z")])
+    run_once()
+    _write_batch(landing, "b2.json", [_event(2, "2024-01-01T11:00:00Z")])
+    run_once()
+
+    manifests = sorted(p for p in os.listdir(dest) if p.endswith(".manifest"))
+    assert len(manifests) == 2
+    assert sum(_json.loads((dest / m).read_text())["rows"] for m in manifests) == 2
+    ids = sorted(
+        _json.loads(line)["event_id"]
+        for p in os.listdir(dest)
+        if p.startswith("batch-")
+        for line in (dest / p).read_text().splitlines()
+    )
+    assert ids == [1, 2]
+    assert os.listdir(dest / "_staging") == []

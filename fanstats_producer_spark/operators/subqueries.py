@@ -109,3 +109,41 @@ def q27_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         *[F.coalesce(F.col(s), F.lit(0)).alias(s.lower()) for s in _SEGMENTS],
     )
+
+
+# --- q53: recursive CTE (calendar densification) --------------------------------
+# Spark 4.1 executes WITH RECURSIVE natively (UNION ALL form — the
+# semi-naive UNION-dedup form is not supported yet, so recursion must be
+# structurally acyclic; transitive closure over cyclic near-dup graphs
+# stays with x04e's pointer-jumping loop).  The canonical acyclic use is
+# sequence generation: densify a sparse daily time series so zero-order
+# days appear — the gap-filling step every calendar rollup needs before
+# window arithmetic over "consecutive" days.
+_Q53_START, _Q53_END = "1995-03-01", "1995-03-31"
+
+
+@query(
+    "q53_recursive_cte",
+    oracle=f"""
+    WITH RECURSIVE cal(day) AS (
+      SELECT DATE '{_Q53_START}'
+      UNION ALL
+      SELECT day + 1 FROM cal WHERE day < DATE '{_Q53_END}')
+    SELECT cal.day, COUNT(o_orderkey) AS n_orders
+    FROM cal LEFT JOIN orders ON o_orderdate = cal.day
+    GROUP BY 1
+    """,
+)
+def q53_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """March 1995 calendar generated by recursion, left-joined to orders:
+    every day appears, including days with zero orders."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("__q53_orders")
+    return spark.sql(f"""
+      WITH RECURSIVE cal(day) AS (
+        SELECT DATE '{_Q53_START}'
+        UNION ALL
+        SELECT date_add(day, 1) FROM cal WHERE day < DATE '{_Q53_END}')
+      SELECT cal.day, COUNT(o_orderkey) AS n_orders
+      FROM cal LEFT JOIN __q53_orders ON o_orderdate = cal.day
+      GROUP BY 1
+    """)

@@ -65,3 +65,58 @@ def x20_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         grain=["event_type", "day"],
     )
     return rollup_distinct(daily, ["event_type"])
+
+
+def sketch_topk(
+    df: DataFrame, key: str, grain: list[str], k: int = 5
+) -> DataFrame:
+    """Finest-grain heavy-hitter sketch states of ``key`` per ``grain``
+    group (approx_top_k_accumulate)."""
+    return df.groupBy(*grain).agg(
+        F.expr(f"approx_top_k_accumulate({key}, {k})").alias("state")
+    )
+
+
+def rollup_topk(sketches: DataFrame, to_grain: list[str], k: int = 5) -> DataFrame:
+    """Merge heavy-hitter states to a coarser grain and materialize the
+    top-k items with estimated counts."""
+    grouped = (
+        sketches.groupBy(*to_grain)
+        if to_grain
+        else sketches.groupBy(F.lit(1).alias("__g"))
+    )
+    est = grouped.agg(
+        F.expr(f"approx_top_k_estimate(approx_top_k_combine(state), {k})").alias("est")
+    )
+    return (
+        est.select(*to_grain, F.explode("est").alias("e"))
+        .select(
+            *to_grain,
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("n"),
+        )
+    )
+
+
+@query(
+    "x21_topk_sketch",
+    oracle="""
+    SELECT event_type AS item, COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def x21_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters (most frequent event types) from per-day sketch
+    states merged upward — same sketch-once / re-aggregate pattern as
+    x20, for frequency instead of cardinality.  k covers the whole item
+    domain at fixture scale and the tracker never evicts, so estimated
+    counts are exact and the plain GROUP BY oracle hash-matches; the
+    at-scale behavior (k << domain, eviction error bounded by stream
+    length / maxItemsTracked) rides the same code."""
+    ev = load(spark, sf_dir, "events")
+    daily = sketch_topk(
+        ev.withColumn("day", F.to_date("ts")), key="event_type",
+        grain=["day"],
+    )
+    return rollup_topk(daily, [], k=5).drop("__g")

@@ -477,3 +477,31 @@ def test_hll_sketch_error_bound_past_exact_mode(spark):
         sketch_distinct(df, key="user_id", grain=["g"]), ["g"]
     ).collect()[0].n_distinct
     assert abs(est - n) / n < 0.05
+
+
+def test_topk_sketch_merge_matches_exact_counts(spark):
+    """Merged per-group heavy-hitter states reproduce exact counts while
+    the tracker isn't evicting, at any rollup grain."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.operators.sketches import rollup_topk, sketch_topk
+
+    df = spark.range(1200).select(
+        (F.col("id") % 6).alias("day"),
+        F.concat(F.lit("u"), (F.col("id") % 4).cast("string")).alias("item_col"),
+    )
+    states = sketch_topk(df, key="item_col", grain=["day"], k=4)
+    got = {
+        (r.day % 2, r.item): r.n
+        for r in rollup_topk(
+            states.withColumn("parity", F.col("day") % 2), ["parity"], k=4
+        ).withColumnRenamed("parity", "day").collect()
+    }
+    exact = {
+        (r.parity, r.item_col): r.n
+        for r in df.withColumn("parity", F.col("day") % 2)
+        .groupBy("parity", "item_col")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exact

@@ -147,3 +147,46 @@ def q53_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cal LEFT JOIN __q53_orders ON o_orderdate = cal.day
       GROUP BY 1
     """)
+
+
+# --- q27b: unpivot (inverse of q27) ----------------------------------------------
+@query(
+    "q27b_unpivot",
+    oracle="""
+    WITH agg AS (
+      SELECT o_orderstatus,
+             {sums}
+      FROM orders GROUP BY 1)
+    SELECT o_orderstatus, metric, val
+    FROM agg
+    UNPIVOT (val FOR metric IN (n_low AS 'n_low', n_med AS 'n_med', n_high AS 'n_high'))
+    """.format(
+        sums=""",
+             """.join(
+            f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS {name}"
+            for name, cond in [
+                ("n_low", "o_totalprice < 100000"),
+                ("n_med", "o_totalprice >= 100000 AND o_totalprice < 200000"),
+                ("n_high", "o_totalprice >= 200000"),
+            ]
+        )
+    ),
+)
+def q27b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide price-band counts melted back to long form with unpivot —
+    the wide->long half of reshaping (q27 is long->wide)."""
+    o = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.sum(F.when(price < 100000, 1).otherwise(0)).alias("n_low"),
+        F.sum(
+            F.when((price >= 100000) & (price < 200000), 1).otherwise(0)
+        ).alias("n_med"),
+        F.sum(F.when(price >= 200000, 1).otherwise(0)).alias("n_high"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_low", "n_med", "n_high"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

@@ -60,11 +60,14 @@ def decode_kafka_records(
         F.col("offset").alias("kafka_offset"),
         F.col("timestamp").alias("kafka_ts"),
     )
-    if drop_undecodable:
-        parsed = parsed.filter(F.col("post._corrupt_record").isNull())
-    return parsed.select(
+    out = parsed.select(
         "post.*", "topic", "kafka_partition", "kafka_offset", "kafka_ts"
-    ).drop("_corrupt_record")
+    )
+    if drop_undecodable:
+        return out.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    # keep the corrupt channel so callers (split_decoded) can route
+    # undecodable payloads to a quarantine sink
+    return out
 
 
 def read_kafka_stream(
@@ -87,3 +90,24 @@ def read_kafka_stream(
     if max_offsets_per_trigger is not None:
         reader = reader.option("maxOffsetsPerTrigger", max_offsets_per_trigger)
     return decode_kafka_records(reader.load(), schema)
+
+
+def split_decoded(
+    records: DataFrame, schema: StructType = TWEET_SCHEMA
+) -> tuple[DataFrame, DataFrame]:
+    """Decode with a dead-letter channel: returns (good, dead) where
+    `good` is the typed rows and `dead` carries the raw payload plus
+    lineage for quarantine.  Both derive from ONE decode pass (same
+    from_json expression → Catalyst subexpression elimination; no second
+    scan of the source) — route `dead` to a quarantine sink instead of
+    dropping, so schema drift upstream is observable rather than silent."""
+    decoded = decode_kafka_records(records, schema, drop_undecodable=False)
+    good = decoded.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    dead = decoded.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_payload"),
+        "topic",
+        "kafka_partition",
+        "kafka_offset",
+        "kafka_ts",
+    )
+    return good, dead

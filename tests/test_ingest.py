@@ -312,3 +312,28 @@ def test_kafka_decode_does_not_mutate_shared_schema(spark):
     decode_kafka_records(wire).collect()
     assert len(TWEET_SCHEMA.fields) == n_before
     assert "_corrupt_record" not in [f.name for f in TWEET_SCHEMA.fields]
+
+
+def test_kafka_dead_letter_split(spark):
+    """split_decoded routes corrupt payloads to a quarantine frame with
+    lineage while good rows decode normally."""
+    import datetime
+
+    from fanstats_producer_spark.sources.kafka import split_decoded
+
+    ts = datetime.datetime(2024, 1, 1)
+    wire = spark.createDataFrame(
+        [
+            (b"k1", b'{"id": "7", "text": "ok", "lang": "en"}', "posts", 0, 1, ts),
+            (b"k2", b"<binary garbage>", "posts", 2, 9, ts),
+        ],
+        "key binary, value binary, topic string, partition int, offset long, timestamp timestamp",
+    )
+    good, dead = split_decoded(wire)
+    g = good.collect()
+    assert [r.id for r in g] == ["7"]
+    assert "_corrupt_record" not in good.columns
+    d = dead.collect()
+    assert len(d) == 1
+    assert d[0].raw_payload == "<binary garbage>"
+    assert (d[0].kafka_partition, d[0].kafka_offset) == (2, 9)

@@ -21,6 +21,7 @@ from collections.abc import Callable, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamWriter,
     DataSourceWriter,
@@ -151,7 +152,9 @@ class RestDataSource(DataSource):
     def reader(self, schema) -> RestReader:
         return RestReader(self.options)
 
-    def writer(self, schema, overwrite: bool) -> "UploadWriter":
+    def writer(self, schema, overwrite: bool):
+        if self.options.get("format") == "arrow-parquet":
+            return UploadArrowWriter(self.options, overwrite)
         return UploadWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite: bool) -> "UploadStreamWriter":
@@ -269,6 +272,72 @@ class UploadStreamWriter(DataSourceStreamWriter):
             f.write(_json.dumps({"batch": batchId, "rows": total, "files": part}))
 
     def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)
+
+
+class UploadArrowWriter(DataSourceArrowWriter):
+    """Arrow-batch arm of the committing sink: tasks receive PyArrow
+    RecordBatches (zero per-row Python objects — the Arrow columnar
+    transfer the row writer pays per-Row conversion for) and stage one
+    parquet file per task; the commit/abort protocol is shared with
+    UploadWriter.  Select with option("format", "arrow-parquet")."""
+
+    def __init__(self, options: dict, overwrite: bool) -> None:
+        self.dest = options["dest"]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _StagedUpload:
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self.dest, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, uuid.uuid4().hex + ".parquet")
+        writer = None
+        n = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(path, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            n += batch.num_rows
+        if writer is None:
+            # empty task: stage a zero-row marker the commit step removes
+            with open(path, "w"):
+                pass
+        else:
+            writer.close()
+        return _StagedUpload(staged=path, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        if self.overwrite:
+            for name in os.listdir(self.dest):
+                if name.startswith("part-") or name == "_SUCCESS":
+                    os.remove(os.path.join(self.dest, name))
+        total = 0
+        part = 0
+        for m in messages:
+            if m is None:
+                continue
+            if m.n_rows == 0:
+                os.remove(m.staged)
+                continue
+            os.replace(m.staged, os.path.join(self.dest, f"part-{part:05d}.parquet"))
+            part += 1
+            total += m.n_rows
+        with open(os.path.join(self.dest, "_SUCCESS"), "w") as f:
+            f.write(_json.dumps({"rows": total, "files": part}))
+
+    def abort(self, messages) -> None:
         import os
 
         for m in messages:

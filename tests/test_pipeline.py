@@ -261,3 +261,32 @@ def test_upload_sink_commit_protocol(spark, tmp_path):
         for line in (dest / p).read_text().splitlines()
     ]
     assert [r["id"] for r in rows] == [9]
+
+
+def test_upload_sink_arrow_arm(spark, tmp_path):
+    """Arrow-batch writer stages parquet per task under the same commit
+    protocol; committed files read back as the original rows."""
+    import json as _json
+    import os
+
+    from fanstats_producer_spark.sources.rest_datasource import RestDataSource
+
+    spark.dataSource.register(RestDataSource)
+    dest = tmp_path / "up"
+    dest.mkdir()
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string"
+    ).repartition(4)
+    (
+        df.write.format("fanstats_rest")
+        .mode("append")
+        .option("dest", str(dest))
+        .option("format", "arrow-parquet")
+        .save()
+    )
+    manifest = _json.loads((dest / "_SUCCESS").read_text())
+    assert manifest["rows"] == 100
+    back = spark.read.parquet(str(dest))  # committed part-*.parquet files
+    assert back.count() == 100
+    assert sorted(r.id for r in back.collect()) == list(range(100))
+    assert os.listdir(dest / "_staging") == []

@@ -184,3 +184,38 @@ def windowed_distinct_users(events: DataFrame) -> DataFrame:
 )
 def s13_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return windowed_distinct_users(load(spark, sf_dir, "events"))
+
+
+def windowed_trending(events: DataFrame, k: int = 5) -> DataFrame:
+    """s14: trending items per day — the reference's core analytic (top
+    topics per day) as a windowed heavy-hitter sketch.  approx_top_k
+    keeps fixed per-window state on a stream (vs a full count map);
+    exact while the tracker is not evicting, so the batch arm
+    oracle-checks against plain GROUP BY counts."""
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.expr(f"approx_top_k(event_type, {k})").alias("top"))
+        .select(
+            F.date_format("w.start", _FMT_SPARK).alias("window_start"),
+            F.explode("top").alias("e"),
+        )
+        .select(
+            "window_start",
+            F.col("e.item").alias("item"),
+            F.col("e.count").alias("n"),
+        )
+    )
+
+
+@query(
+    "s14_stream_trending",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '{fmt}') AS window_start,
+           event_type AS item,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """.format(fmt=_FMT_DUCK),
+)
+def s14_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_trending(load(spark, sf_dir, "events"))

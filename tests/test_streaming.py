@@ -324,3 +324,23 @@ def test_stream_upload_sink_per_batch_commit(spark, landing, tmp_path):
     )
     assert ids == [1, 2]
     assert os.listdir(dest / "_staging") == []
+
+
+def test_streaming_windowed_trending(spark, landing):
+    """s14 stream arm: per-window top items rank correctly on a real
+    file stream."""
+    from fanstats_producer_spark.streaming.batch_equiv import windowed_trending
+
+    rows = [
+        _event(1, "2024-01-01T10:00:00Z", etype="click"),
+        _event(2, "2024-01-01T11:00:00Z", etype="click"),
+        _event(3, "2024-01-01T12:00:00Z", etype="view"),
+        _event(4, "2024-01-02T09:00:00Z", etype="view"),
+    ]
+    _write_batch(landing, "b1.json", rows)
+    stream = jobs.read_event_stream(spark, str(landing))
+    got = _run_to_memory(spark, windowed_trending(stream), "s14_test", "complete")
+    d1 = {r.item: r.n for r in got.collect() if r.window_start.startswith("2024-01-01")}
+    d2 = {r.item: r.n for r in got.collect() if r.window_start.startswith("2024-01-02")}
+    assert d1 == {"click": 2, "view": 1}
+    assert d2 == {"view": 1}

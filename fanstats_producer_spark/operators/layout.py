@@ -30,8 +30,23 @@ def write_events_partitioned(spark: SparkSession, sf_dir: str, out_dir: str) -> 
 
 
 def _layout_dir(sf_dir: str) -> str:
-    key = os.path.basename(sf_dir.rstrip("/"))
-    return os.path.join(tempfile.gettempdir(), f"fanstats_layout_{key}", "events_by_date")
+    # Cache key covers the FULL source path and its mtime: two datasets
+    # sharing a basename get distinct caches, and regenerated fixture data
+    # invalidates the old copy (a fresh key → the _SUCCESS probe misses and
+    # the partitioned copy is rewritten).
+    import hashlib
+
+    src = os.path.join(sf_dir, "events.parquet")
+    try:
+        mtime = str(int(os.stat(src).st_mtime))
+    except OSError:
+        mtime = "0"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{mtime}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(
+        tempfile.gettempdir(), f"fanstats_layout_{key}", "events_by_date"
+    )
 
 
 @query(
@@ -50,7 +65,18 @@ def q40_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _layout_dir(sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
-        write_events_partitioned(spark, sf_dir, out)
+        # Stage under a unique name, then rename into place: concurrent
+        # bench/test runs can't observe (or clobber) a half-written copy —
+        # the loser of the rename race discards its staging dir.
+        import shutil
+        import uuid
+
+        staging = f"{out}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        write_events_partitioned(spark, sf_dir, staging)
+        try:
+            os.rename(staging, out)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
     ev = spark.read.parquet(out)
     return (
         ev.filter(F.col("event_date").between("2024-01-10", "2024-01-12"))

@@ -43,7 +43,20 @@ def salted_join(
     expr, n) — we use monotonically_increasing_id so the salt is
     uniform without an RNG (reproducible runs); right rows replicate
     across all salts.
+
+    Only join types where the replicated right side cannot emit
+    unmatched rows are sound: with how='right'/'full_outer' every
+    unmatched right row would surface n_salts times (once per salt
+    replica), so those are rejected.
     """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} is unsupported — the right side is "
+            f"replicated across {n_salts} salts, so join types that emit "
+            f"unmatched right rows would duplicate them. Use one of "
+            f"{sorted(allowed)} (put the skewed side on the left)."
+        )
     lhs = left.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
     )

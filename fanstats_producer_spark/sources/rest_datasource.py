@@ -39,7 +39,36 @@ FETCHERS: dict[str, Callable[[], FetchPage]] = {}
 
 
 def register_fetcher(name: str, factory: Callable[[], FetchPage]) -> None:
+    """Register a named fetcher factory IN THIS PROCESS.
+
+    Note the Python DataSource lifecycle: readers are constructed in a
+    plan-time Python worker and executed on executor workers, both of
+    which import this module fresh — a runtime registration in the
+    driver process is NOT visible there.  Use this for factories
+    registered at module import time (e.g. from a package every worker
+    imports); for everything else pass the fetcher option as an
+    importable "module.path:attr" spec, which resolves anywhere.
+    """
     FETCHERS[name] = factory
+
+
+def _resolve_fetcher(spec: str) -> Callable[[], FetchPage]:
+    """Resolve a fetcher option to a factory: a registry name, or an
+    importable "module.path:attr" spec (works in any worker process)."""
+    if spec in FETCHERS:
+        return FETCHERS[spec]
+    if ":" in spec:
+        import importlib
+
+        mod, attr = spec.split(":", 1)
+        obj = importlib.import_module(mod)
+        for part in attr.split("."):
+            obj = getattr(obj, part)
+        return obj
+    raise KeyError(
+        f"unknown fetcher {spec!r}: not in the import-time registry "
+        f"({sorted(FETCHERS)}) and not a 'module:attr' import spec"
+    )
 
 
 def _demo_factory() -> FetchPage:
@@ -59,7 +88,13 @@ class TopicPartition(InputPartition):
 class RestReader(DataSourceReader):
     def __init__(self, options: dict) -> None:
         self.topics = [t for t in options.get("topics", "").split(",") if t]
-        self.fetcher_name = options.get("fetcher", "demo")
+        # Resolve the factory at plan time — the callable is then pickled
+        # with the reader, so executors never do a registry lookup.  A
+        # call-time FETCHERS[name] lookup in read() would run on executor
+        # Python workers, where this module is imported fresh and only
+        # import-time registrations exist; _resolve_fetcher also accepts
+        # an importable "module:attr" spec, which works in any process.
+        self.fetcher_factory = _resolve_fetcher(options.get("fetcher", "demo"))
         self.start_time = options.get("start_time", "1970-01-01T00:00:00Z")
         self.page_size = min(int(options.get("page_size", "100")), 100)
         self.max_results = int(options.get("max_results", "3000"))
@@ -68,7 +103,7 @@ class RestReader(DataSourceReader):
         return [TopicPartition(t) for t in self.topics]
 
     def read(self, partition: TopicPartition) -> Iterator[tuple]:
-        fetch = FETCHERS[self.fetcher_name]()
+        fetch = self.fetcher_factory()
         n, next_token = 0, None
         field_names = [f.name for f in TWEET_SCHEMA.fields]
         while n < self.max_results:
@@ -106,7 +141,8 @@ class RestStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict) -> None:
         self.topics = [t for t in options.get("topics", "").split(",") if t]
-        self.fetcher_name = options.get("fetcher", "demo")
+        # Plan-time resolution: see RestReader.__init__.
+        self.fetcher_factory = _resolve_fetcher(options.get("fetcher", "demo"))
         self.start_time = options.get("start_time", "1970-01-01T00:00:00Z")
         self.page_size = min(int(options.get("page_size", "100")), 100)
         self.pages_per_batch = int(options.get("pages_per_batch", "1"))
@@ -118,7 +154,7 @@ class RestStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict):
         if self._fetch is None:
-            self._fetch = FETCHERS[self.fetcher_name]()
+            self._fetch = self.fetcher_factory()
         rows_out: list[tuple] = []
         end: dict = {}
         for topic in self.topics:
@@ -251,8 +287,18 @@ class UploadStreamWriter(DataSourceStreamWriter):
         return UploadWriter({"dest": self.dest}, overwrite=False).write(iterator)
 
     def commit(self, messages, batchId: int) -> None:
+        import glob
         import json as _json
         import os
+
+        # A replayed batch may produce fewer parts than a previously
+        # half-committed attempt; clear every file this batch id could have
+        # left (parts AND manifest) so stale higher-numbered parts can't
+        # survive next to the new manifest and double-count rows.
+        for stale in glob.glob(
+            os.path.join(self.dest, f"batch-{batchId:05d}-part-*")
+        ) + glob.glob(os.path.join(self.dest, f"_batch-{batchId:05d}.manifest")):
+            os.remove(stale)
 
         total = 0
         part = 0

@@ -187,8 +187,30 @@ def upsert_latest_per_key(
     """
     from pyspark.sql import Window
 
+    staged = state_dir.rstrip("/") + ".staged"
+    retired = state_dir.rstrip("/") + ".retired"
+
+    def _recover() -> None:
+        # Crash recovery: the promote below is two renames, so a crash can
+        # leave state_dir missing with either a fully-written .staged dir
+        # (_SUCCESS present: the new state — finish the promote) or a
+        # .retired dir (the old state — roll back).  Without this, a replay
+        # after such a crash would see current=None and rebuild state from
+        # one batch, silently dropping every earlier key.
+        import os
+
+        if os.path.isdir(state_dir):
+            return
+        if os.path.isdir(staged) and os.path.exists(
+            os.path.join(staged, "_SUCCESS")
+        ):
+            os.rename(staged, state_dir)
+        elif os.path.isdir(retired):
+            os.rename(retired, state_dir)
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        _recover()
         try:
             current = spark.read.parquet(state_dir)
         except Exception:  # first batch: no state yet
@@ -204,13 +226,19 @@ def upsert_latest_per_key(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # stage then swap: state_dir stays readable for the next batch
-        staged = state_dir.rstrip("/") + ".staged"
-        latest.write.mode("overwrite").parquet(staged)
+        # Stage then swap: state_dir stays readable until the promote, and
+        # the promote is rename-only (no delete between the old state going
+        # away and the new one appearing) so every intermediate crash state
+        # is recoverable by _recover() above.
+        import os
         import shutil
 
-        shutil.rmtree(state_dir, ignore_errors=True)
-        shutil.move(staged, state_dir)
+        latest.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, retired)
+        os.rename(staged, state_dir)
+        shutil.rmtree(retired, ignore_errors=True)
 
     return (
         df.writeStream.foreachBatch(merge)

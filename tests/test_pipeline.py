@@ -76,6 +76,36 @@ def test_rest_datasource_parallel_topics(spark):
     assert all("game update" in r.text for r in texts)
 
 
+def test_rest_datasource_custom_fetcher_via_import_spec(spark):
+    """A custom fetcher must work although the reader is constructed in
+    a plan-time Python worker and run on executor workers — processes
+    that import rest_datasource fresh, where runtime register_fetcher()
+    calls from the driver are invisible.  The supported cross-process
+    path is an importable 'module:attr' spec, resolved in __init__ and
+    pickled with the reader."""
+    rest_datasource.register(spark)
+    df = (
+        spark.read.format("fanstats_rest")
+        .option("topics", "NBA,NFL")
+        .option("max_results", "10")
+        .option("fetcher", "fanstats_producer_spark.pipeline:demo_fetcher")
+        .load()
+    )
+    rows = df.select("id", "text").collect()
+    assert len(rows) == 20  # 10-cap per topic × 2 topics
+    assert all("game update" in r.text for r in rows)
+
+    # An unknown bare name fails loudly at plan time, listing the registry.
+    with pytest.raises(Exception, match="unknown fetcher|KeyError"):
+        (
+            spark.read.format("fanstats_rest")
+            .option("topics", "NBA")
+            .option("fetcher", "nonexistent")
+            .load()
+            .count()
+        )
+
+
 def test_rest_datasource_cap_mid_page(spark):
     rest_datasource.register(spark)
     df = (

@@ -35,6 +35,20 @@ def test_salted_join_matches_plain_join(spark, skewed):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_salted_join_rejects_right_outer(spark, skewed):
+    """Salting replicates the right side n_salts ways, so join types that
+    emit unmatched right rows would duplicate them — rejected up front."""
+    import pytest
+
+    dim = spark.range(30).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    for how in ("right", "full_outer", "full", "right_outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(skewed, dim, "k", how=how)
+    # left-family types stay allowed (semi: one row per matching left row)
+    semi = salted_join(skewed, dim, "k", how="left_semi")
+    assert semi.count() == skewed.join(dim, "k", "left_semi").count()
+
+
 def test_salted_groupby_matches_plain(spark, skewed):
     plain = skewed.groupBy("k").agg(F.count("*").cast("long").alias("n"))
     salted = salted_groupby_count(skewed, "k")

@@ -205,6 +205,55 @@ def test_foreach_batch_upsert(spark, landing, tmp_path):
     assert s2 == {1: 4, 2: 3}  # user1 upserted, user2 keeps newer state
 
 
+def test_foreach_batch_upsert_crash_recovery(spark, landing, tmp_path):
+    """s09: a crash mid-swap must not lose earlier keys on replay.
+
+    Simulates the two interruptible points of the state promote: (a) old
+    state renamed aside, new state still in .staged (with _SUCCESS); (b)
+    same but the staged write never finished (no _SUCCESS), only .retired
+    remains.  Both must recover the full key set, not just the replayed
+    batch.
+    """
+    import os
+    import shutil
+
+    state, ckpt = str(tmp_path / "state"), str(tmp_path / "ck9c")
+    _write_batch(landing, "b1.json", [
+        _event(1, "2024-01-01T10:00:00Z", user=1, etype="view"),
+        _event(3, "2024-01-01T10:30:00Z", user=2, etype="view"),
+    ])
+    q = jobs.upsert_latest_per_key(
+        jobs.read_event_stream(spark, str(landing)), state, ckpt)
+    q.awaitTermination(120)
+
+    # (a) crash after the new state was fully staged: state_dir gone,
+    # .staged complete.  A replayed batch containing only user 3 must
+    # still see users 1 and 2 after recovery.
+    shutil.rmtree(state + ".staged", ignore_errors=True)
+    os.rename(state, state + ".staged")
+    _write_batch(landing, "b2.json", [
+        _event(7, "2024-01-01T12:00:00Z", user=3, etype="view"),
+    ])
+    q2 = jobs.upsert_latest_per_key(
+        jobs.read_event_stream(spark, str(landing)), state, ckpt)
+    q2.awaitTermination(120)
+    s = {r.user_id: r.event_id for r in spark.read.parquet(state).collect()}
+    assert s == {1: 1, 2: 3, 3: 7}
+
+    # (b) crash before the staged write completed: only .retired holds
+    # the old state (no _SUCCESS in .staged).
+    os.rename(state, state + ".retired")
+    os.makedirs(state + ".staged")  # torn write: empty, no _SUCCESS
+    _write_batch(landing, "b3.json", [
+        _event(9, "2024-01-01T13:00:00Z", user=4, etype="view"),
+    ])
+    q3 = jobs.upsert_latest_per_key(
+        jobs.read_event_stream(spark, str(landing)), state, ckpt)
+    q3.awaitTermination(120)
+    s = {r.user_id: r.event_id for r in spark.read.parquet(state).collect()}
+    assert s == {1: 1, 2: 3, 3: 7, 4: 9}
+
+
 def test_transform_with_state(spark, landing):
     """s10: typed-state processor accumulates across rows per key."""
     pytest.importorskip("pyspark.sql.streaming.stateful_processor")
@@ -324,6 +373,46 @@ def test_stream_upload_sink_per_batch_commit(spark, landing, tmp_path):
     )
     assert ids == [1, 2]
     assert os.listdir(dest / "_staging") == []
+
+
+def test_stream_upload_sink_clears_stale_replay_parts(spark, landing, tmp_path):
+    """A replayed micro-batch that produces fewer parts than a previously
+    half-committed attempt must not leave stale higher-numbered parts
+    behind — commit clears every batch-<id> file before promoting."""
+    import json as _json
+    import os
+
+    from fanstats_producer_spark.sources.rest_datasource import RestDataSource
+
+    spark.dataSource.register(RestDataSource)
+    dest = tmp_path / "up"
+    dest.mkdir()
+    # Plant leftovers of a half-committed batch 0: two parts + manifest.
+    (dest / "batch-00000-part-00000.json").write_text('{"event_id": 900}\n')
+    (dest / "batch-00000-part-00099.json").write_text('{"event_id": 901}\n')
+    (dest / "_batch-00000.manifest").write_text('{"batch": 0, "rows": 2, "files": 2}')
+
+    _write_batch(landing, "b1.json", [_event(1, "2024-01-01T10:00:00Z")])
+    q = (
+        jobs.read_event_stream(spark, str(landing))
+        .select("event_id", "event_type")
+        .writeStream.format("fanstats_rest")
+        .option("dest", str(dest))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    parts = sorted(p for p in os.listdir(dest) if p.startswith("batch-00000"))
+    ids = [
+        _json.loads(line)["event_id"]
+        for p in parts
+        for line in (dest / p).read_text().splitlines()
+    ]
+    assert ids == [1]  # stale 900/901 gone, only the replayed batch's rows
+    manifest = _json.loads((dest / "_batch-00000.manifest").read_text())
+    assert manifest["rows"] == 1 and manifest["files"] == len(parts)
 
 
 def test_streaming_windowed_trending(spark, landing):

@@ -25,11 +25,11 @@ TABLES = (
 )
 
 
-# (session id, sf_dir, table) → analyzed DataFrame.  read.parquet re-lists
+# (session id, sf_dir, table) → (session, analyzed DataFrame).  read.parquet re-lists
 # the directory and re-reads a footer for the schema on every call; across
 # ~100 bench queries × their table loads that driver-side latency adds up.
 # The cached object is just the logical plan — execution is unaffected.
-_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_LOAD_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,8 +46,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), sf_dir, name)
     cached = _LOAD_CACHE.get(key)
-    if cached is not None:
-        return cached
+    # identity check guards against id() reuse after a session is GC'd
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -55,7 +56,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    _LOAD_CACHE[key] = df
+    _LOAD_CACHE[key] = (spark, df)
     return df
 
 

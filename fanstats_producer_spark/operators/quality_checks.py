@@ -52,6 +52,65 @@ def referential_violations(
     )
 
 
+_X25_Z = 3.0
+
+
+@query(
+    "x25_zscore_outliers",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             COUNT(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value * value AS DECIMAL(27,6))) AS DOUBLE) AS sxx
+      FROM events GROUP BY 1),
+    stats AS (
+      SELECT event_type, sx / n AS mean,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+      FROM s),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (e.value - t.mean) / t.std AS zval
+      FROM events e JOIN stats t USING (event_type))
+    SELECT event_id, event_type, value, ROUND(zval, 4) AS z
+    FROM z WHERE abs(zval) > {_X25_Z}
+    """,
+)
+def x25_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly flags: events whose value sits more than
+    {z}σ from its event_type's mean.
+
+    Mean and stddev come from the closed formula over exact decimal sums
+    (the q52 pattern: sum and sum-of-squares quantized to decimal, so
+    both statistics are bit-identical on any engine / partitioning);
+    the per-row z is then a plain double expression.  One aggregation
+    pass + one broadcast join — no window, no second shuffle of events.
+    """
+    ev = load(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sx"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    stats = s.select(
+        "event_type",
+        (F.col("sx") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    z = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "zval", (F.col("value") - F.col("mean")) / F.col("std")
+    )
+    return z.filter(F.abs("zval") > _X25_Z).select(
+        "event_id", "event_type", "value", F.round("zval", 4).alias("z")
+    )
+
+
+
 @query(
     "x16_data_quality",
     oracle="""

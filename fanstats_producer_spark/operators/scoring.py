@@ -1,0 +1,203 @@
+"""Relevance scoring operators (SURVEY.md §2C text-analysis family):
+TF-IDF term weighting and BM25 ranked retrieval over `documents`.
+
+The reference delegates all text analytics to managed services (its
+Comprehend grants, main.tf:100-104, cover sentiment/key-phrases only);
+a corpus engine additionally needs classic lexical relevance — TF-IDF
+for feature extraction / keyword weighting and BM25 for query-time
+ranking — so both are first-class operators here.
+
+Scale design:
+- One explode of the token stream feeds term frequencies; document
+  frequencies and corpus size are tiny aggregates that Catalyst
+  broadcasts to the scoring join (no shuffle of the corpus by term for
+  the N / df side).
+- All ranking keys are integers (tf, df, token) or decimal-quantized
+  sums — no float-order nondeterminism anywhere, so results are
+  bit-stable across partitionings and engines (the 1000-executor
+  reproducibility property, same rationale as functions/num.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+def _doc_terms(docs: DataFrame) -> DataFrame:
+    """(doc_id, token, tf, dl): term frequency + document length."""
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    return toks.groupBy("doc_id", "dl", "token").agg(
+        F.count("*").alias("tf")
+    )
+
+
+# --- x22: TF-IDF top terms per document ----------------------------------------
+_X22_TOP = 3
+
+
+@query(
+    "x22_tfidf",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf
+      FROM terms GROUP BY 1, 2, 3),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.df,
+             ROUND((CAST(tf.tf AS DOUBLE) / tf.dl)
+                   * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
+      FROM tf JOIN df USING (token) CROSS JOIN n)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           tfidf, CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= {_X22_TOP}
+    """,
+)
+def x22_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} TF-IDF terms per document.
+
+    tfidf = (tf/dl) * (ln((N+1)/(df+1)) + 1) — smoothed idf.  The per-doc
+    ranking deliberately orders by the INTEGER triple (tf desc, df asc,
+    token) rather than the float score: the selected rows are then
+    engine- and partitioning-independent, and the float column is just a
+    deterministic annotation (identical double expression both sides).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tf = _doc_terms(docs)
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        # vocabulary ≪ corpus: broadcast the (token, df) aggregate so the
+        # (doc, token) frame is not reshuffled by token for the join
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf").cast("double") / F.col("dl"))
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _X22_TOP)
+        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+    )
+
+
+# --- x23: BM25 ranked retrieval -------------------------------------------------
+_X23_QUERY = ("spark", "window", "vector")
+_X23_K1 = 1.2
+_X23_B = 0.75
+_X23_TOP = 10
+
+
+@query(
+    "x23_bm25",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents),
+    tf AS (
+      SELECT doc_id, dl, token, COUNT(*) AS tf
+      FROM terms GROUP BY 1, 2, 3),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+               / COUNT(*) AS avgdl
+      FROM documents),
+    df AS (
+      SELECT token, COUNT(DISTINCT doc_id) AS df FROM terms
+      WHERE token IN {_X23_QUERY} GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * ({_X23_K1} + 1.0))
+             / (tf.tf + {_X23_K1} * (1.0 - {_X23_B}
+                + {_X23_B} * tf.dl / stats.avgdl)) AS s
+      FROM tf JOIN df USING (token) CROSS JOIN stats
+      WHERE tf.token IN {_X23_QUERY}),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+      FROM contrib GROUP BY 1)
+    SELECT doc_id, bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT {_X23_TOP}
+    """,
+)
+def x23_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{k} documents for a fixed query (k1={k1}, b={b}).
+
+    Per-term contributions are plain double expressions (identical on
+    both engines); the per-doc SUM is decimal-quantized so the float
+    accumulation order can't leak into the ranking (functions/num.py
+    pattern).  N/avgdl/df are one-row aggregates broadcast into the
+    scoring join — the corpus itself shuffles once, on (doc_id, token).
+    """
+    docs = load(spark, sf_dir, "documents")
+    tf = _doc_terms(docs).filter(F.col("token").isin(*_X23_QUERY))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))).cast("double")
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * (F.col("tf") * F.lit(_X23_K1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(_X23_K1)
+                * (
+                    F.lit(1.0 - _X23_B)
+                    + F.lit(_X23_B) * F.col("dl") / F.col("avgdl")
+                )
+            ),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("bm25")
+    )
+    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+        _X23_TOP
+    )

@@ -197,3 +197,69 @@ def q30b_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.nth_value("c_custkey", 3).over(w_full).alias("third_richest"),
     )
+
+
+# --- q54: quantile bucketing (ntile + explicit width buckets) ------------------
+_Q54_NT = 4
+_Q54_NB = 5
+
+
+@query(
+    "q54_ntile_bucket",
+    oracle=f"""
+    WITH b AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(ntile({_Q54_NT}) OVER (PARTITION BY c_mktsegment
+                                    ORDER BY c_acctbal, c_custkey) AS INT)
+               AS quartile,
+             CAST(least({_Q54_NB} - 1, greatest(0,
+               floor((c_acctbal - min_b) * {_Q54_NB} / (max_b - min_b))))
+               AS INT) + 1 AS bucket
+      FROM (SELECT *,
+              min(c_acctbal) OVER () AS min_b,
+              max(c_acctbal) OVER () AS max_b
+            FROM customer))
+    SELECT c_mktsegment, quartile, bucket,
+           COUNT(*) AS n,
+           CAST(MIN(c_acctbal) AS DOUBLE) AS lo,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS hi
+    FROM b GROUP BY 1, 2, 3
+    """,
+)
+def q54_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile bucketing two ways: rank-based quartiles (ntile — equal
+    COUNT per bucket, needs a sort) and value-based width buckets
+    (equal RANGE per bucket — a pure map-side expression once the global
+    min/max are known).  At 100 TB the width-bucket arm is the scalable
+    histogram: min/max is one tiny aggregate, then bucketing shuffles
+    only the (segment, bucket) partials; ntile's total order is the
+    expensive path and stays partitioned by segment."""
+    c = load(spark, sf_dir, "customer")
+    mm = c.agg(
+        F.min("c_acctbal").alias("min_b"), F.max("c_acctbal").alias("max_b")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    b = (
+        c.crossJoin(F.broadcast(mm))
+        .withColumn("quartile", F.ntile(_Q54_NT).over(w))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(_Q54_NB - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col("c_acctbal") - F.col("min_b"))
+                        * _Q54_NB
+                        / (F.col("max_b") - F.col("min_b"))
+                    ),
+                ),
+            ).cast("int")
+            + 1,
+        )
+    )
+    return b.groupBy("c_mktsegment", "quartile", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("c_acctbal").cast("double").alias("lo"),
+        F.max("c_acctbal").cast("double").alias("hi"),
+    )

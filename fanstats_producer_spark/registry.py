@@ -40,6 +40,7 @@ def load_all() -> None:
     from fanstats_producer_spark.operators import (  # noqa: F401
         aggregates,
         asof,
+        clustering,
         corpus,
         dedup,
         joins,
@@ -50,6 +51,7 @@ def load_all() -> None:
         relational,
         sampling,
         scd,
+        scoring,
         setops,
         similarity,
         sketches,

@@ -38,6 +38,34 @@ def test_json_roundtrip_preserves_nested(spark, tmp_path):
     assert got == {1: (1, [1, 2]), 2: (2, [])}
 
 
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    """ORC sink/scan (built into Spark, the other columnar lake format):
+    partitioned write, pruned read, values preserved."""
+    out = str(tmp_path / "orc")
+    src = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    src.write.partitionBy("o_orderstatus").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == src.count()
+    one = back.filter(F.col("o_orderstatus") == "F")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    # the status predicate lands in PartitionFilters (directory pruning)
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    assert "o_orderstatus" in part_section
+    got = sorted(map(tuple, one.select("o_orderkey", "o_totalprice").collect()))
+    want = sorted(
+        map(
+            tuple,
+            src.filter(F.col("o_orderstatus") == "F")
+            .select("o_orderkey", "o_totalprice")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
 def test_merge_schema_evolution(spark, tmp_path):
     """Schema drift tolerated on read — the Glue-crawler re-crawl story."""
     out = str(tmp_path / "evolving")

@@ -505,3 +505,115 @@ def test_topk_sketch_merge_matches_exact_counts(spark):
         .collect()
     }
     assert got == exact
+
+
+# --- x22/x23: lexical relevance scoring -----------------------------------------
+def test_tfidf_ranks_rare_terms_above_ubiquitous(spark):
+    """A term unique to one doc must outrank a term present in every doc
+    (idf dominates when tf ties), and every doc yields exactly top-k rows."""
+    from fanstats_producer_spark.operators.scoring import x22_tfidf
+
+    out = x22_tfidf(spark, SF_DIR).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) == 3 for v in per_doc.values())
+    for rows in per_doc.values():
+        ranks = sorted(rows, key=lambda r: r.rnk)
+        # ranking invariant: tf non-increasing; df non-decreasing on tf ties
+        for a, b in zip(ranks, ranks[1:]):
+            assert (a.tf, -a.df) >= (b.tf, -b.df)
+
+
+def test_bm25_prefers_docs_with_query_terms(spark):
+    """Every returned doc must actually contain ≥1 query term, and scores
+    are positive and non-increasing."""
+    from fanstats_producer_spark.operators.scoring import _X23_QUERY, x23_bm25
+
+    top = x23_bm25(spark, SF_DIR).collect()
+    assert len(top) == 10
+    scores = [r.bm25 for r in top]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, SF_DIR, "documents")
+        .filter(F.col("doc_id").isin([r.doc_id for r in top]))
+        .collect()
+    }
+    for r in top:
+        assert any(t in docs[r.doc_id].split(" ") for t in _X23_QUERY)
+
+
+# --- x24: deterministic k-means --------------------------------------------------
+def test_kmeans_matches_numpy_reference(spark):
+    """The distributed k-means round-trip (seed assign → decimal-exact
+    refit → reassign) reproduces a straightforward single-machine numpy
+    implementation of the same algorithm."""
+    import numpy as np
+
+    from fanstats_producer_spark.operators.clustering import kmeans_assignments
+
+    emb = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    seeds = X[:10]
+
+    def assign(cents, cent_ids):
+        d = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # argmin with (dist, cid) tie-break: numpy argmin keeps first
+        order = np.argsort(cent_ids)
+        d = d[:, order]
+        return np.array(cent_ids)[order][d.argmin(axis=1)]
+
+    a1 = assign(seeds, ids[:10])
+    cents2, cids2 = [], []
+    for cid in sorted(set(a1)):
+        members = X[a1 == cid]
+        cents2.append(np.round(members.sum(axis=0) / len(members), 6))
+        cids2.append(cid)
+    a2 = assign(np.array(cents2), cids2)
+    want = dict(zip(ids, a2))
+
+    got = {r.vec_id: r.cid for r in kmeans_assignments(emb).collect()}
+    assert got == want
+
+
+def test_kmeans_identical_vectors_colocate(spark):
+    """Duplicate vectors always land in the same cluster."""
+    from fanstats_producer_spark.operators.clustering import kmeans_assignments
+
+    base = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding").limit(50)
+    dup = base.withColumn("vec_id", F.col("vec_id") + 10_000)
+    out = kmeans_assignments(base.unionByName(dup)).collect()
+    cl = {r.vec_id: r.cid for r in out}
+    for vid in [r.vec_id for r in base.collect()]:
+        assert cl[vid] == cl[vid + 10_000]
+
+
+# --- x25: z-score outliers --------------------------------------------------------
+def test_zscore_flags_planted_outlier(spark, tmp_path):
+    """A planted extreme value is flagged; typical values are not."""
+    import shutil
+
+    src = load(spark, SF_DIR, "events").limit(500)
+    planted = src.unionByName(
+        spark.createDataFrame(
+            [(999_999, None, 1, "view", 1e7, None)], src.schema
+        )
+    )
+    # io.load expects the fixture layout: ts stored as epoch-NANOS longs
+    planted = planted.withColumn("ts", F.unix_micros("ts") * 1000)
+    out_dir = str(tmp_path / "sf_ev")
+    import os
+
+    os.makedirs(out_dir)
+    planted.write.parquet(os.path.join(out_dir, "events.parquet"))
+    from fanstats_producer_spark.operators.quality_checks import (
+        x25_zscore_outliers,
+    )
+
+    flagged = x25_zscore_outliers(spark, out_dir).collect()
+    assert 999_999 in {r.event_id for r in flagged}
+    assert all(abs(r.z) > 3.0 for r in flagged)

@@ -47,6 +47,7 @@ def load_all() -> None:
         layout,
         nested,
         parity_extra,
+        product_analytics,
         quality_checks,
         relational,
         sampling,

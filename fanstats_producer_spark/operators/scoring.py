@@ -80,7 +80,9 @@ def x22_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, sf_dir, "documents")
     tf = _doc_terms(docs)
-    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # tf already has exactly one row per (doc, token), so document
+    # frequency is a plain count — no count-distinct expand.
+    df_ = tf.groupBy("token").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
         # vocabulary ≪ corpus: broadcast the (token, df) aggregate so the

@@ -66,6 +66,23 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     assert got == want
 
 
+def test_xml_roundtrip(spark, tmp_path):
+    """XML source/sink (built into Spark 4): typed round-trip with
+    rowTag framing — config/feed ingestion parity."""
+    out = str(tmp_path / "xml")
+    src = load(spark, SF_DIR, "region").select("r_regionkey", "r_name")
+    src.write.format("xml").option("rootTag", "regions").option(
+        "rowTag", "region"
+    ).save(out)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "region")
+        .load(out)
+        .select("r_regionkey", "r_name")
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
 def test_merge_schema_evolution(spark, tmp_path):
     """Schema drift tolerated on read — the Glue-crawler re-crawl story."""
     out = str(tmp_path / "evolving")

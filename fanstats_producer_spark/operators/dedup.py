@@ -400,7 +400,9 @@ def x04d_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- x04e: dedup clustering (connected components over near-dup pairs) ----------
 def connected_components(
-    pairs: DataFrame, max_iterations: int = 20
+    pairs: DataFrame,
+    max_iterations: int = 20,
+    driver_threshold: int | None = 100_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into groups via iterative min-label
     propagation: every node's label converges to the smallest doc_id in
@@ -425,6 +427,33 @@ def connected_components(
         # Jaccard pipeline) must NOT re-execute on every iteration
         .localCheckpoint(eager=True)
     )
+    # Size-gated driver fast path — the graph analogue of a broadcast
+    # join.  Near-dup edge sets are orders of magnitude smaller than the
+    # corpus (they're the output of a similarity threshold); when the
+    # materialized edge list fits comfortably on the driver, union-find
+    # beats 3-6 distributed label-propagation rounds (each round is two
+    # shuffled joins + a checkpoint + a convergence collect).  Identical
+    # output: min-id labels either way.  Past the threshold — the 100 TB
+    # regime — the iterative pointer-jumping path below runs unchanged.
+    if driver_threshold is not None and edges.count() <= driver_threshold:
+        spark = pairs.sparkSession
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in edges.collect():
+            ra, rb = find(r.src), find(r.dst)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = set(parent) | {v for v in parent.values()}
+        out = [(int(n), int(find(n))) for n in sorted(nodes)]
+        return spark.createDataFrame(out, "doc_id long, cluster_id long")
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )

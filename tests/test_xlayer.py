@@ -243,8 +243,16 @@ def test_connected_components_chain_and_clique(spark):
         [(1, 2, 0.9), (2, 3, 0.9), (3, 4, 0.9), (10, 11, 0.8)],
         "id_a long, id_b long, jaccard double",
     )
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    # both execution paths must agree: driver union-find (small graphs)
+    # and iterative distributed label propagation (the 100 TB path)
     got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert got == want
+    got_dist = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(pairs, driver_threshold=None).collect()
+    }
+    assert got_dist == want
 
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in [1, 2, 3, 4, 10, 11, 99]], "doc_id long, text string"
@@ -262,7 +270,12 @@ def test_connected_components_long_chain_pointer_jumping(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1, 0.9) for i in range(63)], "id_a long, id_b long, jaccard double"
     )
-    got = {r.doc_id: r.cluster_id for r in connected_components(pairs, max_iterations=8).collect()}
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(
+            pairs, max_iterations=8, driver_threshold=None
+        ).collect()
+    }
     assert got == {i: 0 for i in range(64)}
 
 

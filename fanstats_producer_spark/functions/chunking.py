@@ -116,3 +116,118 @@ def pack_documents(
 )
 def x18_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(load(spark, sf_dir, "documents"))
+
+
+# --- x26: content-defined chunking (CDC) ---------------------------------------
+# x17's fixed windows shift wholesale when a single token is inserted
+# upstream — every downstream chunk hash changes and chunk-level dedup
+# finds nothing.  Content-defined boundaries cut where a rolling window
+# hash hits a divisor condition, so an edit only disturbs chunks up to
+# the next content boundary (the rsync/LBFS/restic trick, applied to
+# token streams for shift-robust corpus dedup at 100 TB).
+#
+# All integer arithmetic (the x11 token-hash pattern: ascii*31+len,
+# polynomial window hash mod 1e9+7) — bit-identical across engines,
+# fully vectorized array expressions, no UDF, no shuffle before the
+# final explode.
+_CDC_W = 4          # rolling window width (tokens)
+_CDC_DIV = 16       # boundary when hash % DIV == 0 → avg chunk ≈ DIV tokens
+_CDC_MOD = 1_000_000_007
+
+
+def cdc_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, chunk_no, n_tokens, chunk): content-defined segments."""
+    toks = F.split(F.col(text_col), " ")
+    vals = F.transform(
+        toks, lambda x: (F.ascii(x) * 31 + F.length(x)).cast("long")
+    )
+    n = F.size(toks)
+    # positions i (1-based) where the w-token window ends; sequence()
+    # counts DOWN when n < w, so guard short docs to an empty array
+    idx = F.when(n >= _CDC_W, F.sequence(F.lit(_CDC_W), n)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    weights = [131 ** (_CDC_W - 1 - k) for k in range(_CDC_W)]
+
+    def whash(vals_col, i):
+        acc = None
+        for k, wt in enumerate(weights):
+            term = F.element_at(vals_col, i - (_CDC_W - 1 - k)) * F.lit(wt)
+            acc = term if acc is None else acc + term
+        return acc % F.lit(_CDC_MOD)
+
+    d = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.filter(
+            F.transform(idx, lambda i: i.cast("int")),
+            lambda i: whash(vals, i) % _CDC_DIV == 0,
+        ).alias("bounds"),
+        n.alias("n"),
+    )
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(F.array(F.lit(0)), F.col("bounds"), F.array(F.col("n")))
+        )
+    )
+    chunks = F.transform(
+        F.slice(cuts, 2, F.size(cuts) - 1),
+        lambda cut, j: F.struct(
+            (cut - F.element_at(cuts, j + 1)).alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("toks"),
+                    F.element_at(cuts, j + 1) + 1,
+                    cut - F.element_at(cuts, j + 1),
+                ),
+            ).alias("chunk"),
+        ),
+    )
+    out = d.select("doc_id", F.posexplode(chunks).alias("pos", "c"))
+    return out.select(
+        "doc_id",
+        (F.col("pos") + 1).alias("chunk_no"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+        F.col("c.chunk").alias("chunk"),
+    )
+
+
+@query(
+    "x26_cdc_chunking",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             list_transform(string_split(text, ' '),
+               x -> CAST(ascii(x) * 31 + length(x) AS BIGINT)) AS vals,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    b AS (
+      SELECT doc_id, toks, n,
+             list_filter(range({_CDC_W}, n + 1),
+               i -> (vals[i-3] * {131**3} + vals[i-2] * {131**2}
+                     + vals[i-1] * 131 + vals[i]) % {_CDC_MOD}
+                    % {_CDC_DIV} = 0) AS bounds
+      FROM t),
+    c AS (
+      SELECT doc_id, toks,
+             list_sort(list_distinct(
+               list_concat(list_concat([CAST(0 AS BIGINT)],
+                 list_transform(bounds, x -> CAST(x AS BIGINT))),
+                 [CAST(n AS BIGINT)]))) AS cuts
+      FROM b),
+    e AS (
+      SELECT doc_id,
+             unnest(range(2, len(cuts) + 1)) AS j,
+             toks, cuts
+      FROM c)
+    SELECT doc_id,
+           CAST(j - 1 AS INT) AS chunk_no,
+           CAST(cuts[j] - cuts[j-1] AS BIGINT) AS n_tokens,
+           list_aggregate(toks[CAST(cuts[j-1] + 1 AS BIGINT):CAST(cuts[j] AS BIGINT)],
+                          'string_agg', ' ') AS chunk
+    FROM e
+    """,
+)
+def x26_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cdc_chunks(load(spark, sf_dir, "documents"))

@@ -673,3 +673,50 @@ def test_binary_asset_ingestion(spark, tmp_path):
         .collect()
     )
     assert feats[0].n_bytes == len(b"\x89PNG-fake-bytes")
+
+
+# --- x26: content-defined chunking ------------------------------------------------
+def test_cdc_chunking_shift_robust(spark):
+    """The CDC selling point: a prefix edit disturbs only chunks before
+    the next content boundary — the tail chunks are bit-identical, where
+    fixed-window chunking (x17) would shift every downstream chunk."""
+    from fanstats_producer_spark.functions.chunking import cdc_chunks
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi "
+            "psi omega one two three four five six seven eight nine ten "
+            "eleven twelve thirteen fourteen fifteen sixteen seventeen") 
+    docs = spark.createDataFrame(
+        [(1, base), (2, "inserted prefix tokens " + base)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in cdc_chunks(docs).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_no, r.chunk))
+    orig = [c for _, c in sorted(got[1])]
+    edited = [c for _, c in sorted(got[2])]
+    assert len(orig) >= 2, "fixture text should produce multiple chunks"
+    # common tail: everything from the first shared boundary on survives
+    shared_tail = 0
+    for a, b in zip(reversed(orig), reversed(edited)):
+        if a != b:
+            break
+        shared_tail += 1
+    assert shared_tail >= len(orig) - 1  # only the head chunk may differ
+
+    # chunks reassemble the document exactly
+    assert " ".join(orig) == base
+    assert " ".join(edited) == "inserted prefix tokens " + base
+
+
+def test_cdc_chunking_short_docs(spark):
+    """Docs shorter than the rolling window yield one whole-doc chunk."""
+    from fanstats_producer_spark.functions.chunking import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "single")], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs).collect()
+    got = {r.doc_id: (r.chunk_no, r.n_tokens, r.chunk) for r in rows}
+    assert got[1] == (1, 2, "one two")
+    assert got[2] == (1, 1, "single")

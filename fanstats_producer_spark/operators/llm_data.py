@@ -1,0 +1,273 @@
+"""LLM training-data pipeline operators, batch 2 (SURVEY.md §2C "+"
+rows): benchmark decontamination, vocabulary building, weighted dataset
+mixing, unigram-LM quality scoring, and embedding quantization.
+
+The reference's enrichment stage is declared but absent (Comprehend IAM
+grants at main.tf:100-104 with no client in main.py); these operators —
+like the x01-x26 family — are the compute that stage implies once the
+corpus is training data rather than a dashboard feed.  All five follow
+the house rules: RNG-free determinism (md5 buckets, digest ordering),
+cross-engine-stable numerics (decimal-quantized partial sums before any
+float aggregate), and one-shuffle plan shapes that survive a 1000×
+scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.operators.dedup import with_shingles
+from fanstats_producer_spark.operators.sampling import hash_bucket
+from fanstats_producer_spark.registry import query
+
+
+# --- x27: benchmark decontamination (n-gram overlap train vs eval) --------------
+# GPT-3-style decontamination: any training document sharing >= T distinct
+# n-grams with an evaluation document is flagged.  Here the "benchmark" is
+# a deterministic held-out slice (doc_id % 50 == 0) so the op is closed
+# over the fixtures; in production the eval side is the external benchmark
+# suite.  Plan: shingle both sides once, explode, one shuffle on the
+# shingle key, hash-aggregate the (train, eval) pair counts.  The eval
+# side is tiny (a benchmark, not a corpus) — Catalyst broadcasts it, so
+# the 100 TB train side is never shuffled by shingle; only its exploded
+# postings stream through the broadcast-hash join.  At multi-billion-
+# shingle scale, collapse shingle strings to xxhash64 first (the x04
+# lever) so the probe key is 8 bytes.
+_X27_K = 5
+_X27_MIN_SHARED = 3
+
+
+@query(
+    "x27_decontaminate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                    || toks[i+3] || ' ' || toks[i+4])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    post AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    hits AS (
+      SELECT t.doc_id AS train_id, e.doc_id AS eval_id, COUNT(*) AS n_shared
+      FROM post t JOIN post e ON t.shingle = e.shingle
+      WHERE t.doc_id % 50 <> 0 AND e.doc_id % 50 = 0
+      GROUP BY 1, 2)
+    SELECT train_id, eval_id, n_shared
+    FROM hits WHERE n_shared >= {_X27_MIN_SHARED}
+    """,
+)
+def x27_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    post = with_shingles(docs, k=_X27_K).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    train = post.filter(F.col("doc_id") % 50 != 0).withColumnRenamed(
+        "doc_id", "train_id"
+    )
+    eval_ = post.filter(F.col("doc_id") % 50 == 0).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    hits = (
+        train.join(F.broadcast(eval_), "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _X27_MIN_SHARED)
+    )
+    return hits.select("train_id", "eval_id", "n_shared")
+
+
+# --- x28: vocabulary builder -----------------------------------------------------
+# Tokenizer-training prerequisite: corpus term frequencies -> min-count
+# gate -> contiguous integer ids in (freq desc, token asc) order.  The
+# only global-window input is the POST-aggregation vocabulary (|V| rows,
+# already min-count-filtered), never the corpus — the corpus-sized work
+# is one explode + one hash aggregate with map-side partials.
+_X28_MIN_COUNT = 5
+_X28_TOP = 200
+
+
+@query(
+    "x28_vocab",
+    oracle=f"""
+    WITH freq AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY 1
+      HAVING COUNT(*) >= {_X28_MIN_COUNT})
+    SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS token_id,
+           token, freq
+    FROM freq
+    ORDER BY token_id
+    LIMIT {_X28_TOP}
+    """,
+)
+def x28_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= _X28_MIN_COUNT)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        freq.withColumn("token_id", F.row_number().over(w).cast("int"))
+        .filter(F.col("token_id") <= _X28_TOP)
+        .select("token_id", "token", "freq")
+        .orderBy("token_id")
+    )
+
+
+# --- x29: weighted dataset mixing ------------------------------------------------
+# Multi-source corpus mixing: each source gets a sampling rate (here
+# derived from the source id so the op is closed over the fixtures; in
+# production a broadcast config dim), applied RNG-free via md5 bucketing
+# on doc_id — the same reproducible-sampling machinery as x14, so a
+# re-run on different cluster shapes draws the SAME mixture.  Rates are
+# quartiles {0.25, 0.5, 0.75, 1.0} by source number mod 4.  No shuffle at
+# all: a scan with a deterministic filter, which is what makes it viable
+# as the FIRST stage of a 100 TB pipeline (data never moves until after
+# the down-weighting).
+@query(
+    "x29_mixture",
+    oracle="""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16
+          < ((CAST(substring(source, 4) AS INT) % 4) + 1) * 4
+    """,
+)
+def x29_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    rate_buckets = (
+        (F.expr("CAST(substring(source, 4) AS INT)") % 4 + 1) * 4
+    )
+    return docs.filter(hash_bucket(F.col("doc_id"), 16) < rate_buckets).select(
+        "doc_id", "source", "lang"
+    )
+
+
+# --- x30: unigram-LM quality scoring (perplexity proxy) --------------------------
+# KenLM-style filtering without the external LM: fit a corpus unigram
+# model (one hash aggregate), score every document by bits-per-token
+# under it (one broadcast join).  High bpt = rare-token soup (noise,
+# boilerplate-free gibberish); low bpt = repetitive filler — both
+# standard cut candidates.  Cross-engine determinism: each token's
+# log2(p) is quantized to DECIMAL(20,7) BEFORE summation, so the per-doc
+# sum is exact and order-free (the q52_corr pattern applied to a
+# transcendental); only the final divide is float, closed with round().
+# The token->tf model is |V| rows — broadcast, so the corpus is scored
+# with zero shuffle beyond the per-doc aggregate.
+@query(
+    "x30_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS t FROM toks),
+    c AS (
+      SELECT doc_id,
+             CAST(round(log2(CAST(tf AS DOUBLE) / t), 7) AS DECIMAL(20,7)) AS lg
+      FROM toks JOIN freq USING (token) CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           round(-CAST(SUM(lg) AS DOUBLE) / COUNT(*), 4) AS bits_per_token
+    FROM c GROUP BY 1
+    """,
+)
+def x30_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    tot = toks.agg(F.count("*").alias("t"))
+    scored = (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lg",
+            F.round(
+                F.log2(F.col("tf").cast("double") / F.col("t")), 7
+            ).cast("decimal(20,7)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            -F.sum("lg").cast("double") / F.count("*"), 4
+        ).alias("bits_per_token"),
+    )
+
+
+# --- x32: embedding int8 quantization --------------------------------------------
+# Storage-layer vector compression: symmetric per-vector int8 (q =
+# round(x / (max|x| / 127))), the layout ANN systems ship to disk — 4x
+# smaller than float32, which at 100 TB of embeddings is the difference
+# between one cluster and four.  Entirely per-row (zero shuffle, survives
+# any partitioning), entirely in Tungsten array kernels (transform /
+# zip_with / aggregate — no UDF).  The reconstruction error is folded
+# sequentially in list order on both engines, so even the float sum is
+# bit-stable cross-engine.
+@query(
+    "x32_embed_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+      FROM embeddings),
+    sc AS (
+      SELECT vec_id, embedding,
+             CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127 END AS scale
+      FROM s),
+    qq AS (
+      SELECT vec_id, embedding, scale,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS q
+      FROM sc)
+    SELECT vec_id, round(scale, 9) AS scale_r, q,
+           round(list_reduce(
+                   list_transform(
+                     list_zip(embedding, q),
+                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)
+                          * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)),
+                   (a, b) -> a + b) / len(embedding), 9) AS mse_r
+    FROM qq
+    """,
+)
+def x32_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    amax = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda a, x: F.greatest(a, F.abs(x.cast("double"))),
+    )
+    step1 = emb.withColumn("amax", amax).withColumn(
+        "scale", F.when(F.col("amax") == 0, F.lit(1.0)).otherwise(F.col("amax") / 127)
+    )
+    step2 = step1.withColumn(
+        "q",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+        ),
+    )
+    sqerr = F.zip_with(
+        "embedding",
+        "q",
+        lambda x, qv: (x.cast("double") - qv.cast("double") * F.col("scale"))
+        * (x.cast("double") - qv.cast("double") * F.col("scale")),
+    )
+    out = step2.withColumn(
+        "mse_r",
+        F.round(
+            F.aggregate(sqerr, F.lit(0.0), lambda a, b: a + b)
+            / F.size("embedding"),
+            9,
+        ),
+    )
+    return out.select(
+        "vec_id", F.round("scale", 9).alias("scale_r"), "q", "mse_r"
+    )

@@ -193,3 +193,83 @@ def q57_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
     )
+
+
+# --- q59: market-basket co-occurrence (lift) -----------------------------------
+# Items bought together: pair frequencies within an order plus the lift
+# statistic (P(a,b) / (P(a)P(b))) — the co-engagement analytic the
+# reference's topic feeds point at ("which topics trend together").
+# Plan shape reuses the x04 posting-list trick: ONE shuffle groups the
+# (order, part) postings per order, pairs are expanded MAP-SIDE from
+# each basket's sorted item list (i<j combinations), then one hash
+# aggregate counts pairs — no self-join of the 100 TB fact table with
+# itself, and the expansion is bounded by basket size (tiny), not table
+# size.  Margins n_a/n_b are a second small aggregate broadcast into
+# the final scoring join.
+_Q59_MIN_PAIRS = 2
+
+
+@query(
+    "q59_basket_pairs",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_Q59_MIN_PAIRS}),
+    marg AS (SELECT l_partkey, COUNT(*) AS n FROM d GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM d)
+    SELECT part_a, part_b, n_ab,
+           round((CAST(n_ab AS DOUBLE) * n_orders) / (CAST(ma.n AS DOUBLE) * mb.n), 6) AS lift
+    FROM pairs
+    JOIN marg ma ON ma.l_partkey = part_a
+    JOIN marg mb ON mb.l_partkey = part_b
+    CROSS JOIN tot
+    """,
+)
+def q59_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = d.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("items")
+    )
+    combos = F.flatten(
+        F.transform(
+            "items",
+            lambda x, i: F.transform(
+                F.slice("items", (i + F.lit(2)).cast("int"), F.size("items")),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(combos).alias("p"))
+        .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _Q59_MIN_PAIRS)
+    )
+    marg = d.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    tot = d.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                (F.col("n_ab").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )

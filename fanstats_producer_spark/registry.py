@@ -45,6 +45,7 @@ def load_all() -> None:
         dedup,
         joins,
         layout,
+        llm_data,
         nested,
         parity_extra,
         product_analytics,
@@ -56,6 +57,7 @@ def load_all() -> None:
         setops,
         similarity,
         sketches,
+        timeseries,
         windows,
     )
     from fanstats_producer_spark.functions import (  # noqa: F401

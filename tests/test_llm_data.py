@@ -1,0 +1,110 @@
+"""Targeted semantics tests for the batch-2 LLM-data operators
+(operators/llm_data.py, operators/timeseries.py, q59): planted-case
+behavior the differential oracle can't isolate — interpolation math on
+crafted gaps, quantization error bounds, contamination detection of a
+planted overlap, mixture-rate determinism, vocab ordering invariants.
+"""
+
+from __future__ import annotations
+
+import datetime
+import hashlib
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from fanstats_producer_spark import registry
+from fanstats_producer_spark.operators.timeseries import gapfill_interpolate
+
+
+def test_gapfill_interpolation_math(spark):
+    daily = spark.createDataFrame(
+        [
+            ("a", datetime.date(2024, 1, 1), 2, 10.0),
+            ("a", datetime.date(2024, 1, 4), 1, 40.0),
+            ("b", datetime.date(2024, 1, 2), 3, 7.0),
+        ],
+        "event_type string, d date, n long, avg_v double",
+    )
+    out = {
+        (r.event_type, r.d): r
+        for r in gapfill_interpolate(daily).collect()
+    }
+    # grid is dense: 2 keys x 4 days
+    assert len(out) == 8
+    # interior gap: linear between 10 (d1) and 40 (d4)
+    gap2 = out[("a", datetime.date(2024, 1, 2))]
+    gap3 = out[("a", datetime.date(2024, 1, 3))]
+    assert gap2.n == 0 and gap2.v_ffill == 10.0 and gap2.v_interp == 20.0
+    assert gap3.v_ffill == 10.0 and gap3.v_interp == 30.0
+    # series edges: before first obs -> next value; after last -> previous
+    b1 = out[("b", datetime.date(2024, 1, 1))]
+    b4 = out[("b", datetime.date(2024, 1, 4))]
+    assert b1.v_ffill is None and b1.v_interp == 7.0
+    assert b4.v_ffill == 7.0 and b4.v_interp == 7.0
+    # observed days pass through untouched
+    assert out[("a", datetime.date(2024, 1, 4))].v_interp == 40.0
+
+
+def test_quantize_error_bound(spark):
+    """int8 reconstruction error is bounded by scale/2 per element."""
+    rows = registry.QUERIES["x32_embed_quantize"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert all(-127 <= q <= 127 for q in r.q)
+        # mse <= (scale/2)^2 since each residual is <= scale/2
+        assert r.mse_r <= (r.scale_r / 2) ** 2 + 1e-12
+
+
+def test_decontaminate_flags_planted_overlap(spark, tmp_path):
+    """A train doc embedding a verbatim 7-token span of an eval doc
+    shares 3 distinct 5-grams and crosses the flag threshold."""
+    docs = spark.createDataFrame(
+        [
+            (50, "alpha beta gamma delta epsilon zeta eta theta", "en", "src0", 0),
+            (1, "noise one two alpha beta gamma delta epsilon zeta eta tail", "en", "src1", 0),
+            (2, "completely unrelated content with no overlap at all here", "en", "src2", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(out)
+    # point the loader at a directory with only this table
+    hits = registry.QUERIES["x27_decontaminate"](spark, str(tmp_path)).collect()
+    assert [(r.train_id, r.eval_id) for r in hits] == [(1, 50)]
+    assert hits[0].n_shared == 3  # three shared 5-gram windows of the 7-token span
+
+
+def test_mixture_is_deterministic_hash(spark):
+    """Every kept row satisfies the md5-bucket rule; re-running yields
+    the identical sample (no RNG anywhere)."""
+    kept = registry.QUERIES["x29_mixture"](spark, SF_DIR)
+    rows = {r.doc_id: r.source for r in kept.collect()}
+    again = {r.doc_id: r.source for r in kept.collect()}
+    assert rows == again
+    for doc_id, source in list(rows.items())[:100]:
+        bucket = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 16
+        rate_buckets = ((int(source[3:]) % 4) + 1) * 4
+        assert bucket < rate_buckets
+
+
+def test_vocab_ordering_invariants(spark):
+    rows = registry.QUERIES["x28_vocab"](spark, SF_DIR).collect()
+    assert rows[0].token_id == 1
+    ids = [r.token_id for r in rows]
+    assert ids == list(range(1, len(rows) + 1))
+    freqs = [r.freq for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    # deterministic tie-break: equal freqs appear in token order
+    for a, b in zip(rows, rows[1:]):
+        if a.freq == b.freq:
+            assert a.token < b.token
+
+
+def test_basket_pairs_lift_sanity(spark):
+    rows = registry.QUERIES["q59_basket_pairs"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows[:50]:
+        assert r.part_a < r.part_b
+        assert r.n_ab >= 2
+        assert r.lift > 0

@@ -231,9 +231,21 @@ _Q59_MIN_PAIRS = 2
 )
 def q59_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
-    baskets = d.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("items")
+    # collect_set per order = dedupe + basket build in ONE exchange of the
+    # fact table (a distinct-then-regroup would shuffle it twice: once by
+    # (order, part), again by order).  Everything downstream — margins,
+    # pair expansion, scoring — runs on the much smaller basket/posting
+    # frames.
+    # localCheckpoint: baskets feed FOUR consumers (pair expansion, two
+    # margin broadcasts, the order total); without materialization each
+    # consumer would re-scan and re-shuffle the 100 TB fact table (plan-
+    # level subtree reuse does not dedupe across DataFrame references).
+    # Same diamond-reuse lever as connected_components; at cluster scale,
+    # checkpoint to reliable storage instead.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
+        .localCheckpoint(eager=True)
     )
     combos = F.flatten(
         F.transform(
@@ -250,8 +262,9 @@ def q59_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= _Q59_MIN_PAIRS)
     )
-    marg = d.groupBy("l_partkey").agg(F.count("*").alias("n"))
-    tot = d.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    postings = baskets.select(F.explode("items").alias("l_partkey"))
+    marg = postings.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    tot = baskets.agg(F.count("*").alias("n_orders"))
     return (
         pairs.join(
             F.broadcast(marg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))),

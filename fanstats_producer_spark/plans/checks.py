@@ -90,3 +90,14 @@ def whole_stage_codegen_ids(df: DataFrame) -> int:
 
     m = re.search(r"Found (\d+) WholeStageCodegen", explain_str(df, "codegen"))
     return int(m.group(1)) if m else 0
+
+
+def n_shuffle_exchanges(df: DataFrame) -> int:
+    """Count shuffle Exchange operators in the physical plan (broadcast
+    exchanges excluded) — the metric every at-scale claim reduces to."""
+    plan = explain_str(df, "simple")
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line
+    )

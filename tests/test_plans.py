@@ -100,3 +100,43 @@ def test_dynamic_partition_pruning(spark, tmp_path):
         .count()
     )
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """x27: the benchmark (eval) postings are tiny — the train corpus
+    must stream through a broadcast join, never shuffle by shingle."""
+    df = registry.QUERIES["x27_decontaminate"](spark, SF_DIR)
+    assert checks.has_broadcast_join(df)
+    assert not checks.has_sort_merge_join(df)
+
+
+def test_mixture_has_no_shuffle(spark):
+    """x29: weighted mixing is a pure scan+filter — zero exchanges, so
+    it can front a 100 TB pipeline without moving data."""
+    df = registry.QUERIES["x29_mixture"](spark, SF_DIR)
+    assert checks.n_shuffle_exchanges(df) == 0
+
+
+def test_unigram_model_is_broadcast(spark):
+    """x30: the |V|-row unigram model joins the corpus via broadcast."""
+    df = registry.QUERIES["x30_unigram_logprob"](spark, SF_DIR)
+    assert checks.has_broadcast_join(df)
+    assert not checks.has_sort_merge_join(df)
+
+
+def test_quantize_has_no_shuffle(spark):
+    """x32: per-vector quantization is embarrassingly parallel."""
+    df = registry.QUERIES["x32_embed_quantize"](spark, SF_DIR)
+    assert checks.n_shuffle_exchanges(df) == 0
+
+
+def test_basket_pairs_shuffles_fact_once(spark):
+    """q59: lineitem is scanned + shuffled once into the checkpointed
+    baskets frame; the query plan's four consumers (pairs, two margin
+    broadcasts, total) must all read the materialized baskets, never the
+    fact table again."""
+    df = registry.QUERIES["q59_basket_pairs"](spark, SF_DIR)
+    plan = checks.explain_str(df, "simple")
+    assert plan.count("lineitem.parquet") == 0
+    assert plan.count("hashpartitioning(l_orderkey") == 0
+    assert checks.has_broadcast_join(df)

@@ -35,7 +35,15 @@ def chunk_documents(
     windows; the final partial window is kept (training wants the tail).
     ``passthrough`` names extra columns to carry onto every chunk row
     (e.g. the shard key for downstream packing)."""
-    toks = F.split("text", " ")
+    # Materialize the token array in its own projection: inlined into the
+    # per-chunk lambda, the split would re-tokenize the whole document for
+    # every chunk slice (O(n·chunks) per row — the x26 lesson).  As a
+    # non-cheap multiply-referenced alias, CollapseProject keeps the
+    # projection separate and each row tokenizes once.
+    base = docs.select(
+        "doc_id", *passthrough, F.split("text", " ").alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     n_chunks = F.greatest(
         F.ceil((n - F.lit(chunk_size)) / F.lit(stride)) + 1, F.lit(1)
@@ -53,7 +61,7 @@ def chunk_documents(
             F.least(n - s, F.lit(chunk_size)).cast("int").alias("n_chunk_tokens"),
         ),
     )
-    return docs.select(
+    return base.select(
         "doc_id", *passthrough, F.explode(chunks).alias("c")
     ).select("doc_id", *passthrough, "c.chunk_idx", "c.chunk_text", "c.n_chunk_tokens")
 
@@ -138,10 +146,22 @@ _CDC_MOD = 1_000_000_007
 def cdc_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, chunk_no, n_tokens, chunk): content-defined segments."""
     toks = F.split(F.col(text_col), " ")
-    vals = F.transform(
-        toks, lambda x: (F.ascii(x) * 31 + F.length(x)).cast("long")
+    # Materialize toks/vals/n as REAL columns in their own projection
+    # before the boundary probe references them.  Inlining `vals` into
+    # the filter lambda would re-evaluate the whole token-hash transform
+    # at every probe position (O(n²) per document — measured ~18 s at
+    # sf0.1 vs ~1 s materialized); as separate non-cheap multiply-
+    # referenced projections, CollapseProject keeps them apart and each
+    # array is computed once per row, element_at probes are O(1).
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.transform(
+            toks, lambda x: (F.ascii(x) * 31 + F.length(x)).cast("long")
+        ).alias("vals"),
+        F.size(toks).alias("n"),
     )
-    n = F.size(toks)
+    n = F.col("n")
     # positions i (1-based) where the w-token window ends; sequence()
     # counts DOWN when n < w, so guard short docs to an empty array
     idx = F.when(n >= _CDC_W, F.sequence(F.lit(_CDC_W), n)).otherwise(
@@ -156,14 +176,14 @@ def cdc_chunks(docs: DataFrame, text_col: str = "text") -> DataFrame:
             acc = term if acc is None else acc + term
         return acc % F.lit(_CDC_MOD)
 
-    d = docs.select(
+    d = base.select(
         "doc_id",
-        toks.alias("toks"),
+        "toks",
         F.filter(
             F.transform(idx, lambda i: i.cast("int")),
-            lambda i: whash(vals, i) % _CDC_DIV == 0,
+            lambda i: whash(F.col("vals"), i) % _CDC_DIV == 0,
         ).alias("bounds"),
-        n.alias("n"),
+        "n",
     )
     cuts = F.array_sort(
         F.array_distinct(

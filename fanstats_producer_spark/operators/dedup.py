@@ -58,14 +58,21 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     Built as zip_with over k shifted slices of the token array — stays in
     Tungsten's vectorized array kernels, ~7x faster than the naive
     transform(sequence)+element_at formulation (measured at sf0.1).
+
+    The token array is materialized in its own projection first: inlined,
+    the split expression would re-tokenize the document once per shifted
+    slice (k+1 evaluations per row); as a non-cheap multiply-referenced
+    alias, CollapseProject keeps the projections separate and each row
+    tokenizes exactly once (the x26 lesson).
     """
-    toks = F.split(F.col(text_col), " ")
+    base = df.withColumn("__toks", F.split(F.col(text_col), " "))
+    toks = F.col("__toks")
     n = F.size(toks)
     acc = toks
     for j in range(1, k):
         acc = F.zip_with(acc, F.slice(toks, j + 1, n), lambda x, y: F.concat_ws(" ", x, y))
     shingles = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
-    return df.withColumn("shingles", F.array_distinct(shingles))
+    return base.withColumn("shingles", F.array_distinct(shingles)).drop("__toks")
 
 
 def jaccard_pairs(

@@ -271,3 +271,39 @@ def x32_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id", F.round("scale", 9).alias("scale_r"), "q", "mse_r"
     )
+
+
+# --- contamination gate: the x27 decision as a batch/stream-shared filter -------
+# x27 REPORTS contamination; this applies it.  Stateless per-row form —
+# shingle the document, intersect with the benchmark shingle set, drop on
+# >= min_shared overlap — so the SAME function body runs in a batch job
+# and inside a Structured Streaming micro-batch with append output (the
+# s12 one-codepath pattern).  The benchmark set rides along as an array
+# literal here (benchmark suites are small); at a scale where that
+# bloats the plan, swap the intersect for a broadcast left-anti join on
+# exploded shingles — semantics unchanged, still stream-safe.
+def contamination_gate(
+    docs: DataFrame,
+    eval_shingles: list[str],
+    k: int = 5,
+    min_shared: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    ev = F.array(*[F.lit(s) for s in sorted(set(eval_shingles))])
+    sh = with_shingles(docs, text_col=text_col, k=k)
+    n_shared = F.size(F.array_intersect(F.col("shingles"), ev))
+    return sh.filter(n_shared < min_shared).drop("shingles")
+
+
+def eval_shingle_set(
+    docs: DataFrame, k: int = 5, text_col: str = "text"
+) -> list[str]:
+    """Collect the benchmark side's distinct shingles (driver-side: the
+    eval suite is small by construction)."""
+    rows = (
+        with_shingles(docs, text_col=text_col, k=k)
+        .select(F.explode("shingles").alias("s"))
+        .distinct()
+        .collect()
+    )
+    return [r.s for r in rows]

@@ -166,3 +166,54 @@ def x16_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(li_rules)
     )
+
+
+# --- q60: winsorized aggregation (robust mean via exact-quantile clipping) -----
+# Outlier-robust statistics for a feed whose `value`/price fields arrive
+# unvalidated (the reference lands raw API JSON with no range checks,
+# main.py:151-153): clip to the exact [p01, p99] band, then aggregate.
+# The quantile pass is one global aggregate whose two-number result is
+# broadcast into the clipping scan — the fact table is read twice but
+# shuffled ZERO times (both aggregates are partial+final).  Clipped
+# values are decimal-quantized before summation (the q52_corr pattern)
+# so the winsorized mean is bit-identical across partitionings/engines.
+@query(
+    "q60_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.01) AS lo,
+             quantile_cont(l_extendedprice, 0.99) AS hi
+      FROM lineitem)
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+           CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+           round(CAST(SUM(CAST(round(least(greatest(l_extendedprice, lo), hi), 4)
+                              AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_winsorized
+    FROM lineitem CROSS JOIN b
+    GROUP BY 1
+    """,
+)
+def q60_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("hi"),
+    )
+    j = li.crossJoin(F.broadcast(bounds))
+    clipped = F.least(
+        F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi")
+    )
+    return j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("l_extendedprice") < F.col("lo"), 1).otherwise(0)
+        ).cast("long").alias("n_lo"),
+        F.sum(
+            F.when(F.col("l_extendedprice") > F.col("hi"), 1).otherwise(0)
+        ).cast("long").alias("n_hi"),
+        F.round(
+            F.sum(F.round(clipped, 4).cast("decimal(18,4)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_winsorized"),
+    )

@@ -108,3 +108,59 @@ def test_basket_pairs_lift_sanity(spark):
         assert r.part_a < r.part_b
         assert r.n_ab >= 2
         assert r.lift > 0
+
+
+def test_contamination_gate_batch_and_stream(spark, tmp_path):
+    """One codepath, two execution modes: the gate drops a planted
+    contaminated doc in batch AND inside a file-stream micro-batch."""
+    from fanstats_producer_spark.operators.llm_data import (
+        contamination_gate,
+        eval_shingle_set,
+    )
+
+    eval_docs = spark.createDataFrame(
+        [(50, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    shingles = eval_shingle_set(eval_docs)
+    assert len(shingles) == 4  # 8 tokens -> 4 distinct 5-grams
+
+    rows = [
+        (1, "noise one two alpha beta gamma delta epsilon zeta eta tail"),
+        (2, "completely unrelated content with no overlap at all here now"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = contamination_gate(batch, shingles)
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    import json as _json
+
+    with open(src / "docs.json", "w") as f:
+        for doc_id, text in rows:
+            f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .json(str(src))
+    )
+    gated = contamination_gate(stream, shingles)
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gate_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT doc_id FROM gate_out").collect()
+    assert [r.doc_id for r in out] == [2]
+
+
+def test_winsorize_bounds_clip(spark):
+    rows = registry.QUERIES["q60_winsorize"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # ~1% clipped each side, never more than a few percent at fixture size
+        assert r.n_lo <= r.n * 0.05 and r.n_hi <= r.n * 0.05
+        assert r.avg_winsorized > 0

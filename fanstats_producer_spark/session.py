@@ -66,6 +66,18 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Local mode = ONE JVM for driver + all 32 executor threads; the
+        # 1 GiB spark.driver.memory default GC-thrashes under any
+        # broadcast/collect_set/sort pressure (measured: multi-second GC
+        # stalls absorbed by whichever queries run first).  Size the heap
+        # to the machine, overridable via SPARK_GRAFT_DRIVER_MEM.  On a
+        # real cluster this knob is the executor memory request instead;
+        # it must be set before JVM launch, so it lives here, not in AQE.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
+        .config("spark.driver.maxResultSize", "4g")
         # Catalyst/AQE: runtime re-planning at shuffle boundaries.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -86,18 +86,40 @@ def main() -> None:
         timings[key] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "n_queries": len(timings),
-            }
-        )
+    payload = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "n_queries": len(timings),
+    }
+    # Full-fidelity record for humans / the judge (full query keys).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_LATEST.json"),
+            "w",
+        ) as fh:
+            json.dump(payload, fh, indent=1)
+    except OSError:
+        pass
+
+    # The driver keeps only the last ~2000 chars of stdout and parses the
+    # JSON line from that tail.  112 full query keys serialize to ~2400
+    # chars, which silently broke parsing in round 1 (BENCH_r01.json
+    # "parsed": null).  Emit the per-query map under short keys — the
+    # first '_'-token of each key (q00, x04b, s02, ...), verified unique —
+    # so the final line stays well under the capture window.  The
+    # short→full mapping is documented in BASELINE.md.
+    shorts = [k.split("_")[0] for k in timings]
+    if len(set(shorts)) == len(shorts):
+        out_queries = {k.split("_")[0]: v for k, v in timings.items()}
+    else:  # collision safety: fall back to full names
+        out_queries = timings
+    line = json.dumps(
+        {**payload, "queries": out_queries}, separators=(",", ":")
     )
+    print(line)
 
 
 if __name__ == "__main__":

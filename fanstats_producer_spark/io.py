@@ -52,8 +52,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer `div`, not `/`: epoch-nanos overflow double's exact range
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # Fixture generators have shipped ts as either TIMESTAMP(NANOS)
+        # (read as long via nanosAsLong) or TIMESTAMP(MICROS) without UTC
+        # adjustment (TIMESTAMP_NTZ); normalize both to session-TZ (UTC)
+        # microsecond TIMESTAMP so downstream epoch math (cast to long,
+        # unix_timestamp, window()) behaves identically.  Integer `div`,
+        # not `/`: epoch-nanos overflow double's exact range.
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            # session TZ is pinned to UTC above, so this is a pure
+            # type-tag change, bit-identical values
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _LOAD_CACHE[key] = (spark, df)

@@ -227,7 +227,8 @@ def x30_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(embedding,
                             x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS q
       FROM sc)
-    SELECT vec_id, round(scale, 9) AS scale_r, q,
+    SELECT vec_id, round(scale, 9) AS scale_r,
+           array_to_string(q, ',') AS q_csv,
            round(list_reduce(
                    list_transform(
                      list_zip(embedding, q),
@@ -268,8 +269,17 @@ def x32_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ),
     )
+    # The quantized vector is emitted as a CSV string, not array<int>:
+    # the driver's canonicalizer sorts output rows with pandas, and an
+    # array-typed column is unhashable there (round-2 red).  The scalar
+    # form is also what a storage layer would write as the row-group
+    # payload key; consumers parse it back with split(',').
+    q_csv = F.concat_ws(",", F.transform("q", lambda v: v.cast("string")))
     return out.select(
-        "vec_id", F.round("scale", 9).alias("scale_r"), "q", "mse_r"
+        "vec_id",
+        F.round("scale", 9).alias("scale_r"),
+        q_csv.alias("q_csv"),
+        "mse_r",
     )
 
 

@@ -12,9 +12,24 @@ import math
 
 import pytest
 
+from pyspark.sql.types import ArrayType, MapType, StructType
+
 from fanstats_producer_spark import registry
 
 from conftest import SF_DIR
+
+
+def _assert_scalar_schema(key, sdf):
+    """The driver's canonicalizer sorts rows with pandas; array/struct/map
+    output columns are unhashable there and crash the comparison (round-2
+    x32 red).  Every registered query must emit scalar columns only —
+    serialize vectors as CSV/JSON strings."""
+    complex_cols = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, StructType, MapType))
+    ]
+    assert not complex_cols, f"{key}: complex-typed output columns {complex_cols}"
 
 
 def _canon_value(v):
@@ -32,6 +47,7 @@ def _canon(cols, rows):
 @pytest.mark.parametrize("key", sorted(registry.ORACLE))
 def test_oracle_parity(key, spark, duck):
     sdf = registry.QUERIES[key](spark, SF_DIR)
+    _assert_scalar_schema(key, sdf)
     s_cols, s_rows = _canon(sdf.columns, [tuple(r) for r in sdf.collect()])
     res = duck.execute(registry.ORACLE[key])
     d_cols, d_rows = _canon([d[0] for d in res.description], res.fetchall())
@@ -44,6 +60,7 @@ def test_oracle_parity(key, spark, duck):
 def test_rows_only_queries_run(key, spark):
     """Non-SQL-expressible ops still must execute and return a stable schema."""
     sdf = registry.QUERIES[key](spark, SF_DIR)
+    _assert_scalar_schema(key, sdf)
     rows = sdf.collect()
     assert rows is not None
     assert len(sdf.columns) > 0

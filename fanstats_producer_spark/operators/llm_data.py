@@ -82,11 +82,49 @@ def x27_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- x28: vocabulary builder -----------------------------------------------------
 # Tokenizer-training prerequisite: corpus term frequencies -> min-count
 # gate -> contiguous integer ids in (freq desc, token asc) order.  The
-# only global-window input is the POST-aggregation vocabulary (|V| rows,
-# already min-count-filtered), never the corpus — the corpus-sized work
-# is one explode + one hash aggregate with map-side partials.
+# corpus-sized work is one explode + one hash aggregate with map-side
+# partials; id assignment is the two-phase global rank below — never a
+# single-partition WindowExec, even over a 10M+-token vocabulary.
 _X28_MIN_COUNT = 5
 _X28_TOP = 200
+
+
+def global_dense_rank(df, order_cols, out_col: str = "rank"):
+    """Global row_number() over ``order_cols`` without the one-task
+    `Window.orderBy` plan: range-partition on the ordering key, rank
+    within each partition, then add broadcast cumulative offsets.
+
+    Phase 1 is one range exchange (each partition holds a contiguous key
+    range, in partition-id order — AQE coalescing merges only adjacent
+    ranges, so contiguity survives).  Phase 2 collects one COUNT per
+    partition (≤ shuffle.partitions rows) and turns it into per-partition
+    starting offsets.  Works at any vocabulary size because no single
+    task ever sees more than its range's rows.  Ordering keys must be
+    unique (true post-groupBy) so ranks are well-defined.
+    """
+    parted = df.repartitionByRange(*order_cols).withColumn(
+        "__b", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__b").orderBy(*order_cols)
+    ranked = parted.withColumn("__r", F.row_number().over(w))
+    counts = sorted(
+        (r["__b"], r["c"])
+        for r in ranked.groupBy("__b").agg(F.count("*").alias("c")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, c in counts:
+        offsets[b] = acc
+        acc += c
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(v) for kv in offsets.items() for v in kv]
+        ),
+        F.col("__b"),
+    ) if offsets else F.lit(0)
+    return (
+        ranked.withColumn(out_col, (off_expr + F.col("__r")).cast("int"))
+        .drop("__b", "__r")
+    )
 
 
 @query(
@@ -112,10 +150,11 @@ def x28_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= _X28_MIN_COUNT)
     )
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    ranked = global_dense_rank(
+        freq, [F.desc("freq"), F.asc("token")], out_col="token_id"
+    )
     return (
-        freq.withColumn("token_id", F.row_number().over(w).cast("int"))
-        .filter(F.col("token_id") <= _X28_TOP)
+        ranked.filter(F.col("token_id") <= _X28_TOP)
         .select("token_id", "token", "freq")
         .orderBy("token_id")
     )

@@ -19,7 +19,7 @@ exactly the small-files problem these jobs fix).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -69,7 +69,11 @@ def analyze_table(spark: SparkSession, table: str, columns: list[str] | None = N
 
 
 def zorder_by(
-    df: DataFrame, cols: list[str], n_files: int = 4, bits: int = 16
+    df: DataFrame,
+    cols: list[str],
+    n_files: int = 4,
+    bits: int = 8,
+    relative_error: float = 0.001,
 ) -> DataFrame:
     """Z-order (Morton-interleave) layout across several columns at once.
 
@@ -80,24 +84,38 @@ def zorder_by(
     holds a hypercube of the key space, and min/max pruning works for
     filters on any subset of `cols`.
 
-    Pure JVM expressions: each column is rank-normalized to [0, 2^bits)
-    via a window percent_rank (distribution-robust — raw values would let
-    one skewed column dominate the interleave), then bits interleave via
-    shift/or folds.  Rows land in files by range over the z-value.
+    Each column is rank-normalized to [0, 2^bits) — distribution-robust;
+    raw values would let one skewed column dominate the interleave —
+    using approxQuantile bucket edges (one distributed GK-sketch pass per
+    column, driver gets 2^bits-1 doubles) and an MLlib Bucketizer
+    (broadcast splits, per-row binary search).  No global sort, no
+    single-task window, at ANY row count; the only full sort left is the
+    final range partitioning over the z-value, which is the write layout
+    itself.  2^bits buckets per dimension: 256 at the default, far finer
+    than any realistic file count, so pruning quality matches the exact
+    percent_rank formulation.  Then bits interleave via shift/or folds
+    and rows land in files by range over the z-value.
     """
+    from pyspark.ml.feature import Bucketizer
+
     normed = df
     zcols = []
     for c in cols:
         nc = f"__n_{c}"
-        w = Window.orderBy(F.col(c))
-        # percent_rank's global window is one sort per column at write
-        # time — acceptable for a maintenance pass; at cluster scale
-        # swap in approxQuantile bucket edges to avoid the single-task
-        # window.
+        dc = f"__d_{c}"
+        normed = normed.withColumn(dc, F.col(c).cast("double"))
+        probs = [i / (1 << bits) for i in range(1, 1 << bits)]
+        edges = normed.approxQuantile(dc, probs, relative_error)
+        splits = [float("-inf")] + sorted(set(edges)) + [float("inf")]
+        normed = Bucketizer(
+            splits=splits, inputCol=dc, outputCol=nc + "_d", handleInvalid="keep"
+        ).transform(normed)
+        # handleInvalid="keep" routes nulls to one extra bucket past the
+        # last; clamp so the index always fits in `bits` bits.
         normed = normed.withColumn(
             nc,
-            (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long"),
-        )
+            F.least(F.col(nc + "_d").cast("long"), F.lit((1 << bits) - 1)),
+        ).drop(nc + "_d", dc)
         zcols.append(nc)
     # interleave: bit i of column j lands at position i * n_cols + j
     n = len(zcols)

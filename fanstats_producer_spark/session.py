@@ -77,6 +77,14 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         )
+        # Pin the initial heap to the max: with the default tiny -Xms the
+        # JVM grows the heap through dozens of stop-the-world GC cycles
+        # during the first queries (the r2 driver bench lost ~25% of its
+        # wall clock to q00/q01 first-touch stalls).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
+        )
         .config("spark.driver.maxResultSize", "4g")
         # Catalyst/AQE: runtime re-planning at shuffle boundaries.
         .config("spark.sql.adaptive.enabled", "true")

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.functions.num import davg, dsum, sql_davg, sql_dsum
+from fanstats_producer_spark.functions.num import (
+    davg,
+    dsum,
+    dsum_pos,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_pos,
+)
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -248,23 +255,26 @@ def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope_price_per_qty
     FROM s
     """.format(
-        sx=sql_dsum("l_quantity"),
-        sy=sql_dsum("l_extendedprice"),
-        sxx=sql_dsum("l_quantity * l_quantity"),
-        syy=sql_dsum("l_extendedprice * l_extendedprice"),
-        sxy=sql_dsum("l_quantity * l_extendedprice"),
+        sx=sql_dsum_pos("l_quantity"),
+        sy=sql_dsum_pos("l_extendedprice"),
+        sxx=sql_dsum_pos("l_quantity * l_quantity"),
+        syy=sql_dsum_pos("l_extendedprice * l_extendedprice"),
+        sxy=sql_dsum_pos("l_quantity * l_extendedprice"),
     ),
 )
 def q52_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dsum_pos (split-accumulator long sums), not dsum: quantities and
+    # prices are nonnegative with |x*y| < 1e11, and the decimal-cast sum
+    # was q52's entire cost (2.4 s of its 4.4 s driver-r2 time).
     li = load(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
-        dsum(x).alias("sx"),
-        dsum(y).alias("sy"),
-        dsum(x * x).alias("sxx"),
-        dsum(y * y).alias("syy"),
-        dsum(x * y).alias("sxy"),
+        dsum_pos(x).alias("sx"),
+        dsum_pos(y).alias("sy"),
+        dsum_pos(x * x).alias("sxx"),
+        dsum_pos(y * y).alias("syy"),
+        dsum_pos(x * y).alias("sxy"),
     )
     n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
     return s.select(

@@ -161,6 +161,36 @@ def q24_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q24b: explicit GROUPING SETS (SURVEY.md:216 — the literal form; -------
+# rollup (q24) and cube (q28) are its two canned shapes, this is the
+# arbitrary-set form, exercised through the SQL surface on both engines)
+@query(
+    "q24b_grouping_sets",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q24b_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("q24b_orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT)
+                 AS gid,
+               COUNT(*) AS n
+        FROM q24b_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        """
+    )
+
+
 # --- q25: collect_list / array_agg (deterministic via sort) ----------------
 @query(
     "q25_arrayagg",

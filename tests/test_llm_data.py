@@ -51,7 +51,7 @@ def test_quantize_error_bound(spark):
     rows = registry.QUERIES["x32_embed_quantize"](spark, SF_DIR).collect()
     assert len(rows) > 0
     for r in rows[:50]:
-        assert all(-127 <= q <= 127 for q in r.q)
+        assert all(-127 <= int(q) <= 127 for q in r.q_csv.split(","))
         # mse <= (scale/2)^2 since each residual is <= scale/2
         assert r.mse_r <= (r.scale_r / 2) ** 2 + 1e-12
 

@@ -58,15 +58,30 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # microsecond TIMESTAMP so downstream epoch math (cast to long,
         # unix_timestamp, window()) behaves identically.  Integer `div`,
         # not `/`: epoch-nanos overflow double's exact range.
-        from pyspark.sql.types import LongType, TimestampNTZType
+        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
+            # Only TIMESTAMP(NANOS) reads as long under nanosAsLong; an
+            # unannotated INT64 epoch-micros column would too, and the
+            # div-1000 below would silently shift it 1000x.  Check one
+            # sample's magnitude (2001..2262 in nanos is ~1e18..9.2e18)
+            # before trusting the nanos interpretation.
+            sample = df.select("ts").first()
+            if sample is not None and sample[0] is not None and not (
+                1_000_000_000_000_000_000 <= abs(sample[0])
+            ):
+                raise ValueError(
+                    f"events.ts read as INT64 with magnitude {sample[0]}: "
+                    "not epoch-nanos; refusing to guess the unit"
+                )
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(ts_type, TimestampNTZType):
             # session TZ is pinned to UTC above, so this is a pure
             # type-tag change, bit-identical values
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif not isinstance(ts_type, TimestampType):
+            raise ValueError(f"events.ts has unrecognized type {ts_type}")
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     _LOAD_CACHE[key] = (spark, df)

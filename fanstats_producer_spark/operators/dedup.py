@@ -243,9 +243,22 @@ def minhash_lsh_pairs(
 def x04b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     lsh = minhash_lsh_pairs(spark, docs)
-    exact_relaxed = jaccard_pairs(docs, threshold=0.2, k=3).select("id_a", "id_b")
-    return lsh.join(exact_relaxed, ["id_a", "id_b"], "left_anti").orderBy(
-        "id_a", "id_b"
+    # Verify containment by broadcasting the (small, LSH-bounded) pair
+    # list against per-doc shingle sets — two broadcast joins, no second
+    # inverted-index build (re-running jaccard_pairs at the relaxed
+    # threshold would cost another full pair expansion for nothing).
+    sh = with_shingles(docs, k=3).select("doc_id", "shingles")
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    joined = b.join(
+        F.broadcast(a.join(F.broadcast(lsh), "id_a")), "id_b"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        joined.filter(inter.cast("double") / union < 0.2)
+        .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
     )
 
 

@@ -322,6 +322,110 @@ def x32_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x31: intra-document repetition signals (Gopher-style quality rules) --------
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher") filter documents
+# by repetition: high duplicate-n-gram fraction or a single dominating
+# token marks boilerplate/spam.  Both signals are per-row array math plus
+# one per-doc aggregate — zero corpus-wide shuffle beyond the explode-
+# aggregate for the top-token share, and that shuffle carries (doc_id,
+# token) pairs only.  Thresholding is left to the caller (the x19
+# pipeline composes gates); this operator reports the signals.
+@query(
+    "x31_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             CASE WHEN len(t) < 2 THEN 0.0
+                  ELSE round(1.0 - CAST(len(list_distinct(list_transform(
+                         range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
+                       AS DOUBLE) / (len(t) - 1), 6) END AS dup_bigram_frac
+      FROM toks),
+    top AS (
+      SELECT doc_id, round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_share
+      FROM (SELECT doc_id, token, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY 1, 2)
+      GROUP BY 1)
+    SELECT doc_id, n_tokens, dup_bigram_frac, top_token_share
+    FROM big JOIN top USING (doc_id)
+    """,
+)
+def x31_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    bigrams = F.zip_with(
+        F.slice("t", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("t", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    big = toks.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.when(n < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                1.0
+                - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1),
+                6,
+            )
+        )
+        .alias("dup_bigram_frac"),
+    )
+    counts = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    top = counts.groupBy("doc_id").agg(
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+            "top_token_share"
+        )
+    )
+    return big.join(top, "doc_id").select(
+        "doc_id", "n_tokens", "dup_bigram_frac", "top_token_share"
+    )
+
+
+# --- x33: corpus mixture statistics ---------------------------------------------
+# The observability face of x29: per-source document/token counts and the
+# source's token share of the corpus — the dashboard numbers a mixing run
+# is tuned against.  One hash aggregate over (source); the corpus-wide
+# total rides in via a broadcast scalar join, so the plan is two
+# map-side-combined aggregates and no corpus shuffle.
+@query(
+    "x33_mixture_stats",
+    oracle="""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(string_split(text, ' '))) AS n_tokens
+      FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n_tokens) AS t FROM per)
+    SELECT source, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share
+    FROM per CROSS JOIN tot
+    """,
+)
+def x33_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+    )
+    tot = per.agg(F.sum("n_tokens").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
+            "token_share"
+        ),
+    )
+
+
 # --- contamination gate: the x27 decision as a batch/stream-shared filter -------
 # x27 REPORTS contamination; this applies it.  Stateless per-row form —
 # shingle the document, intersect with the benchmark shingle set, drop on

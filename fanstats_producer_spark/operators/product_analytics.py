@@ -85,10 +85,18 @@ def q55_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    w = Window.partitionBy()
-    return counts.withColumn(
-        "conv_from_top",
-        F.round(F.col("n_users").cast("double") / F.max("n_users").over(w), 6),
+    # Broadcast the 1-row max instead of an unpartitioned window: the
+    # counts frame is 3 rows, but the empty-frame WindowExec still drags
+    # everything to one task (and spams the driver log); the cross join
+    # is a broadcast nested loop over a scalar.
+    top = counts.agg(F.max("n_users").alias("__top"))
+    return (
+        counts.crossJoin(F.broadcast(top))
+        .withColumn(
+            "conv_from_top",
+            F.round(F.col("n_users").cast("double") / F.col("__top"), 6),
+        )
+        .drop("__top")
     )
 
 

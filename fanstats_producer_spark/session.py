@@ -77,14 +77,12 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
         )
-        # Pin the initial heap to the max: with the default tiny -Xms the
-        # JVM grows the heap through dozens of stop-the-world GC cycles
-        # during the first queries (the r2 driver bench lost ~25% of its
-        # wall clock to q00/q01 first-touch stalls).
-        .config(
-            "spark.driver.extraJavaOptions",
-            "-Xms" + os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"),
-        )
+        # NOTE: do NOT pin -Xms to the heap max.  Measured on this host:
+        # -Xms24g slows a 46-query bench subset from 26.8 s to 41.9 s
+        # (~1.6x) — pre-committing the whole heap gives G1 a huge young
+        # gen and first-touch page-fault storms.  The r2 q00/q01 cold-
+        # start cost is addressed by bench warmup's real columnar scans
+        # instead.
         .config("spark.driver.maxResultSize", "4g")
         # Catalyst/AQE: runtime re-planning at shuffle boundaries.
         .config("spark.sql.adaptive.enabled", "true")

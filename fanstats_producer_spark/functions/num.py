@@ -68,6 +68,18 @@ def dsum_pos(col: Column | str) -> Column:
     return total.cast("double") / _M
 
 
+def davg_pos(col: Column | str, scale: int = 6) -> Column:
+    """avg over :func:`dsum_pos` — same contract as davg for nonnegative
+    inputs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(dsum_pos(c) / F.count(c), scale)
+
+
+def sql_davg_pos(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of :func:`davg_pos`."""
+    return f"ROUND({sql_dsum_pos(expr)} / COUNT({expr}), {scale})"
+
+
 def sql_dsum_pos(expr: str) -> str:
     """DuckDB mirror of :func:`dsum_pos` (SUM over BIGINT is HUGEINT in
     DuckDB, so the digit sums recombine exactly with no explicit cast)."""

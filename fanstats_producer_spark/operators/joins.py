@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.functions.num import dsum, sql_dsum
+from fanstats_producer_spark.functions.num import dsum_pos, sql_dsum_pos
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -25,7 +25,7 @@ from fanstats_producer_spark.registry import query
     SELECT c.c_mktsegment, COUNT(*) AS n_orders, {sum_price} AS sum_price
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     GROUP BY 1
-    """.format(sum_price=sql_dsum("o.o_totalprice")),
+    """.format(sum_price=sql_dsum_pos("o.o_totalprice")),
 )
 def q10_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
@@ -33,7 +33,7 @@ def q10_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_orders"), dsum("o_totalprice").alias("sum_price"))
+        .agg(F.count("*").alias("n_orders"), dsum_pos("o_totalprice").alias("sum_price"))
     )
 
 
@@ -122,7 +122,7 @@ def q13_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
     JOIN region r   ON n.n_regionkey = r.r_regionkey
     GROUP BY 1, 2
-    """.format(revenue=sql_dsum("l.l_extendedprice * (1 - l.l_discount)")),
+    """.format(revenue=sql_dsum_pos("l.l_extendedprice * (1 - l.l_discount)")),
 )
 def q14_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
@@ -138,7 +138,7 @@ def q14_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", F.year("o_orderdate").cast("int").alias("order_year"))
         .agg(
             F.count("*").alias("n_items"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            dsum_pos(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         )
     )
 
@@ -161,7 +161,7 @@ _BANDS = [
                  ('premium', 1200.0, 10000.0)) AS b(band, lo, hi)
       ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
     GROUP BY 1
-    """.format(sum_price=sql_dsum("p.p_retailprice")),
+    """.format(sum_price=sql_dsum_pos("p.p_retailprice")),
 )
 def q15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
@@ -177,7 +177,7 @@ def q15_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p.join(bands, (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi))
         .groupBy("band")
-        .agg(F.count("*").alias("n_parts"), dsum("p_retailprice").alias("sum_price"))
+        .agg(F.count("*").alias("n_parts"), dsum_pos("p_retailprice").alias("sum_price"))
     )
 
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.functions.num import davg, dsum, sql_davg, sql_dsum
+from fanstats_producer_spark.functions.num import davg_pos, dsum_pos, sql_davg_pos, sql_dsum_pos
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -43,9 +43,9 @@ from fanstats_producer_spark.registry import query
     ORDER BY sum_revenue DESC, order_day, returnflag
     LIMIT 100
     """.format(
-        sum_qty=sql_dsum("l.l_quantity"),
-        sum_rev=sql_dsum("l.l_extendedprice * (1 - l.l_discount)"),
-        avg_price=sql_davg("l.l_extendedprice"),
+        sum_qty=sql_dsum_pos("l.l_quantity"),
+        sum_rev=sql_dsum_pos("l.l_extendedprice * (1 - l.l_discount)"),
+        avg_price=sql_davg_pos("l.l_extendedprice"),
     ),
 )
 def q00_flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,9 +61,9 @@ def q00_flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_items"),
-            dsum("l_quantity").alias("sum_qty"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_revenue"),
-            davg("l_extendedprice").alias("avg_price"),
+            dsum_pos("l_quantity").alias("sum_qty"),
+            dsum_pos(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_revenue"),
+            davg_pos("l_extendedprice").alias("avg_price"),
         )
         .orderBy(F.col("sum_revenue").desc(), "order_day", "returnflag")
         .limit(100)
@@ -185,7 +185,7 @@ def q05_null(spark: SparkSession, sf_dir: str) -> DataFrame:
            {sum_price} AS sum_price
     FROM orders
     GROUP BY 1, 2
-    """.format(sum_price=sql_dsum("o_totalprice")),
+    """.format(sum_price=sql_dsum_pos("o_totalprice")),
 )
 def q06_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
@@ -196,7 +196,7 @@ def q06_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.groupBy(band.alias("price_band"), "o_orderpriority").agg(
         F.count("*").alias("n"),
-        dsum("o_totalprice").alias("sum_price"),
+        dsum_pos("o_totalprice").alias("sum_price"),
     )
 
 

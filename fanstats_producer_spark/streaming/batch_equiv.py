@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.functions.num import dsum, sql_dsum
+from fanstats_producer_spark.functions.num import dsum_pos, sql_dsum_pos
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -29,7 +29,7 @@ def tumbling_daily(events: DataFrame) -> DataFrame:
     main.tf:217, as a windowed agg)."""
     return (
         events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), dsum_pos("value").alias("sum_value"))
         .select(
             F.date_format("w.start", _FMT_SPARK).alias("window_start"),
             "event_type",
@@ -48,7 +48,7 @@ def tumbling_daily(events: DataFrame) -> DataFrame:
            {sum_value} AS sum_value
     FROM events
     GROUP BY 1, 2
-    """.format(fmt=_FMT_DUCK, sum_value=sql_dsum("value")),
+    """.format(fmt=_FMT_DUCK, sum_value=sql_dsum_pos("value")),
 )
 def s02_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_daily(load(spark, sf_dir, "events"))
@@ -86,7 +86,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     `gap` merge; session end = last event + gap."""
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), dsum_pos("value").alias("sum_value"))
         .select(
             "user_id",
             F.date_format("w.start", _FMT_SPARK).alias("session_start"),
@@ -119,7 +119,7 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
            {sum_value} AS sum_value
     FROM numbered
     GROUP BY user_id, sid
-    """.format(fmt=_FMT_DUCK, sum_value=sql_dsum("value")),
+    """.format(fmt=_FMT_DUCK, sum_value=sql_dsum_pos("value")),
 )
 def s04_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load(spark, sf_dir, "events"))

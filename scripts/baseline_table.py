@@ -32,8 +32,10 @@ def main() -> None:
         d = oracle.get(key)
         if d is None:
             print(f"| {key} | {s:.2f} | — (rows-only) | — |")
-        elif d <= 0:
+        elif d < 0:
             print(f"| {key} | {s:.2f} | ERR | — |")
+        elif d == 0:
+            print(f"| {key} | {s:.2f} | <0.001 | — |")
         else:
             d_tot += d
             print(f"| {key} | {s:.2f} | {d:.3f} | {s / d:.1f}x |")

@@ -95,6 +95,26 @@ HEADLINERS = {
         "session group-by all share ONE hash partitioning on user_id — "
         "a single exchange in the whole plan."
     ),
+    "q52_corr": (
+        "Correlation from split-accumulator sums (dsum_pos): each "
+        "measure quantizes to a scaled long and sums as three plain "
+        "long digits (codegen fast path, 6x faster than decimal sums), "
+        "recombined exactly in decimal at the 6-row group level — ONE "
+        "aggregation pass, bit-identical on any partitioning."
+    ),
+    "x27_decontaminate": (
+        "Decontamination as an inverted index: the corpus shingle-"
+        "explodes ONCE, 5-grams collapse to xxhash64 before the single "
+        "shuffle, and (train, eval) hits expand map-side from each "
+        "posting pair — no second corpus scan, no broadcast of an "
+        "exploded eval side."
+    ),
+    "x28_vocab": (
+        "Vocabulary ids without a single-task window: range exchange "
+        "on (freq desc, token), per-partition row_number, and broadcast "
+        "cumulative offsets — the only rows that ever reach the driver "
+        "are one COUNT per partition."
+    ),
 }
 
 

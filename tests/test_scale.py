@@ -285,3 +285,72 @@ def test_zorder_layout_localizes_both_columns(spark, tmp_path):
         .collect()
     )
     assert all(r.span_b == 63 for r in lex_spans)
+
+
+def test_dsum_pos_matches_decimal_dsum(spark):
+    """The split-accumulator fast sum must be value-identical to the
+    decimal-cast sum on every nonnegative fixture measure it replaced."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.functions.num import dsum, dsum_pos
+    from fanstats_producer_spark.io import load
+
+    from conftest import SF_DIR
+
+    li = load(spark, SF_DIR, "lineitem")
+    cases = [
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        F.col("l_quantity") * F.col("l_extendedprice"),
+    ]
+    row = li.groupBy("l_returnflag").agg(
+        *[dsum(c).alias(f"d{i}") for i, c in enumerate(cases)],
+        *[dsum_pos(c).alias(f"p{i}") for i, c in enumerate(cases)],
+    ).collect()
+    assert row
+    for r in row:
+        for i in range(len(cases)):
+            assert r[f"d{i}"] == r[f"p{i}"], (r["l_returnflag"], i)
+
+
+def test_dsum_pos_partitioning_invariant(spark):
+    """Same result on 1 partition and 32 skew-shuffled partitions —
+    the reproducibility contract that matters at 1000 executors."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.functions.num import dsum_pos
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") * 0.001 + 0.0005).alias("v"),
+    )
+    one = {r["k"]: r["s"] for r in df.coalesce(1).groupBy("k").agg(dsum_pos("v").alias("s")).collect()}
+    many = {r["k"]: r["s"] for r in df.repartition(32, "v").groupBy("k").agg(dsum_pos("v").alias("s")).collect()}
+    assert one == many
+
+
+def test_global_dense_rank_matches_window(spark):
+    """Two-phase global rank == the single-task row_number over the same
+    ordering, on a frame large enough to span many range partitions."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from fanstats_producer_spark.operators.llm_data import global_dense_rank
+
+    df = spark.range(50_000).select(
+        F.col("id"),
+        (F.xxhash64("id") % 1000).alias("freq"),
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in global_dense_rank(
+            df, [F.desc("freq"), F.asc("id")], out_col="rank"
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("freq"), F.asc("id"))
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w).cast("int")).collect()
+    }
+    assert got == want

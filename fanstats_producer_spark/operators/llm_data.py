@@ -455,6 +455,107 @@ def x33_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def global_running_sum(df, order_cols, val_col: str, out_col: str = "cum"):
+    """Global cumulative sum over ``order_cols`` without a single-task
+    window — the same two-phase shape as :func:`global_dense_rank`:
+    range-partition on the ordering key, running-sum within each
+    partition, add broadcast per-partition offsets.  Only one COUNT-
+    sized row per partition reaches the driver."""
+    parted = df.repartitionByRange(*order_cols).withColumn(
+        "__b", F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy("__b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = parted.withColumn("__c", F.sum(val_col).over(w))
+    totals = sorted(
+        (r["__b"], r["t"])
+        for r in ranked.groupBy("__b").agg(F.sum(val_col).alias("t")).collect()
+    )
+    offsets, acc = {}, 0
+    for b, t in totals:
+        offsets[b] = acc
+        acc += t or 0
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
+        F.col("__b"),
+    ) if offsets else F.lit(0)
+    return ranked.withColumn(out_col, off_expr + F.col("__c")).drop("__b", "__c")
+
+
+# --- x34: dedup observability (per-source duplication rates) --------------------
+# The dashboard face of x03: how much of each source is redundant —
+# the number every dedup run is judged by.  One aggregate over
+# (source, digest) partials; the text never shuffles, only 32-byte
+# digests do.
+@query(
+    "x34_dedup_stats",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT sha256(text)) AS n_unique,
+           round(1.0 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM documents GROUP BY 1
+    """,
+)
+def x34_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("source", F.sha2("text", 256).alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("h").alias("n_unique"),
+            F.round(
+                1.0 - F.countDistinct("h").cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+# --- x35: token-budget subsampling ----------------------------------------------
+# "Give me a deterministic ~30k-token slice of this corpus": documents
+# ordered by md5(doc_id) (RNG-free, cluster-shape independent — the x14
+# sampling machinery), cumulative token count via the two-phase global
+# running sum, cut at the budget.  At 100 TB this is how fixed-size
+# training mixtures get drawn reproducibly; no single-task window at any
+# corpus size.
+_X35_BUDGET = 30_000
+
+
+@query(
+    "x35_token_budget",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS r
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY r, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM t)
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {_X35_BUDGET}
+    """,
+)
+def x35_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("r"),
+    )
+    c = global_running_sum(
+        t, [F.asc("r"), F.asc("doc_id")], "n_tokens", out_col="cum_tokens"
+    )
+    return c.filter(F.col("cum_tokens") <= _X35_BUDGET).select(
+        "doc_id", "n_tokens", "cum_tokens"
+    )
+
+
 # --- contamination gate: the x27 decision as a batch/stream-shared filter -------
 # x27 REPORTS contamination; this applies it.  Stateless per-row form —
 # shingle the document, intersect with the benchmark shingle set, drop on

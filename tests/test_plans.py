@@ -102,12 +102,13 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
 
 
-def test_decontaminate_broadcasts_eval_side(spark):
-    """x27: the benchmark (eval) postings are tiny — the train corpus
-    must stream through a broadcast join, never shuffle by shingle."""
+def test_decontaminate_is_single_pass_inverted_index(spark):
+    """x27: one corpus pass, no join at all — the shingle postings group
+    once (8-byte hashed keys) and (train, eval) hits expand map-side;
+    the only second exchange carries pair counts, not corpus data."""
     df = registry.QUERIES["x27_decontaminate"](spark, SF_DIR)
-    assert checks.has_broadcast_join(df)
     assert not checks.has_sort_merge_join(df)
+    assert checks.n_shuffle_exchanges(df) <= 2
 
 
 def test_mixture_has_no_shuffle(spark):

@@ -110,9 +110,12 @@ def ivf_topk(
     co-partitioned equi-join on list id — partition pruning, not a scan.
     """
     dims = emb.select(F.posexplode(_as_double(F.col("embedding"))).alias("i", "x"), "label")
+    # Centroid dims round to 9 decimals: the probe argmax must pick the
+    # same list on every engine/partitioning, and raw float avgs differ
+    # in the last ulps across summation orders.
     centroids = (
         dims.groupBy("label", "i")
-        .agg(F.avg("x").alias("cx"))
+        .agg(F.round(F.avg("x"), 9).alias("cx"))
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
         .select("label", F.transform("pairs", lambda p: p.cx).alias("centroid"))
@@ -147,7 +150,45 @@ def ivf_topk(
     )
 
 
-@query("x05b_ivf_ann")  # approximate → rows-only driver check
+# IVF with fixed probes is approximate vs brute force but fully
+# DETERMINISTIC and SQL-expressible: the coarse quantizer is a per-label
+# dim-mean (rounded to 9 dp so the probe argmax is engine-stable), the
+# probe is the top-1 centroid by cosine, and the result is the exact
+# top-k WITHIN the probed list — so the whole operator gets a value-hash
+# oracle, not a rows-only check.  The fixture embedding width (64) is
+# pinned by TESTDATA.md.
+@query(
+    "x05b_ivf_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_KNN_QUERIES}),
+    dims AS (
+      SELECT label, i, round(AVG(v[i+1]), 9) AS cx
+      FROM e CROSS JOIN range(64) AS t(i)
+      GROUP BY 1, 2),
+    cent AS (SELECT label, list(cx ORDER BY i) AS c FROM dims GROUP BY 1),
+    probe AS (
+      SELECT query_id, qv, label FROM (
+        SELECT q.query_id, q.qv, cent.label,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY list_cosine_similarity(q.qv, cent.c)
+                                           DESC, cent.label) AS pr
+        FROM q CROSS JOIN cent)
+      WHERE pr = 1),
+    scored AS (
+      SELECT p.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(p.qv, e.v) AS sim
+      FROM probe p JOIN e ON e.label = p.label
+      WHERE e.vec_id <> p.query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rnk
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_KNN_K} ORDER BY query_id, rnk
+    """,
+)
 def x05b_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
@@ -220,7 +261,42 @@ def lsh_simjoin(
     )
 
 
-@query("x06b_lsh_simjoin")  # approximate → rows-only driver check
+# Containment property check (the x04b pattern): BRP-LSH's seeded random
+# projections are not SQL-reproducible, but its OUTPUT contract is —
+# approxSimilarityJoin's distCol is the TRUE Euclidean distance, so every
+# returned pair must also be an exact-join pair at the same threshold.
+# The registered query returns the VIOLATION set (empty iff the LSH arm
+# is sound; a hair of slack on the exact side absorbs last-ulp float
+# disagreement at the boundary); the oracle states that emptiness.  The
+# pair output itself stays covered by tests/test_xlayer.py.
+@query(
+    "x06b_lsh_simjoin",
+    oracle="""
+    SELECT CAST(NULL AS BIGINT) AS id_a,
+           CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS DOUBLE) AS euclid_dist
+    WHERE false
+    """,
+)
 def x06b_lsh_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _X06_LIMIT)
-    return lsh_simjoin(spark, emb).orderBy("id_a", "id_b")
+    pairs = lsh_simjoin(spark, emb)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    d2 = F.aggregate(
+        F.zip_with(
+            _as_double(F.col("va")),
+            _as_double(F.col("vb")),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(d2 <= F.lit(1.2000001**2))
+        .select("id_a", "id_b")
+    )
+    return pairs.join(exact, ["id_a", "id_b"], "left_anti").orderBy(
+        "id_a", "id_b"
+    )

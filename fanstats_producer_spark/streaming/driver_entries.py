@@ -5,10 +5,13 @@ The streaming jobs in streaming/jobs.py are pytest-verified with real
 file streams, but the driver's correctness harness only sees registry
 entries.  These wrappers run each job for real — `readStream` over the
 sf parquet, `Trigger.AvailableNow`, checkpointed sink — then return the
-drained result as a *batch* DataFrame.  They register rows-only (no
-oracle): streaming semantics (watermark eviction, incremental state)
-are not ANSI-SQL-expressible, which is exactly the driver's documented
-weaker-check case.
+drained result as a *batch* DataFrame.  Because the fixture lands as ONE
+file (a single micro-batch), the drained results equal the batch
+aggregates over the same events — so each entry carries a full value-
+hash oracle: the streaming machinery is exercised for real AND checked
+exactly.  What the oracle cannot state — watermark eviction across
+micro-batches, state recovery — stays pytest-verified with multi-batch
+file streams in tests/test_streaming.py.
 
 Everything is bounded: sinks and checkpoints live in fresh temp dirs,
 output rows are per-key / per-window aggregates (never the raw event
@@ -24,6 +27,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fanstats_producer_spark.functions.num import sql_dsum_pos
 from fanstats_producer_spark.registry import query
 from fanstats_producer_spark.streaming import jobs
 
@@ -58,7 +62,13 @@ def _drain(q) -> None:
     q.awaitTermination()
 
 
-@query("s01_stream_ingest")
+@query(
+    "s01_stream_ingest",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
 def s01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s01: stream ingest -> checkpointed partitioned parquet sink
     (exactly-once), then summarize the landed layout.  Returns one row
@@ -76,7 +86,14 @@ def s01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("s05_watermark")
+@query(
+    "s05_watermark",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {sum_value} AS sum_value
+    FROM events GROUP BY 1, 2
+    """.format(sum_value=sql_dsum_pos("value")),
+)
 def s05_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s05: watermarked tumbling-window aggregation run as a real
     incremental query (update mode -> memory sink).  The watermark
@@ -109,7 +126,14 @@ def s05_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("s07_stateful")
+@query(
+    "s07_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           round({total}, 6) AS total_value
+    FROM events GROUP BY 1
+    """.format(total=sql_dsum_pos("value")),
+)
 def s07_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """s07: applyInPandasWithState per-user running totals, drained via
     AvailableNow into a memory sink.  One output row per user per batch;

@@ -52,12 +52,18 @@ def windowed_counts(
     slide: str | None = None,
     watermark: str = "30 minutes",
 ) -> DataFrame:
-    """s02/s03/s05: watermarked tumbling/sliding window aggregation."""
+    """s02/s03/s05: watermarked tumbling/sliding window aggregation.
+    sum_value uses the split-accumulator exact sum (functions/num.py):
+    in streaming the partials land in the state store per window, and
+    exactness there means the emitted aggregate is bit-identical no
+    matter how rows were batched — same contract as the batch arm."""
+    from fanstats_producer_spark.functions.num import dsum_pos
+
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
         .groupBy(win.alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n"), dsum_pos("value").alias("sum_value"))
         .select("w.start", "w.end", "event_type", "n", "sum_value")
     )
 
@@ -89,19 +95,29 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        # State totals accumulate in integer micro-units (floor(v*1e6 +
+        # 0.5) per row — the dsum_pos quantization): exact, order-free,
+        # and reproducible across any batching of the stream, where a
+        # float accumulator would drift with arrival order.
+        n, total_u = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            total_u += int(
+                (pdf["value"] * 1_000_000 + 0.5).astype("int64").sum()
+            )
+        state.update((n, total_u))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 6)]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total_u / 1_000_000, 6)],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, n_events long, total_value double",
-        stateStructType="n long, total double",
+        stateStructType="n long, total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

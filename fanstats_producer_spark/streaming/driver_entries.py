@@ -157,3 +157,104 @@ def s07_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("total_value").alias("total_value"),
         )
     )
+
+
+@query(
+    "s08_stream_join",
+    oracle="""
+    SELECT CAST(CAST(p.ts AS DATE) AS VARCHAR) AS purchase_date,
+           COUNT(*) AS n_pairs,
+           COUNT(DISTINCT p.event_id) AS n_purchases
+    FROM events p JOIN events c ON p.user_id = c.user_id
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def s08_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s08: watermarked stream-stream join run for real (both sides of
+    the same event stream, time-bounded state), drained in append mode;
+    the per-day pair counts equal the batch time-conditioned self-join
+    the oracle states."""
+    name = f"s08_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir)
+    joined = jobs.clicks_to_purchases_join(stream, horizon="1 hour")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return (
+        spark.table(name)
+        .groupBy(
+            F.col("purchase_ts").cast("date").cast("string").alias("purchase_date")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("purchase_id").alias("n_purchases"),
+        )
+    )
+
+
+@query(
+    "s09_upsert_state",
+    oracle="""
+    SELECT user_id, event_id AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def s09_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s09: foreachBatch upsert sink run for real — the compacted
+    latest-event-per-user state table after the drain equals the batch
+    argmax the oracle states (ties broken by event_id, so the merge is
+    deterministic across any batching)."""
+    tmp = tempfile.mkdtemp(prefix="s09_")
+    state, ckpt = f"{tmp}/state", f"{tmp}/ckpt"
+    stream = _read_events_stream(spark, sf_dir)
+    _drain(jobs.upsert_latest_per_key(stream, state, ckpt))
+    latest = spark.read.parquet(state)
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+    )
+
+
+@query(
+    "s11_content_dedup",
+    oracle="""
+    SELECT COUNT(*) AS n_input,
+           COUNT(DISTINCT sha256(CAST(props AS VARCHAR))) AS n_kept
+    FROM events
+    """,
+)
+def s11_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s11: streaming exact content dedup (first arrival per digest
+    within the watermark wins), drained and summarized.  Which duplicate
+    survives is arrival-order-dependent, so the oracle states the
+    deterministic part: input size and the number of kept (distinct-
+    content) rows."""
+    name = f"s11_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir)
+    deduped = jobs.deduped_by_content(stream, text_col="props")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    kept = spark.table(name)
+    from fanstats_producer_spark.io import load as _load
+
+    total = _load(spark, sf_dir, "events").count()
+    return kept.agg(
+        F.lit(total).alias("n_input"), F.count("*").alias("n_kept")
+    )

@@ -91,12 +91,14 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         dt = time.perf_counter() - t0
-        if dt > 1.0:
+        if 1.0 < dt < 8.0:
             # This shared host shows random multi-second interference
             # spikes that land on 1-2 arbitrary queries per run; re-time
             # anything slow once and keep the best — steady-state plan
             # cost, same best-of-N convention as BASELINE.md's scaling
-            # table.  Sub-second keys aren't worth the second run.
+            # table.  Sub-second keys aren't worth the second run, and
+            # above ~8 s the time is real work (streaming drains, LSH
+            # fits), not a spike — rerunning would double honest cost.
             t1 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             dt = min(dt, time.perf_counter() - t1)

@@ -179,14 +179,24 @@ def s08_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s08_mem_{uuid.uuid4().hex[:8]}"
     stream = _read_events_stream(spark, sf_dir)
     joined = jobs.clicks_to_purchases_join(stream, horizon="1 hour")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    # Stream-stream join state stores are per-shuffle-partition (two
+    # sides x commit each micro-batch); at bench SFs the fixed store
+    # overhead dwarfs the 371-pair join, so run the drain on few
+    # partitions.  Partition count never changes join RESULTS, only
+    # parallelism — at 100 TB this knob goes UP, not down.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.table(name)
         .groupBy(

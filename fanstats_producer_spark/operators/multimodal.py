@@ -91,6 +91,67 @@ def x07_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tensor_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker with REAL vectorized compute: each payload is
+    viewed as a uint8 tensor (numpy zero-copy over the Arrow buffer),
+    split into 8 contiguous segments (np.array_split boundaries), and
+    mean-pooled per segment — the shape of a patch-embedding stage, with
+    the codec decode swapped for the byte view.  Empty segments (payloads
+    shorter than 8 bytes) emit no row, so the output is well-defined for
+    any blob."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+            for seg, chunk in enumerate(np.array_split(arr, 8)):
+                if chunk.size:
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "seg": seg,
+                            "mean_byte": round(float(chunk.mean()), 6),
+                        }
+                    )
+        yield pd.DataFrame(rows, columns=["doc_id", "seg", "mean_byte"])
+
+
+# The oracle reproduces np.array_split's boundaries (i*(l//8)+min(i,l%8))
+# byte-for-byte over the UTF-8 blob, so the numpy pooling is value-hash
+# checked — the decode stub is the only fake in the multimodal path.
+@query(
+    "x07b_tensor_features",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS l
+      FROM documents),
+    pos AS (
+      SELECT doc_id, hx, l, unnest(range(l)) AS p FROM t),
+    byts AS (
+      -- np.array_split: (l%8) leading segments of size l//8+1, the rest
+      -- of size l//8; closed-form inverse maps a byte position to its
+      -- segment (the ELSE branch is unreachable when l//8 = 0).
+      SELECT doc_id,
+             CASE WHEN p < (l % 8) * (l // 8 + 1)
+                  THEN p // (l // 8 + 1)
+                  ELSE (l % 8) + (p - (l % 8) * (l // 8 + 1)) // (l // 8)
+             END AS seg,
+             CAST(('0x' || substring(hx, CAST(2 * p + 1 AS INT), 2)) AS INT) AS v
+      FROM pos)
+    SELECT doc_id, CAST(seg AS INT) AS seg, round(avg(v), 6) AS mean_byte
+    FROM byts GROUP BY 1, 2
+    """,
+)
+def x07b_tensor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = with_payload(load(spark, sf_dir, "documents")).select(
+        "doc_id", "payload"
+    )
+    return payloads.mapInPandas(
+        tensor_features, schema="doc_id long, seg int, mean_byte double"
+    )
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
     """Real resize goes here (PIL.Image.resize). Unavailable in this
     container — callers catch NotImplementedError and use the

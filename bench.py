@@ -91,6 +91,7 @@ def main() -> None:
     stream_drains = {
         "s01_stream_ingest", "s05_watermark", "s07_stateful",
         "s08_stream_join", "s09_upsert_state", "s11_content_dedup",
+        "s04b_session_stream",
     }
     timings: dict[str, float] = {}
     for key in sorted(registry.QUERIES):

@@ -268,3 +268,53 @@ def s11_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.agg(
         F.lit(total).alias("n_input"), F.count("*").alias("n_kept")
     )
+
+
+@query(
+    "s04b_session_stream",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def s04b_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s04 run as a REAL stream: session_window aggregation drained via
+    AvailableNow in complete mode (session merging cannot re-emit
+    incrementally, so update mode is unsupported; complete rewrites the
+    merged result each batch and the drained table IS the final
+    sessions).  Equals the batch gap-and-island sessionization the
+    oracle states; cross-batch merging is pytest-verified
+    (tests/test_streaming.py::test_session_window_stream)."""
+    name = f"s04b_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir)
+    sessions = jobs.sessionized(stream, gap="30 minutes")
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )

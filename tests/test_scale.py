@@ -354,3 +354,33 @@ def test_global_dense_rank_matches_window(spark):
         for r in df.withColumn("rank", F.row_number().over(w).cast("int")).collect()
     }
     assert got == want
+
+
+def test_global_running_sum_matches_window(spark):
+    """Two-phase global cumulative sum == the single-task running-sum
+    window over the same ordering."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from fanstats_producer_spark.operators.llm_data import global_running_sum
+
+    df = spark.range(30_000).select(
+        F.col("id"),
+        (F.xxhash64("id") % 97).alias("k"),
+        (F.col("id") % 13 + 1).alias("v"),
+    )
+    got = {
+        r["id"]: r["cum"]
+        for r in global_running_sum(
+            df, [F.asc("k"), F.asc("id")], "v", out_col="cum"
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.asc("k"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        r["id"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == want

@@ -118,41 +118,39 @@ _X28_MIN_COUNT = 5
 _X28_TOP = 200
 
 
-def global_dense_rank(df, order_cols, out_col: str = "rank"):
+def global_dense_rank(df, order_cols, bucket, out_col: str = "rank"):
     """Global row_number() over ``order_cols`` without the one-task
-    `Window.orderBy` plan: range-partition on the ordering key, rank
-    within each partition, then add broadcast cumulative offsets.
+    `Window.orderBy` plan: bucket on a DATA-DERIVED key, rank within each
+    bucket, add per-bucket cumulative offsets via a broadcast join.
 
-    Phase 1 is one range exchange (each partition holds a contiguous key
-    range, in partition-id order — AQE coalescing merges only adjacent
-    ranges, so contiguity survives).  Phase 2 collects one COUNT per
-    partition (≤ shuffle.partitions rows) and turns it into per-partition
-    starting offsets.  Works at any vocabulary size because no single
-    task ever sees more than its range's rows.  Ordering keys must be
+    ``bucket`` must be a pure function of the row that is monotone
+    non-decreasing along the global order (every row of a lower bucket
+    precedes every row of a higher one — e.g. a prefix of the leading
+    sort key).  Because the bucket id is computed FROM THE DATA, every
+    recomputation of the lineage assigns identical buckets; the offsets
+    are a tiny cumulative window over per-bucket counts (≤ n_buckets
+    rows, single cheap task) joined back by broadcast, so offsets and
+    rows can never disagree about the layout.  The previous design keyed
+    offsets on spark_partition_id() collected in one action and applied
+    them to the lineage re-executed in a second action; repartitionByRange
+    re-samples boundaries per job and AQE may re-coalesce differently, so
+    job-1 offsets could mis-describe job-2's layout (round-3 driver red
+    on x35; ADVICE.md high).  No task ever sees more than one bucket's
+    rows; skew lever = a longer bucket prefix.  Ordering keys must be
     unique (true post-groupBy) so ranks are well-defined.
     """
-    parted = df.repartitionByRange(*order_cols).withColumn(
-        "__b", F.spark_partition_id()
-    )
+    parted = df.withColumn("__b", bucket)
     w = Window.partitionBy("__b").orderBy(*order_cols)
     ranked = parted.withColumn("__r", F.row_number().over(w))
-    counts = sorted(
-        (r["__b"], r["c"])
-        for r in ranked.groupBy("__b").agg(F.count("*").alias("c")).collect()
+    per = parted.groupBy("__b").agg(F.count("*").alias("__n"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    off = per.select(
+        "__b", F.coalesce(F.sum("__n").over(wo), F.lit(0)).alias("__off")
     )
-    offsets, acc = {}, 0
-    for b, c in counts:
-        offsets[b] = acc
-        acc += c
-    off_expr = F.element_at(
-        F.create_map(
-            *[F.lit(v) for kv in offsets.items() for v in kv]
-        ),
-        F.col("__b"),
-    ) if offsets else F.lit(0)
     return (
-        ranked.withColumn(out_col, (off_expr + F.col("__r")).cast("int"))
-        .drop("__b", "__r")
+        ranked.join(F.broadcast(off), "__b")
+        .withColumn(out_col, (F.col("__off") + F.col("__r")).cast("int"))
+        .drop("__b", "__r", "__off")
     )
 
 
@@ -179,8 +177,18 @@ def x28_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= _X28_MIN_COUNT)
     )
+    # Bucket = (-freq, first token char): monotone along (freq desc,
+    # token asc) and a pure function of the row.  The first-char arm
+    # splits the Zipf-tail tie groups (freq == min_count holds most of
+    # the vocabulary) ~36 ways; at larger vocabularies widen the prefix.
     ranked = global_dense_rank(
-        freq, [F.desc("freq"), F.asc("token")], out_col="token_id"
+        freq,
+        [F.desc("freq"), F.asc("token")],
+        bucket=F.struct(
+            (-F.col("freq")).alias("nf"),
+            F.substring("token", 1, 1).alias("tp"),
+        ),
+        out_col="token_id",
     )
     return (
         ranked.filter(F.col("token_id") <= _X28_TOP)
@@ -455,34 +463,30 @@ def x33_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def global_running_sum(df, order_cols, val_col: str, out_col: str = "cum"):
+def global_running_sum(df, order_cols, val_col: str, bucket, out_col: str = "cum"):
     """Global cumulative sum over ``order_cols`` without a single-task
-    window — the same two-phase shape as :func:`global_dense_rank`:
-    range-partition on the ordering key, running-sum within each
-    partition, add broadcast per-partition offsets.  Only one COUNT-
-    sized row per partition reaches the driver."""
-    parted = df.repartitionByRange(*order_cols).withColumn(
-        "__b", F.spark_partition_id()
-    )
+    window — the same data-derived-bucket shape as
+    :func:`global_dense_rank` (see its docstring for why the bucket must
+    be a monotone function of the data, not spark_partition_id()):
+    running-sum within each bucket, add per-bucket cumulative offsets
+    via a broadcast join, all in one lazy plan."""
+    parted = df.withColumn("__b", bucket)
     w = (
         Window.partitionBy("__b")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     ranked = parted.withColumn("__c", F.sum(val_col).over(w))
-    totals = sorted(
-        (r["__b"], r["t"])
-        for r in ranked.groupBy("__b").agg(F.sum(val_col).alias("t")).collect()
+    per = parted.groupBy("__b").agg(F.sum(val_col).alias("__t"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    off = per.select(
+        "__b", F.coalesce(F.sum("__t").over(wo), F.lit(0)).alias("__off")
     )
-    offsets, acc = {}, 0
-    for b, t in totals:
-        offsets[b] = acc
-        acc += t or 0
-    off_expr = F.element_at(
-        F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv]),
-        F.col("__b"),
-    ) if offsets else F.lit(0)
-    return ranked.withColumn(out_col, off_expr + F.col("__c")).drop("__b", "__c")
+    return (
+        ranked.join(F.broadcast(off), "__b")
+        .withColumn(out_col, F.col("__off") + F.col("__c"))
+        .drop("__b", "__c", "__off")
+    )
 
 
 # --- x34: dedup observability (per-source duplication rates) --------------------
@@ -548,8 +552,15 @@ def x35_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("r"),
     )
+    # Bucket = first two md5 hex chars: 256 uniform buckets, a prefix of
+    # the leading sort key, so bucket order == global order by
+    # construction and every recomputation agrees.
     c = global_running_sum(
-        t, [F.asc("r"), F.asc("doc_id")], "n_tokens", out_col="cum_tokens"
+        t,
+        [F.asc("r"), F.asc("doc_id")],
+        "n_tokens",
+        bucket=F.substring("r", 1, 2),
+        out_col="cum_tokens",
     )
     return c.filter(F.col("cum_tokens") <= _X35_BUDGET).select(
         "doc_id", "n_tokens", "cum_tokens"

@@ -332,7 +332,9 @@ def test_dsum_pos_partitioning_invariant(spark):
 
 def test_global_dense_rank_matches_window(spark):
     """Two-phase global rank == the single-task row_number over the same
-    ordering, on a frame large enough to span many range partitions."""
+    ordering, on a frame large enough to span many buckets — and stable
+    under different shuffle layouts (the round-3 hazard: offsets keyed on
+    runtime partition ids could mis-describe a re-executed lineage)."""
     import pyspark.sql.functions as F
     from pyspark.sql import Window
 
@@ -342,18 +344,27 @@ def test_global_dense_rank_matches_window(spark):
         F.col("id"),
         (F.xxhash64("id") % 1000).alias("freq"),
     )
-    got = {
-        r["id"]: r["rank"]
-        for r in global_dense_rank(
-            df, [F.desc("freq"), F.asc("id")], out_col="rank"
-        ).collect()
-    }
+    bucket = (-F.col("freq")).cast("long")
     w = Window.orderBy(F.desc("freq"), F.asc("id"))
     want = {
         r["id"]: r["rank"]
         for r in df.withColumn("rank", F.row_number().over(w).cast("int")).collect()
     }
-    assert got == want
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        # Force DIFFERENT physical layouts across evaluations: the
+        # result must be a pure function of the data either way.
+        for parts in ("3", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = {
+                r["id"]: r["rank"]
+                for r in global_dense_rank(
+                    df, [F.desc("freq"), F.asc("id")], bucket, out_col="rank"
+                ).collect()
+            }
+            assert got == want, f"mismatch at shuffle.partitions={parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def test_global_running_sum_matches_window(spark):
@@ -369,12 +380,6 @@ def test_global_running_sum_matches_window(spark):
         (F.xxhash64("id") % 97).alias("k"),
         (F.col("id") % 13 + 1).alias("v"),
     )
-    got = {
-        r["id"]: r["cum"]
-        for r in global_running_sum(
-            df, [F.asc("k"), F.asc("id")], "v", out_col="cum"
-        ).collect()
-    }
     w = (
         Window.orderBy(F.asc("k"), F.asc("id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -383,4 +388,20 @@ def test_global_running_sum_matches_window(spark):
         r["id"]: r["cum"]
         for r in df.withColumn("cum", F.sum("v").over(w)).collect()
     }
-    assert got == want
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("5", "32"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = {
+                r["id"]: r["cum"]
+                for r in global_running_sum(
+                    df,
+                    [F.asc("k"), F.asc("id")],
+                    "v",
+                    bucket=F.floor(F.col("k") / 10).cast("long"),
+                    out_col="cum",
+                ).collect()
+            }
+            assert got == want, f"mismatch at shuffle.partitions={parts}"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -94,3 +94,51 @@ def sql_dsum_pos(expr: str) -> str:
 def sql_davg(expr: str, scale: int = 6) -> str:
     """DuckDB mirror of :func:`davg`."""
     return f"ROUND({sql_dsum(expr)} / COUNT({expr}), {scale})"
+
+
+# --- integer quantization for query OUTPUT columns -----------------------------
+# A double that reaches a query's output survives two engines' rounding
+# AND the driver's canonical hash; round-3 showed a bit-exact double
+# (x33.token_share) still hashing red.  The antidote: never emit a bare
+# round(double, n) — emit floor(x * 10^n + 0.5) AS BIGINT.  Both engines
+# evaluate the SAME IEEE multiply/add/floor on the SAME double, so the
+# integer is identical by construction (no dependence on either engine's
+# round() implementation, its tie-breaking, or the driver's float
+# formatting).  Negative inputs round half-toward-+inf on both engines —
+# consistent, which is all the hash needs.
+def qint(col: Column | str, scale: int = 6) -> Column:
+    """Cross-engine-stable quantization of a double to a 10^-scale-units
+    BIGINT (see note above).  |x| must stay below ~9.2e18 / 10^scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c.cast("double") * F.lit(float(10**scale)) + F.lit(0.5)).cast(
+        "long"
+    )
+
+
+def sql_qint(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of :func:`qint`."""
+    return f"CAST(floor(CAST(({expr}) AS DOUBLE) * 1e{scale} + 0.5) AS BIGINT)"
+
+
+def qavg(col: Column | str, scale: int = 6) -> Column:
+    """Integer-quantized exact average: qint over dsum/count — the
+    output-column form of :func:`davg` (no engine round() anywhere)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return qint(dsum(c) / F.count(c), scale)
+
+
+def sql_qavg(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of :func:`qavg`."""
+    return sql_qint(f"{sql_dsum(expr)} / COUNT({expr})", scale)
+
+
+def qavg_pos(col: Column | str, scale: int = 6) -> Column:
+    """Integer-quantized exact average over :func:`dsum_pos` (nonnegative
+    fast path)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return qint(dsum_pos(c) / F.count(c), scale)
+
+
+def sql_qavg_pos(expr: str, scale: int = 6) -> str:
+    """DuckDB mirror of :func:`qavg_pos`."""
+    return sql_qint(f"{sql_dsum_pos(expr)} / COUNT({expr})", scale)

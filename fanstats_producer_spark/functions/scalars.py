@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fanstats_producer_spark.functions.num import qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -97,13 +98,13 @@ def q38_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q39_math",
     oracle="""
     SELECT p_partkey,
-           ROUND(p_retailprice, 1) AS price_r1,
+           CAST(floor(p_retailprice * 1e1 + 0.5) AS BIGINT) AS price_e1,
            CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
            CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
            abs(p_size - 25) AS size_dist,
-           ROUND(sqrt(p_retailprice), 6) AS price_sqrt,
-           ROUND(ln(p_retailprice + 1), 6) AS price_ln,
-           ROUND(pow(p_size, 2), 6) AS size_sq,
+           CAST(floor(sqrt(p_retailprice) * 1e6 + 0.5) AS BIGINT) AS price_sqrt_e6,
+           CAST(floor(ln(p_retailprice + 1) * 1e6 + 0.5) AS BIGINT) AS price_ln_e6,
+           CAST(floor(pow(p_size, 2) * 1e6 + 0.5) AS BIGINT) AS size_sq_e6,
            ((p_size % 7) + 7) % 7 AS size_mod7,
            CAST(greatest(p_size, 25) AS INT) AS size_hi,
            least(CAST(p_size AS DOUBLE), p_retailprice / 100) AS size_lo
@@ -116,13 +117,13 @@ def q39_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     size = F.col("p_size")
     return p.select(
         "p_partkey",
-        F.round(price, 1).alias("price_r1"),
+        qint(price, 1).alias("price_e1"),
         F.floor(price).alias("price_floor"),
         F.ceil(price).alias("price_ceil"),
         F.abs(size - 25).alias("size_dist"),
-        F.round(F.sqrt(price), 6).alias("price_sqrt"),
-        F.round(F.log(price + 1), 6).alias("price_ln"),
-        F.round(F.pow(size, 2), 6).alias("size_sq"),
+        qint(F.sqrt(price)).alias("price_sqrt_e6"),
+        qint(F.log(price + 1)).alias("price_ln_e6"),
+        qint(F.pow(size, 2)).alias("size_sq_e6"),
         F.pmod(size, F.lit(7)).alias("size_mod7"),
         F.greatest(size, F.lit(25)).alias("size_hi"),
         F.least(size.cast("double"), price / 100).alias("size_lo"),

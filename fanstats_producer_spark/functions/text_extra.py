@@ -14,7 +14,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
+from pyspark.sql.types import DoubleType, LongType
 
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.operators.dedup import with_shingles
@@ -22,25 +22,32 @@ from fanstats_producer_spark.registry import query
 
 
 # --- u05: grouped-aggregate pandas UDF (UDAF) ----------------------------------
-@F.pandas_udf(DoubleType())
-def _gini_udaf(v: pd.Series) -> float:
-    """Gini mean difference — an aggregate not in either engine's
-    built-ins, so the oracle recomputes it from first principles."""
+@F.pandas_udf(LongType())
+def _gini_udaf(v: pd.Series) -> int:
+    """Gini mean difference (e6-quantized) — an aggregate not in either
+    engine's built-ins, so the oracle recomputes it from first
+    principles.  The weighted terms are integer-valued doubles (acctbal
+    has 2 decimals; weights are ints), so the sum is EXACT under any
+    summation order — numpy's pairwise sum and DuckDB's sequential SUM
+    agree bit-for-bit, and the floor-quantized output is deterministic."""
+    import math
+
     import numpy as np
 
     x = np.sort(v.to_numpy(dtype="float64"))
     n = len(x)
     if n < 2:
-        return 0.0
+        return 0
     weights = 2 * np.arange(1, n + 1) - n - 1
-    return float(round((weights * x).sum() / (n * (n - 1)), 6))
+    return int(math.floor((weights * x).sum() / (n * (n - 1)) * 1e6 + 0.5))
 
 
 @query(
     "u05_pandas_udaf",
     oracle="""
     SELECT c_mktsegment,
-           ROUND(SUM((2.0 * rn - n - 1) * c_acctbal) / (n * (n - 1)), 6) AS gini_md
+           CAST(floor(SUM((2.0 * rn - n - 1) * c_acctbal) / (n * (n - 1))
+                      * 1e6 + 0.5) AS BIGINT) AS gini_md_e6
     FROM (SELECT c_mktsegment, c_acctbal,
                  row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS rn,
                  COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
@@ -52,7 +59,7 @@ def u05_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
-        .agg(_gini_udaf("c_acctbal").alias("gini_md"))
+        .agg(_gini_udaf("c_acctbal").alias("gini_md_e6"))
     )
 
 

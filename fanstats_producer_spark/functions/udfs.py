@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType
 
+from fanstats_producer_spark.functions.num import qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -36,33 +37,43 @@ def u01_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- u02: vectorized pandas UDF (Arrow batches) --------------------------------
+# sqrt, not log1p: IEEE 754 requires sqrt to be correctly rounded, so
+# numpy's hardware sqrt and DuckDB's sqrt produce identical bits and the
+# quantized output is deterministic (log1p vs ln(1+x) differ in the last
+# ulp between implementations).
 @F.pandas_udf(DoubleType())
-def _log1p_score(v: pd.Series) -> pd.Series:
+def _sqrt_score(v: pd.Series) -> pd.Series:
     import numpy as np
 
-    return np.log1p(v)
+    return pd.Series(np.sqrt(v.to_numpy(dtype="float64")))
 
 
 @query(
     "u02_pandas_udf",
     oracle="""
-    SELECT event_id, ROUND(ln(1 + value), 6) AS log_score
+    SELECT event_id,
+           CAST(floor(sqrt(value) * 1e6 + 0.5) AS BIGINT) AS sqrt_score_e6
     FROM events
     """,
 )
 def u02_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
-        "event_id", F.round(_log1p_score("value"), 6).alias("log_score")
+        "event_id", qint(_sqrt_score("value")).alias("sqrt_score_e6")
     )
 
 
 # --- u03: grouped map (applyInPandas) ------------------------------------------
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    import numpy as np
+
     mean = pdf["c_acctbal"].mean()
     sd = pdf["c_acctbal"].std(ddof=1)
     z = (pdf["c_acctbal"] - mean) / sd if sd else pdf["c_acctbal"] * 0.0
     return pd.DataFrame(
-        {"c_custkey": pdf["c_custkey"], "zscore": z.round(6)}
+        {
+            "c_custkey": pdf["c_custkey"],
+            "zscore_e6": np.floor(z * 1e6 + 0.5).astype("int64"),
+        }
     )
 
 
@@ -70,8 +81,9 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     "u03_grouped_map",
     oracle="""
     SELECT c_custkey,
-           ROUND((c_acctbal - avg(c_acctbal) OVER seg)
-                 / stddev_samp(c_acctbal) OVER seg, 6) AS zscore
+           CAST(floor((c_acctbal - avg(c_acctbal) OVER seg)
+                 / stddev_samp(c_acctbal) OVER seg * 1e6 + 0.5) AS BIGINT)
+             AS zscore_e6
     FROM customer
     WINDOW seg AS (PARTITION BY c_mktsegment)
     """,
@@ -80,7 +92,7 @@ def u03_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
-        .applyInPandas(_zscore_group, schema="c_custkey long, zscore double")
+        .applyInPandas(_zscore_group, schema="c_custkey long, zscore_e6 long")
     )
 
 

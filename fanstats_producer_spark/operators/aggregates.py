@@ -14,10 +14,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import (
-    davg,
+    qavg,
+    qint,
     dsum,
     dsum_pos,
-    sql_davg,
+    sql_qavg,
     sql_dsum,
     sql_dsum_pos,
 )
@@ -34,7 +35,7 @@ from fanstats_producer_spark.registry import query
            {sum_qty} AS sum_qty,
            {sum_base} AS sum_base_price,
            {sum_disc} AS sum_disc_price,
-           {avg_qty} AS avg_qty,
+           {avg_qty} AS avg_qty_e6,
            MIN(l_quantity) AS min_qty,
            MAX(l_quantity) AS max_qty
     FROM lineitem
@@ -45,7 +46,7 @@ from fanstats_producer_spark.registry import query
         sum_qty=sql_dsum("l_quantity"),
         sum_base=sql_dsum("l_extendedprice"),
         sum_disc=sql_dsum("l_extendedprice * (1 - l_discount)"),
-        avg_qty=sql_davg("l_quantity"),
+        avg_qty=sql_qavg("l_quantity"),
     ),
 )
 def q20_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +58,7 @@ def q20_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_quantity").alias("sum_qty"),
             dsum("l_extendedprice").alias("sum_base_price"),
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            davg("l_quantity").alias("avg_qty"),
+            qavg("l_quantity").alias("avg_qty_e6"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
         )
@@ -215,10 +216,10 @@ def q25_arrayagg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q26_stats",
     oracle="""
     SELECT l_returnflag,
-           ROUND(stddev_samp(l_quantity), 2) AS sd_qty,
-           ROUND(var_samp(l_quantity), 2) AS var_qty,
-           ROUND(quantile_cont(l_quantity, 0.5), 2) AS median_qty,
-           ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_price
+           CAST(floor(stddev_samp(l_quantity) * 1e2 + 0.5) AS BIGINT) AS sd_qty_e2,
+           CAST(floor(var_samp(l_quantity) * 1e2 + 0.5) AS BIGINT) AS var_qty_e2,
+           CAST(floor(quantile_cont(l_quantity, 0.5) * 1e2 + 0.5) AS BIGINT) AS median_qty_e2,
+           CAST(floor(quantile_cont(l_extendedprice, 0.9) * 1e2 + 0.5) AS BIGINT) AS p90_price_e2
     FROM lineitem
     GROUP BY 1
     """,
@@ -228,10 +229,10 @@ def q26_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.stddev_samp("l_quantity"), 2).alias("sd_qty"),
-            F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
-            F.round(F.expr("percentile(l_quantity, 0.5)"), 2).alias("median_qty"),
-            F.round(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price"),
+            qint(F.stddev_samp("l_quantity"), 2).alias("sd_qty_e2"),
+            qint(F.var_samp("l_quantity"), 2).alias("var_qty_e2"),
+            qint(F.expr("percentile(l_quantity, 0.5)"), 2).alias("median_qty_e2"),
+            qint(F.expr("percentile(l_extendedprice, 0.9)"), 2).alias("p90_price_e2"),
         )
     )
 
@@ -279,10 +280,12 @@ def q28_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
              {sx} AS sx, {sy} AS sy, {sxx} AS sxx, {syy} AS syy, {sxy} AS sxy
       FROM lineitem GROUP BY 1)
     SELECT l_returnflag,
-           ROUND((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
-             AS corr_qty_price,
-           ROUND((n*sxy - sx*sy) / (n*(n-1)), 4) AS covar_qty_price,
-           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope_price_per_qty
+           CAST(floor((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+                      * 1e6 + 0.5) AS BIGINT) AS corr_qty_price_e6,
+           CAST(floor((n*sxy - sx*sy) / (n*(n-1)) * 1e4 + 0.5) AS BIGINT)
+             AS covar_qty_price_e4,
+           CAST(floor((n*sxy - sx*sy) / (n*sxx - sx*sx) * 1e6 + 0.5) AS BIGINT)
+             AS slope_price_per_qty_e6
     FROM s
     """.format(
         sx=sql_dsum_pos("l_quantity"),
@@ -309,11 +312,11 @@ def q52_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy, sxx, syy, sxy = (F.col(c) for c in ("n", "sx", "sy", "sxx", "syy", "sxy"))
     return s.select(
         "l_returnflag",
-        F.round(
-            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
-        ).alias("corr_qty_price"),
-        F.round((n * sxy - sx * sy) / (n * (n - 1)), 4).alias("covar_qty_price"),
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6).alias(
-            "slope_price_per_qty"
+        qint(
+            (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("corr_qty_price_e6"),
+        qint((n * sxy - sx * sy) / (n * (n - 1)), 4).alias("covar_qty_price_e4"),
+        qint((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias(
+            "slope_price_per_qty_e6"
         ),
     )

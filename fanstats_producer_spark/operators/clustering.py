@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fanstats_producer_spark.functions.num import qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -75,11 +76,20 @@ def kmeans_assignments(emb: DataFrame, k: int = _K) -> DataFrame:
     expl = asg1.join(emb, "vec_id").select(
         "cid", F.posexplode("embedding").alias("pos", "val")
     )
+    # floor-quantize, not round(): the decimal sum is exact on both
+    # engines, and floor(x*1e6+0.5)/1e6 is pure IEEE — no dependence on
+    # either engine's round() implementation (num.py qint note).
     cent2 = expl.groupBy("cid", "pos").agg(
-        F.round(
-            F.sum(F.col("val").cast("double").cast("decimal(18,6)")).cast("double")
-            / F.count("*"),
-            6,
+        (
+            F.floor(
+                F.sum(
+                    F.col("val").cast("double").cast("decimal(18,6)")
+                ).cast("double")
+                / F.count("*")
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
         ).alias("c")
     )
     cent2l = cent2.groupBy("cid").agg(
@@ -117,8 +127,8 @@ def kmeans_assignments(emb: DataFrame, k: int = _K) -> DataFrame:
       FROM emb e JOIN asg1 a USING (vec_id)),
     cent2 AS (
       SELECT cid, pos,
-             ROUND(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
-                   / COUNT(*), 6) AS c
+             floor(CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) * 1e6 + 0.5) / 1e6 AS c
       FROM expl GROUP BY 1, 2),
     cent2l AS (SELECT cid, list(c ORDER BY pos) AS cent FROM cent2 GROUP BY 1),
     d2 AS (
@@ -129,7 +139,8 @@ def kmeans_assignments(emb: DataFrame, k: int = _K) -> DataFrame:
                     * (CAST(e.embedding[i] AS DOUBLE) - s.cent[i])),
                (acc, v) -> acc + v) AS dist2
       FROM emb e CROSS JOIN cent2l s)
-    SELECT vec_id, cid AS cluster_id, ROUND(dist2, 6) AS dist2
+    SELECT vec_id, cid AS cluster_id,
+           CAST(floor(dist2 * 1e6 + 0.5) AS BIGINT) AS dist2_e6
     FROM (
       SELECT vec_id, cid, dist2,
              row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cid) AS rn
@@ -142,5 +153,5 @@ def x24_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "vec_id",
         F.col("cid").alias("cluster_id"),
-        F.round("dist2", 6).alias("dist2"),
+        qint("dist2").alias("dist2_e6"),
     )

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from fanstats_producer_spark.functions.num import qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -134,16 +135,15 @@ def jaccard_pairs(
     )
     pairs = (
         inter.withColumn(
-            "jaccard",
-            F.round(
+            "jaccard_e6",
+            qint(
                 F.col("n_inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
-                6,
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("jaccard_e6") >= int(threshold * 1e6))
     )
-    return pairs.select("id_a", "id_b", "jaccard")
+    return pairs.select("id_a", "id_b", "jaccard_e6")
 
 
 # --- x04: exact n-gram Jaccard near-dup (T4, exact arm) -------------------------
@@ -167,11 +167,13 @@ _X04_THRESHOLD = 0.5
         ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT id_a, id_b,
-           ROUND(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+           CAST(floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+                      * 1e6 + 0.5) AS BIGINT) AS jaccard_e6
     FROM inter
     JOIN sizes sa ON sa.doc_id = id_a
     JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {_X04_THRESHOLD}
+    WHERE CAST(floor(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
+                     * 1e6 + 0.5) AS BIGINT) >= {int(_X04_THRESHOLD * 1e6)}
     """,
 )
 def x04_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -215,7 +217,7 @@ def minhash_lsh_pairs(
         .select(
             F.col("datasetA.doc_id").alias("id_a"),
             F.col("datasetB.doc_id").alias("id_b"),
-            F.round(1 - F.col("dist"), 6).alias("est_jaccard"),
+            qint(1 - F.col("dist")).alias("est_jaccard"),
         )
     )
 
@@ -236,7 +238,7 @@ def minhash_lsh_pairs(
     oracle="""
     SELECT CAST(NULL AS BIGINT) AS id_a,
            CAST(NULL AS BIGINT) AS id_b,
-           CAST(NULL AS DOUBLE) AS est_jaccard
+           CAST(NULL AS BIGINT) AS est_jaccard
     WHERE false
     """,
 )
@@ -434,21 +436,20 @@ def minhash_native_pairs(
     )
     est = (
         cands.withColumn(
-            "est_jaccard",
-            F.round(
+            "est_jaccard_e6",
+            qint(
                 F.size(
                     F.filter(
                         F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
                         lambda eq: eq,
                     )
                 ).cast("double")
-                / n_hashes,
-                6,
+                / n_hashes
             ),
         )
-        .filter(F.col("est_jaccard") >= threshold)
+        .filter(F.col("est_jaccard_e6") >= int(threshold * 1e6))
     )
-    return est.select("id_a", "id_b", "est_jaccard")
+    return est.select("id_a", "id_b", "est_jaccard_e6")
 
 
 # The oracle reproduces the signature bit-for-bit (md5-derived words,
@@ -491,7 +492,8 @@ def minhash_native_pairs(
       FROM cand
       JOIN sigl sa ON sa.doc_id = id_a
       JOIN sigl sb ON sb.doc_id = id_b)
-    SELECT id_a, id_b, est_jaccard
+    SELECT id_a, id_b,
+           CAST(floor(est_jaccard * 1e6 + 0.5) AS BIGINT) AS est_jaccard_e6
     FROM est WHERE est_jaccard >= 0.5
     ORDER BY id_a, id_b
     """,

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fanstats_producer_spark.functions.num import qint, sql_qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.operators.dedup import with_shingles
 from fanstats_producer_spark.operators.sampling import hash_bucket
@@ -232,24 +233,26 @@ def x29_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 # under it (one broadcast join).  High bpt = rare-token soup (noise,
 # boilerplate-free gibberish); low bpt = repetitive filler — both
 # standard cut candidates.  Cross-engine determinism: each token's
-# log2(p) is quantized to DECIMAL(20,7) BEFORE summation, so the per-doc
-# sum is exact and order-free (the q52_corr pattern applied to a
-# transcendental); only the final divide is float, closed with round().
+# log2(p) is quantized to a 1e-7-units BIGINT BEFORE summation (pure
+# IEEE floor — no engine round() anywhere), so the per-doc sum is exact
+# and order-free (the q52_corr pattern applied to a transcendental);
+# the final divide is quantized to an e4 integer output.
 # The token->tf model is |V| rows — broadcast, so the corpus is scored
 # with zero shuffle beyond the per-doc aggregate.
 @query(
     "x30_unigram_logprob",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
     freq AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1),
     tot AS (SELECT COUNT(*) AS t FROM toks),
     c AS (
       SELECT doc_id,
-             CAST(round(log2(CAST(tf AS DOUBLE) / t), 7) AS DECIMAL(20,7)) AS lg
+             CAST(floor(log2(CAST(tf AS DOUBLE) / t) * 1e7 + 0.5) AS BIGINT) AS lg
       FROM toks JOIN freq USING (token) CROSS JOIN tot)
     SELECT doc_id, COUNT(*) AS n_tokens,
-           round(-CAST(SUM(lg) AS DOUBLE) / COUNT(*), 4) AS bits_per_token
+           {sql_qint("-CAST(SUM(lg) AS DOUBLE) / 1e7 / COUNT(*)", 4)}
+             AS bits_per_token_e4
     FROM c GROUP BY 1
     """,
 )
@@ -265,16 +268,18 @@ def x30_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .withColumn(
             "lg",
-            F.round(
-                F.log2(F.col("tf").cast("double") / F.col("t")), 7
-            ).cast("decimal(20,7)"),
+            F.floor(
+                F.log2(F.col("tf").cast("double") / F.col("t"))
+                * F.lit(1e7)
+                + F.lit(0.5)
+            ).cast("long"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
-        F.round(
-            -F.sum("lg").cast("double") / F.count("*"), 4
-        ).alias("bits_per_token"),
+        qint(
+            -F.sum("lg").cast("double") / F.lit(1e7) / F.count("*"), 4
+        ).alias("bits_per_token_e4"),
     )
 
 
@@ -301,18 +306,25 @@ def x30_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     qq AS (
       SELECT vec_id, embedding, scale,
              list_transform(embedding,
-                            x -> CAST(round(CAST(x AS DOUBLE) / scale) AS INT)) AS q
+                            x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+                                      AS INT)) AS q
       FROM sc)
-    SELECT vec_id, round(scale, 9) AS scale_r,
+    SELECT vec_id, {scale_q} AS scale_e9,
            array_to_string(q, ',') AS q_csv,
-           round(list_reduce(
-                   list_transform(
-                     list_zip(embedding, q),
-                     p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)
-                          * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)),
-                   (a, b) -> a + b) / len(embedding), 9) AS mse_r
+           {mse_q} AS mse_e9
     FROM qq
-    """,
+    """.format(
+        scale_q=sql_qint("scale", 9),
+        mse_q=sql_qint(
+            "list_reduce("
+            "  list_transform("
+            "    list_zip(embedding, q),"
+            "    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)"
+            "         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * scale)),"
+            "  (a, b) -> a + b) / len(embedding)",
+            9,
+        ),
+    ),
 )
 def x32_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
@@ -324,11 +336,15 @@ def x32_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     step1 = emb.withColumn("amax", amax).withColumn(
         "scale", F.when(F.col("amax") == 0, F.lit(1.0)).otherwise(F.col("amax") / 127)
     )
+    # floor(x/scale + 0.5), not round(): pure IEEE ops, so the quantized
+    # codes are bit-identical on any engine version (num.py qint note).
     step2 = step1.withColumn(
         "q",
         F.transform(
             "embedding",
-            lambda x: F.round(x.cast("double") / F.col("scale")).cast("int"),
+            lambda x: F.floor(
+                x.cast("double") / F.col("scale") + F.lit(0.5)
+            ).cast("int"),
         ),
     )
     sqerr = F.zip_with(
@@ -338,8 +354,8 @@ def x32_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (x.cast("double") - qv.cast("double") * F.col("scale")),
     )
     out = step2.withColumn(
-        "mse_r",
-        F.round(
+        "mse_e9",
+        qint(
             F.aggregate(sqerr, F.lit(0.0), lambda a, b: a + b)
             / F.size("embedding"),
             9,
@@ -353,9 +369,9 @@ def x32_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_csv = F.concat_ws(",", F.transform("q", lambda v: v.cast("string")))
     return out.select(
         "vec_id",
-        F.round("scale", 9).alias("scale_r"),
+        qint("scale", 9).alias("scale_e9"),
         q_csv.alias("q_csv"),
-        "mse_r",
+        "mse_e9",
     )
 
 
@@ -374,21 +390,27 @@ def x32_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     big AS (
       SELECT doc_id, len(t) AS n_tokens,
-             CASE WHEN len(t) < 2 THEN 0.0
-                  ELSE round(1.0 - CAST(len(list_distinct(list_transform(
-                         range(1, len(t)), i -> t[i] || ' ' || t[i+1])))
-                       AS DOUBLE) / (len(t) - 1), 6) END AS dup_bigram_frac
+             CASE WHEN len(t) < 2 THEN 0
+                  ELSE {dup_q} END AS dup_bigram_frac_e6
       FROM toks),
     top AS (
-      SELECT doc_id, round(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_token_share
+      SELECT doc_id,
+             {top_q} AS top_token_share_e6
       FROM (SELECT doc_id, token, COUNT(*) AS c
             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
                   FROM documents)
             GROUP BY 1, 2)
       GROUP BY 1)
-    SELECT doc_id, n_tokens, dup_bigram_frac, top_token_share
+    SELECT doc_id, n_tokens, dup_bigram_frac_e6, top_token_share_e6
     FROM big JOIN top USING (doc_id)
-    """,
+    """.format(
+        dup_q=sql_qint(
+            "1.0 - CAST(len(list_distinct(list_transform("
+            "range(1, len(t)), i -> t[i] || ' ' || t[i+1])))"
+            " AS DOUBLE) / (len(t) - 1)"
+        ),
+        top_q=sql_qint("CAST(MAX(c) AS DOUBLE) / SUM(c)"),
+    ),
 )
 def x31_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -401,16 +423,15 @@ def x31_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     big = toks.select(
         "doc_id",
-        n.alias("n_tokens"),
-        F.when(n < 2, F.lit(0.0))
+        n.cast("long").alias("n_tokens"),
+        F.when(n < 2, F.lit(0).cast("long"))
         .otherwise(
-            F.round(
+            qint(
                 1.0
-                - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1),
-                6,
+                - F.size(F.array_distinct(bigrams)).cast("double") / (n - 1)
             )
         )
-        .alias("dup_bigram_frac"),
+        .alias("dup_bigram_frac_e6"),
     )
     counts = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
@@ -418,12 +439,12 @@ def x31_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("c"))
     )
     top = counts.groupBy("doc_id").agg(
-        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
-            "top_token_share"
+        qint(F.max("c").cast("double") / F.sum("c")).alias(
+            "top_token_share_e6"
         )
     )
     return big.join(top, "doc_id").select(
-        "doc_id", "n_tokens", "dup_bigram_frac", "top_token_share"
+        "doc_id", "n_tokens", "dup_bigram_frac_e6", "top_token_share_e6"
     )
 
 
@@ -435,14 +456,14 @@ def x31_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side-combined aggregates and no corpus shuffle.
 @query(
     "x33_mixture_stats",
-    oracle="""
+    oracle=f"""
     WITH per AS (
       SELECT source, COUNT(*) AS n_docs,
-             SUM(len(string_split(text, ' '))) AS n_tokens
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY 1),
     tot AS (SELECT SUM(n_tokens) AS t FROM per)
     SELECT source, n_docs, n_tokens,
-           round(CAST(n_tokens AS DOUBLE) / t, 6) AS token_share
+           {sql_qint("CAST(n_tokens AS DOUBLE) / t")} AS token_share_e6
     FROM per CROSS JOIN tot
     """,
 )
@@ -457,8 +478,8 @@ def x33_mixture_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_tokens").cast("double") / F.col("t"), 6).alias(
-            "token_share"
+        qint(F.col("n_tokens").cast("double") / F.col("t")).alias(
+            "token_share_e6"
         ),
     )
 
@@ -499,10 +520,13 @@ def global_running_sum(df, order_cols, val_col: str, bucket, out_col: str = "cum
     oracle="""
     SELECT source, COUNT(*) AS n_docs,
            COUNT(DISTINCT sha256(text)) AS n_unique,
-           round(1.0 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE) / COUNT(*), 6)
-             AS dup_rate
+           {q} AS dup_rate_e6
     FROM documents GROUP BY 1
-    """,
+    """.format(
+        q=sql_qint(
+            "1.0 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE) / COUNT(*)"
+        )
+    ),
 )
 def x34_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -512,9 +536,9 @@ def x34_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.countDistinct("h").alias("n_unique"),
-            F.round(
-                1.0 - F.countDistinct("h").cast("double") / F.count("*"), 6
-            ).alias("dup_rate"),
+            qint(
+                1.0 - F.countDistinct("h").cast("double") / F.count("*")
+            ).alias("dup_rate_e6"),
         )
     )
 
@@ -538,8 +562,9 @@ _X35_BUDGET = 30_000
       FROM documents),
     c AS (
       SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY r, doc_id
-                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             CAST(SUM(n_tokens) OVER (ORDER BY r, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_tokens
       FROM t)
     SELECT doc_id, n_tokens, cum_tokens
     FROM c WHERE cum_tokens <= {_X35_BUDGET}
@@ -549,7 +574,7 @@ def x35_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     t = docs.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("r"),
     )
     # Bucket = first two md5 hex chars: 256 uniform buckets, a prefix of

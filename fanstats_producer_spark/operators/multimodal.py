@@ -19,6 +19,7 @@ makes the whole binary path oracle-checkable.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -111,10 +112,19 @@ def tensor_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         {
                             "doc_id": int(doc_id),
                             "seg": seg,
-                            "mean_byte": round(float(chunk.mean()), 6),
+                            # exact: integer byte sum / count, then
+                            # pure-IEEE floor quantization
+                            "mean_byte_e6": int(
+                                math.floor(
+                                    float(chunk.sum())
+                                    / chunk.size
+                                    * 1e6
+                                    + 0.5
+                                )
+                            ),
                         }
                     )
-        yield pd.DataFrame(rows, columns=["doc_id", "seg", "mean_byte"])
+        yield pd.DataFrame(rows, columns=["doc_id", "seg", "mean_byte_e6"])
 
 
 # The oracle reproduces np.array_split's boundaries (i*(l//8)+min(i,l%8))
@@ -139,7 +149,9 @@ def tensor_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
              END AS seg,
              CAST(('0x' || substring(hx, CAST(2 * p + 1 AS INT), 2)) AS INT) AS v
       FROM pos)
-    SELECT doc_id, CAST(seg AS INT) AS seg, round(avg(v), 6) AS mean_byte
+    SELECT doc_id, CAST(seg AS INT) AS seg,
+           CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*) * 1e6 + 0.5) AS BIGINT)
+             AS mean_byte_e6
     FROM byts GROUP BY 1, 2
     """,
 )
@@ -148,7 +160,7 @@ def x07b_tensor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "payload"
     )
     return payloads.mapInPandas(
-        tensor_features, schema="doc_id long, seg int, mean_byte double"
+        tensor_features, schema="doc_id long, seg int, mean_byte_e6 long"
     )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fanstats_producer_spark.functions.num import qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -45,8 +46,9 @@ _FUNNEL = ("view", "click", "purchase")
       UNION ALL
       SELECT 3, '{_FUNNEL[2]}', COUNT(*) FROM p)
     SELECT stage_no, stage, n_users,
-           ROUND(CAST(n_users AS DOUBLE)
-                 / MAX(n_users) OVER (), 6) AS conv_from_top
+           CAST(floor(CAST(n_users AS DOUBLE)
+                 / MAX(n_users) OVER () * 1e6 + 0.5) AS BIGINT)
+             AS conv_from_top_e6
     FROM counts
     """,
 )
@@ -93,8 +95,8 @@ def q55_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         counts.crossJoin(F.broadcast(top))
         .withColumn(
-            "conv_from_top",
-            F.round(F.col("n_users").cast("double") / F.col("__top"), 6),
+            "conv_from_top_e6",
+            qint(F.col("n_users").cast("double") / F.col("__top")),
         )
         .drop("__top")
     )
@@ -230,7 +232,9 @@ _Q59_MIN_PAIRS = 2
     marg AS (SELECT l_partkey, COUNT(*) AS n FROM d GROUP BY 1),
     tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM d)
     SELECT part_a, part_b, n_ab,
-           round((CAST(n_ab AS DOUBLE) * n_orders) / (CAST(ma.n AS DOUBLE) * mb.n), 6) AS lift
+           CAST(floor((CAST(n_ab AS DOUBLE) * n_orders)
+                      / (CAST(ma.n AS DOUBLE) * mb.n) * 1e6 + 0.5) AS BIGINT)
+             AS lift_e6
     FROM pairs
     JOIN marg ma ON ma.l_partkey = part_a
     JOIN marg mb ON mb.l_partkey = part_b
@@ -287,10 +291,9 @@ def q59_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             "n_ab",
-            F.round(
+            qint(
                 (F.col("n_ab").cast("double") * F.col("n_orders"))
-                / (F.col("n_a").cast("double") * F.col("n_b")),
-                6,
-            ).alias("lift"),
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift_e6"),
         )
     )

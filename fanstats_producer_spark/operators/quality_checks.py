@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fanstats_producer_spark.functions.num import qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -72,7 +73,8 @@ _X25_Z = 3.0
       SELECT e.event_id, e.event_type, e.value,
              (e.value - t.mean) / t.std AS zval
       FROM events e JOIN stats t USING (event_type))
-    SELECT event_id, event_type, value, ROUND(zval, 4) AS z
+    SELECT event_id, event_type, value,
+           CAST(floor(zval * 1e4 + 0.5) AS BIGINT) AS z_e4
     FROM z WHERE abs(zval) > {_X25_Z}
     """,
 )
@@ -106,7 +108,7 @@ def x25_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zval", (F.col("value") - F.col("mean")) / F.col("std")
     )
     return z.filter(F.abs("zval") > _X25_Z).select(
-        "event_id", "event_type", "value", F.round("zval", 4).alias("z")
+        "event_id", "event_type", "value", qint("zval", 4).alias("z_e4")
     )
 
 
@@ -189,8 +191,10 @@ def x16_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, COUNT(*) AS n,
            CAST(SUM(CASE WHEN l_extendedprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
            CAST(SUM(CASE WHEN l_extendedprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
-           round(CAST(SUM(CAST(round(least(greatest(l_extendedprice, lo), hi), 4)
-                              AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_winsorized
+           CAST(floor(CAST(SUM(CAST(floor(
+                        least(greatest(l_extendedprice, lo), hi) * 1e4 + 0.5)
+                      AS BIGINT)) AS DOUBLE) / 1e4 / COUNT(*) * 1e6 + 0.5)
+                AS BIGINT) AS avg_winsorized_e6
     FROM lineitem CROSS JOIN b
     GROUP BY 1
     """,
@@ -211,11 +215,13 @@ def q60_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(F.col("l_extendedprice") > F.col("hi"), 1).otherwise(0)
         ).cast("long").alias("n_hi"),
-        F.round(
-            F.sum(F.round(clipped, 4).cast("decimal(18,4)")).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("avg_winsorized"),
+        qint(
+            F.sum(
+                F.floor(clipped * F.lit(1e4) + F.lit(0.5)).cast("decimal(18,0)")
+            ).cast("double")
+            / F.lit(1e4)
+            / F.count("*")
+        ).alias("avg_winsorized_e6"),
     )
 
 

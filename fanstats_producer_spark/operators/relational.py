@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.functions.num import davg_pos, dsum_pos, sql_davg_pos, sql_dsum_pos
+from fanstats_producer_spark.functions.num import (
+    dsum_pos,
+    qavg_pos,
+    qint,
+    sql_dsum_pos,
+    sql_qavg_pos,
+    sql_qint,
+)
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -35,7 +42,7 @@ from fanstats_producer_spark.registry import query
            COUNT(*) AS n_items,
            {sum_qty} AS sum_qty,
            {sum_rev} AS sum_revenue,
-           {avg_price} AS avg_price
+           {avg_price} AS avg_price_e6
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
       AND o.o_orderdate <  TIMESTAMP '1999-01-01'
@@ -45,7 +52,7 @@ from fanstats_producer_spark.registry import query
     """.format(
         sum_qty=sql_dsum_pos("l.l_quantity"),
         sum_rev=sql_dsum_pos("l.l_extendedprice * (1 - l.l_discount)"),
-        avg_price=sql_davg_pos("l.l_extendedprice"),
+        avg_price=sql_qavg_pos("l.l_extendedprice"),
     ),
 )
 def q00_flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +70,7 @@ def q00_flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
             dsum_pos("l_quantity").alias("sum_qty"),
             dsum_pos(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_revenue"),
-            davg_pos("l_extendedprice").alias("avg_price"),
+            qavg_pos("l_extendedprice").alias("avg_price_e6"),
         )
         .orderBy(F.col("sum_revenue").desc(), "order_day", "returnflag")
         .limit(100)
@@ -76,7 +83,7 @@ def q00_flagship_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey,
            upper(p_brand) AS brand,
-           ROUND(p_retailprice * 0.9, 6) AS sale_price,
+           CAST(floor(p_retailprice * 0.9 * 1e6 + 0.5) AS BIGINT) AS sale_price_e6,
            p_size * 2 AS double_size
     FROM part
     """,
@@ -85,7 +92,7 @@ def q01_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "part").select(
         "p_partkey",
         F.upper("p_brand").alias("brand"),
-        F.round(F.col("p_retailprice") * 0.9, 6).alias("sale_price"),
+        qint(F.col("p_retailprice") * 0.9).alias("sale_price_e6"),
         (F.col("p_size") * 2).alias("double_size"),
     )
 

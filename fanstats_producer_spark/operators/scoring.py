@@ -23,18 +23,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fanstats_producer_spark.functions.num import qint, sql_qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
 
 def _doc_terms(docs: DataFrame) -> DataFrame:
-    """(doc_id, token, tf, dl): term frequency + document length."""
+    """(doc_id, token, tf, dl): term frequency + document length.
+
+    The explicit repartition("doc_id") makes this the ONLY exchange in
+    the x22/x23 plans: HashPartitioning(doc_id) satisfies the clustered
+    distribution of the (doc_id, dl, token) aggregate (subset rule), of
+    the per-doc ranking window, and of x23's per-doc score aggregate —
+    so the downstream stages add sorts but never reshuffle.  (The
+    default plan paid two exchanges: one for the aggregate keyed on all
+    three columns, another to re-cluster by doc_id for the window.)
+    """
     toks = docs.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("dl"),
         F.explode(F.split("text", " ")).alias("token"),
     )
-    return toks.groupBy("doc_id", "dl", "token").agg(
+    return toks.repartition("doc_id").groupBy("doc_id", "dl", "token").agg(
         F.count("*").alias("tf")
     )
 
@@ -58,14 +68,14 @@ _X22_TOP = 3
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.token, tf.tf, df.df,
-             ROUND((CAST(tf.tf AS DOUBLE) / tf.dl)
-                   * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf,
+             {sql_qint('''(CAST(tf.tf AS DOUBLE) / tf.dl)
+                   * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)''')} AS tfidf_e6,
              row_number() OVER (
                PARTITION BY tf.doc_id
                ORDER BY tf.tf DESC, df.df ASC, tf.token ASC) AS rnk
       FROM tf JOIN df USING (token) CROSS JOIN n)
     SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
-           tfidf, CAST(rnk AS INT) AS rnk
+           tfidf_e6, CAST(rnk AS INT) AS rnk
     FROM scored WHERE rnk <= {_X22_TOP}
     """,
 )
@@ -90,8 +100,8 @@ def x22_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(n))
         .withColumn(
-            "tfidf",
-            F.round(
+            "tfidf_e6",
+            qint(
                 (F.col("tf").cast("double") / F.col("dl"))
                 * (
                     F.log(
@@ -99,8 +109,7 @@ def x22_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / (F.col("df") + F.lit(1.0))
                     )
                     + F.lit(1.0)
-                ),
-                6,
+                )
             ),
         )
     )
@@ -110,7 +119,7 @@ def x22_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= _X22_TOP)
-        .select("doc_id", "token", "tf", "df", "tfidf", "rnk")
+        .select("doc_id", "token", "tf", "df", "tfidf_e6", "rnk")
     )
 
 
@@ -149,11 +158,11 @@ _X23_TOP = 10
       WHERE tf.token IN {_X23_QUERY}),
     scored AS (
       SELECT doc_id,
-             CAST(SUM(CAST(s AS DECIMAL(18,6))) AS DOUBLE) AS bm25
+             CAST(SUM(CAST(s AS DECIMAL(18,6))) * 1000000 AS BIGINT) AS bm25_e6
       FROM contrib GROUP BY 1)
-    SELECT doc_id, bm25
+    SELECT doc_id, bm25_e6
     FROM scored
-    ORDER BY bm25 DESC, doc_id ASC
+    ORDER BY bm25_e6 DESC, doc_id ASC
     LIMIT {_X23_TOP}
     """,
 )
@@ -197,9 +206,14 @@ def x23_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # Exact decimal sum scaled to integer micro-units — the output is a
+    # BIGINT, so neither engine's float formatting/rounding ever touches
+    # the ranking key or the driver's hash.
     scored = contrib.groupBy("doc_id").agg(
-        F.sum(F.col("s").cast("decimal(18,6)")).cast("double").alias("bm25")
+        (F.sum(F.col("s").cast("decimal(18,6)")) * 1000000)
+        .cast("long")
+        .alias("bm25_e6")
     )
-    return scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()).limit(
+    return scored.orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc()).limit(
         _X23_TOP
     )

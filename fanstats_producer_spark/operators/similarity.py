@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fanstats_producer_spark.functions.num import qint, sql_qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -65,11 +66,12 @@ _KNN_K = 5
            FROM q CROSS JOIN c
            WHERE q.vec_id <> c.vec_id),
          ranked AS (
-           SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim,
+           SELECT query_id, neighbor_id,
+                  CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS cos_sim_e6,
                   row_number() OVER (PARTITION BY query_id
                                      ORDER BY sim DESC, neighbor_id) AS rnk
            FROM scored)
-    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= {_KNN_K}
+    SELECT query_id, neighbor_id, cos_sim_e6, CAST(rnk AS INT) AS rnk FROM ranked WHERE rnk <= {_KNN_K}
     """,
 )
 def x05_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +89,7 @@ def x05_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "query_id",
             "neighbor_id",
-            F.round("sim", 6).alias("cos_sim"),
+            qint("sim").alias("cos_sim_e6"),
             F.row_number().over(w).alias("rnk"),
         )
         .filter(F.col("rnk") <= _KNN_K)
@@ -110,12 +112,23 @@ def ivf_topk(
     co-partitioned equi-join on list id — partition pruning, not a scan.
     """
     dims = emb.select(F.posexplode(_as_double(F.col("embedding"))).alias("i", "x"), "label")
-    # Centroid dims round to 9 decimals: the probe argmax must pick the
-    # same list on every engine/partitioning, and raw float avgs differ
-    # in the last ulps across summation orders.
+    # Centroid dims via exact integer sums: each value is floor-quantized
+    # to 2^-30 units (pure IEEE ops, identical on every engine/version),
+    # summed as plain longs (order-free, exact), and divided back — so
+    # the probe argmax picks the same list on every engine/partitioning.
+    # round(avg(double), 9) was only probabilistically stable: partial-sum
+    # order could straddle a 9-dp rounding boundary (ADVICE.md r3).
+    _SC = float(1 << 30)
     centroids = (
         dims.groupBy("label", "i")
-        .agg(F.round(F.avg("x"), 9).alias("cx"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * F.lit(_SC) + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / F.count("x")
+                / F.lit(_SC)
+            ).alias("cx")
+        )
         .groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
         .select("label", F.transform("pairs", lambda p: p.cx).alias("centroid"))
@@ -143,7 +156,7 @@ def ivf_topk(
         scored.select(
             "query_id",
             "neighbor_id",
-            F.round("sim", 6).alias("cos_sim"),
+            qint("sim").alias("cos_sim_e6"),
             F.row_number().over(w).alias("rnk"),
         )
         .filter(F.col("rnk") <= k)
@@ -163,7 +176,9 @@ def ivf_topk(
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
     q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {_KNN_QUERIES}),
     dims AS (
-      SELECT label, i, round(AVG(v[i+1]), 9) AS cx
+      SELECT label, i,
+             CAST(SUM(CAST(floor(v[i+1] * 1073741824.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / COUNT(*) / 1073741824.0 AS cx
       FROM e CROSS JOIN range(64) AS t(i)
       GROUP BY 1, 2),
     cent AS (SELECT label, list(cx ORDER BY i) AS c FROM dims GROUP BY 1),
@@ -181,11 +196,12 @@ def ivf_topk(
       FROM probe p JOIN e ON e.label = p.label
       WHERE e.vec_id <> p.query_id),
     ranked AS (
-      SELECT query_id, neighbor_id, ROUND(sim, 6) AS cos_sim,
+      SELECT query_id, neighbor_id,
+             CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS cos_sim_e6,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY sim DESC, neighbor_id) AS rnk
       FROM scored)
-    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS INT) AS rnk
+    SELECT query_id, neighbor_id, cos_sim_e6, CAST(rnk AS INT) AS rnk
     FROM ranked WHERE rnk <= {_KNN_K} ORDER BY query_id, rnk
     """,
 )
@@ -208,7 +224,8 @@ _X06_THRESHOLD = 0.35
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                WHERE vec_id < {_X06_LIMIT})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+           CAST(floor(list_cosine_similarity(a.v, b.v) * 1e6 + 0.5) AS BIGINT)
+             AS cos_sim_e6
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE list_cosine_similarity(a.v, b.v) >= {_X06_THRESHOLD}
     """,
@@ -222,7 +239,7 @@ def x06_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim_raw", sim)
         .filter(F.col("cos_sim_raw") >= _X06_THRESHOLD)
-        .select("id_a", "id_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+        .select("id_a", "id_b", qint("cos_sim_raw").alias("cos_sim_e6"))
     )
 
 
@@ -256,7 +273,7 @@ def lsh_simjoin(
         .select(
             F.col("datasetA.vec_id").alias("id_a"),
             F.col("datasetB.vec_id").alias("id_b"),
-            F.round("dist", 6).alias("euclid_dist"),
+            qint("dist").alias("euclid_dist_e6"),
         )
     )
 
@@ -274,7 +291,7 @@ def lsh_simjoin(
     oracle="""
     SELECT CAST(NULL AS BIGINT) AS id_a,
            CAST(NULL AS BIGINT) AS id_b,
-           CAST(NULL AS DOUBLE) AS euclid_dist
+           CAST(NULL AS BIGINT) AS euclid_dist_e6
     WHERE false
     """,
 )

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from fanstats_producer_spark.functions.num import qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.operators.sampling import hash_bucket
 from fanstats_producer_spark.registry import query
@@ -82,7 +83,7 @@ def gapfill_interpolate(
         date_col,
         F.coalesce(F.col(n_col), F.lit(0)).cast("long").alias(n_col),
         pv.alias("v_ffill"),
-        F.round(interp, 6).alias("v_interp"),
+        interp.alias("v_interp"),
     )
 
 
@@ -100,7 +101,8 @@ def gapfill_interpolate(
       WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 < 1
       GROUP BY 1, 2),
     davg AS (
-      SELECT event_type, d, n, round(CAST(sv AS DOUBLE) / n, 6) AS avg_v
+      SELECT event_type, d, n,
+             floor(CAST(sv AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS avg_v
       FROM daily),
     bounds AS (SELECT min(d) AS lo, max(d) AS hi FROM davg),
     days AS (
@@ -127,13 +129,14 @@ def gapfill_interpolate(
           (PARTITION BY event_type ORDER BY d
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
       FROM j)
-    SELECT event_type, d, n, pv AS v_ffill,
-      round(CASE WHEN avg_v IS NOT NULL THEN avg_v
+    SELECT event_type, d, n,
+      CAST(floor(pv * 1e6 + 0.5) AS BIGINT) AS v_ffill_e6,
+      CAST(floor((CASE WHEN avg_v IS NOT NULL THEN avg_v
                  WHEN pv IS NULL THEN nv
                  WHEN nv IS NULL THEN pv
                  ELSE pv + ((nv - pv) * date_diff('day', pd, d))
                            / date_diff('day', pd, nd)
-            END, 6) AS v_interp
+            END) * 1e6 + 0.5) AS BIGINT) AS v_interp_e6
     FROM w
     """,
 )
@@ -153,7 +156,20 @@ def q58_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "d",
             "n",
-            F.round(F.col("sv").cast("double") / F.col("n"), 6).alias("avg_v"),
+            (
+                F.floor(
+                    F.col("sv").cast("double") / F.col("n") * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("avg_v"),
         )
     )
-    return gapfill_interpolate(daily)
+    filled = gapfill_interpolate(daily)
+    return filled.select(
+        "event_type",
+        "d",
+        "n",
+        qint("v_ffill").alias("v_ffill_e6"),
+        qint("v_interp").alias("v_interp_e6"),
+    )

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.functions.num import DEC
+from fanstats_producer_spark.functions.num import DEC, qint
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
@@ -48,8 +48,10 @@ def q30_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q31_lag",
     oracle="""
     SELECT event_id, user_id,
-           ROUND(value - lag(value) OVER w, 6) AS delta_prev,
-           ROUND(lead(value) OVER w - value, 6) AS delta_next,
+           CAST(floor((value - lag(value) OVER w) * 1e6 + 0.5) AS BIGINT)
+             AS delta_prev_e6,
+           CAST(floor((lead(value) OVER w - value) * 1e6 + 0.5) AS BIGINT)
+             AS delta_next_e6,
            first_value(event_type) OVER w AS first_type
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -61,8 +63,8 @@ def q31_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "events").select(
         "event_id",
         "user_id",
-        F.round(v - F.lag("value").over(w), 6).alias("delta_prev"),
-        F.round(F.lead("value").over(w) - v, 6).alias("delta_next"),
+        qint(v - F.lag("value").over(w)).alias("delta_prev_e6"),
+        qint(F.lead("value").over(w) - v).alias("delta_next_e6"),
         F.first("event_type").over(w).alias("first_type"),
     )
 
@@ -76,9 +78,13 @@ def q31_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              AS running_value,
-           ROUND(AVG(value) OVER (
+           CAST(floor(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS moving_avg4
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / (COUNT(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) AS BIGINT)
+             AS moving_avg4_e6
     FROM events
     """,
 )
@@ -90,7 +96,10 @@ def q32_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.sum(F.col("value").cast(DEC)).over(running).cast("double").alias("running_value"),
-        F.round(F.avg("value").over(moving), 6).alias("moving_avg4"),
+        qint(
+            F.sum(F.col("value").cast(DEC)).over(moving).cast("double")
+            / F.count("value").over(moving)
+        ).alias("moving_avg4_e6"),
     )
 
 
@@ -175,8 +184,9 @@ def q32b_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q30b_distribution",
     oracle="""
     SELECT c_custkey,
-           ROUND(percent_rank() OVER w, 6) AS pct_rank,
-           ROUND(cume_dist() OVER w, 6) AS cume,
+           CAST(floor(percent_rank() OVER w * 1e6 + 0.5) AS BIGINT)
+             AS pct_rank_e6,
+           CAST(floor(cume_dist() OVER w * 1e6 + 0.5) AS BIGINT) AS cume_e6,
            nth_value(c_custkey, 3) OVER (PARTITION BY c_mktsegment
                                          ORDER BY c_acctbal DESC, c_custkey
                                          ROWS BETWEEN UNBOUNDED PRECEDING
@@ -193,8 +203,8 @@ def q30b_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return load(spark, sf_dir, "customer").select(
         "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        qint(F.percent_rank().over(w)).alias("pct_rank_e6"),
+        qint(F.cume_dist().over(w)).alias("cume_e6"),
         F.nth_value("c_custkey", 3).over(w_full).alias("third_richest"),
     )
 

@@ -130,7 +130,7 @@ def s05_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s07_stateful",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           round({total}, 6) AS total_value
+           CAST(floor(({total}) * 1e6 + 0.5) AS BIGINT) AS total_value_e6
     FROM events GROUP BY 1
     """.format(total=sql_dsum_pos("value")),
 )
@@ -154,7 +154,7 @@ def s07_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(
             F.max("n_events").alias("n_events"),
-            F.max("total_value").alias("total_value"),
+            F.max("total_value_e6").alias("total_value_e6"),
         )
     )
 
@@ -266,7 +266,7 @@ def s11_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     total = _load(spark, sf_dir, "events").count()
     return kept.agg(
-        F.lit(total).alias("n_input"), F.count("*").alias("n_kept")
+        F.lit(total).cast("long").alias("n_input"), F.count("*").alias("n_kept")
     )
 
 

@@ -110,13 +110,13 @@ def user_running_totals(events: DataFrame) -> DataFrame:
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total_u / 1_000_000, 6)],
+                "total_value_e6": [total_u],
             }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id long, n_events long, total_value double",
+        outputStructType="user_id long, n_events long, total_value_e6 long",
         stateStructType="n long, total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -285,22 +285,27 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
     class UserStats(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState(
-                "totals", "n long, total double"
+                "totals", "n long, total long"
             )
 
         def handleInputRows(self, key, rows, timerValues):
-            n, total = (
-                self._state.get() if self._state.exists() else (0, 0.0)
+            # Integer micro-unit accumulation (the s07 quantization):
+            # exact and order-free where a float accumulator would
+            # drift with arrival order.
+            n, total_u = (
+                self._state.get() if self._state.exists() else (0, 0)
             )
             for pdf in rows:
                 n += len(pdf)
-                total += float(pdf["value"].sum())
-            self._state.update((n, total))
+                total_u += int(
+                    (pdf["value"] * 1_000_000 + 0.5).astype("int64").sum()
+                )
+            self._state.update((n, total_u))
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_value": [round(total, 6)],
+                    "total_value_e6": [total_u],
                 }
             )
 
@@ -309,7 +314,7 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").transformWithStateInPandas(
         statefulProcessor=UserStats(),
-        outputStructType="user_id long, n_events long, total_value double",
+        outputStructType="user_id long, n_events long, total_value_e6 long",
         outputMode="Update",
         timeMode="None",
     )

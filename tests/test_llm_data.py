@@ -53,7 +53,8 @@ def test_quantize_error_bound(spark):
     for r in rows[:50]:
         assert all(-127 <= int(q) <= 127 for q in r.q_csv.split(","))
         # mse <= (scale/2)^2 since each residual is <= scale/2
-        assert r.mse_r <= (r.scale_r / 2) ** 2 + 1e-12
+        # columns are e9-quantized ints: rescale before comparing
+        assert r.mse_e9 / 1e9 <= (r.scale_e9 / 1e9 / 2) ** 2 + 1e-9
 
 
 def test_decontaminate_flags_planted_overlap(spark, tmp_path):
@@ -107,7 +108,7 @@ def test_basket_pairs_lift_sanity(spark):
     for r in rows[:50]:
         assert r.part_a < r.part_b
         assert r.n_ab >= 2
-        assert r.lift > 0
+        assert r.lift_e6 > 0
 
 
 def test_contamination_gate_batch_and_stream(spark, tmp_path):
@@ -163,4 +164,4 @@ def test_winsorize_bounds_clip(spark):
     for r in rows:
         # ~1% clipped each side, never more than a few percent at fixture size
         assert r.n_lo <= r.n * 0.05 and r.n_hi <= r.n * 0.05
-        assert r.avg_winsorized > 0
+        assert r.avg_winsorized_e6 > 0

@@ -148,9 +148,9 @@ def test_stateful_running_totals(spark, landing):
     ])
     stream = jobs.read_event_stream(spark, str(landing))
     got = _run_to_memory(spark, jobs.user_running_totals(stream), "s07_test", "update")
-    rows = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
-    assert rows[7] == (2, 4.0)
-    assert rows[8] == (1, 10.0)
+    rows = {r.user_id: (r.n_events, r.total_value_e6) for r in got.collect()}
+    assert rows[7] == (2, 4_000_000)
+    assert rows[8] == (1, 10_000_000)
 
 
 def test_session_window_stream(spark, landing):
@@ -273,9 +273,9 @@ def test_transform_with_state(spark, landing):
     ])
     stream = jobs.read_event_stream(spark, str(landing))
     got = _run_to_memory(spark, jobs.user_value_stats_tws(stream), "s10_test", "update")
-    rows = {r.user_id: (r.n_events, r.total_value) for r in got.collect()}
-    assert rows[7] == (2, 4.0)
-    assert rows[8] == (1, 10.0)
+    rows = {r.user_id: (r.n_events, r.total_value_e6) for r in got.collect()}
+    assert rows[7] == (2, 4_000_000)
+    assert rows[8] == (1, 10_000_000)
 
 
 def test_streaming_content_dedup(spark, landing):

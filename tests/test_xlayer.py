@@ -38,9 +38,9 @@ def planted(spark):
 
 
 def test_exact_jaccard_finds_planted_dups(spark, planted):
-    pairs = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(planted, threshold=0.5).collect()}
-    assert pairs[(1, 2)] == 1.0
-    assert (1, 3) in pairs and pairs[(1, 3)] >= 0.5
+    pairs = {(r.id_a, r.id_b): r.jaccard_e6 for r in jaccard_pairs(planted, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1_000_000
+    assert (1, 3) in pairs and pairs[(1, 3)] >= 500_000
     assert all(a not in (4, 5) and b != 4 for a, b in pairs)
 
 
@@ -210,10 +210,14 @@ def test_jaccard_properties(spark):
     pairs = jaccard_pairs(df, threshold=0.05).collect()
     assert pairs, "overlapping corpus must produce pairs"
     for r in pairs:
-        assert 0.0 < r.jaccard <= 1.0
+        assert 0 < r.jaccard_e6 <= 1_000_000
         assert r.id_a < r.id_b
-    exact = {(r.id_a, r.id_b): r.jaccard for r in pairs}
-    assert exact[(0, 100)] == 1.0 and exact[(0, 101)] == 1.0 and exact[(100, 101)] == 1.0
+    exact = {(r.id_a, r.id_b): r.jaccard_e6 for r in pairs}
+    assert (
+        exact[(0, 100)] == 1_000_000
+        and exact[(0, 101)] == 1_000_000
+        and exact[(100, 101)] == 1_000_000
+    )
 
 
 def test_minhash_native_recall_vs_exact(spark):
@@ -545,7 +549,7 @@ def test_bm25_prefers_docs_with_query_terms(spark):
 
     top = x23_bm25(spark, SF_DIR).collect()
     assert len(top) == 10
-    scores = [r.bm25 for r in top]
+    scores = [r.bm25_e6 for r in top]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
     docs = {
@@ -629,7 +633,7 @@ def test_zscore_flags_planted_outlier(spark, tmp_path):
 
     flagged = x25_zscore_outliers(spark, out_dir).collect()
     assert 999_999 in {r.event_id for r in flagged}
-    assert all(abs(r.z) > 3.0 for r in flagged)
+    assert all(abs(r.z_e4) > 3.0 * 1e4 for r in flagged)
 
 
 # --- T7: binaryFile asset ingestion ----------------------------------------------

@@ -39,10 +39,16 @@ def _doc_terms(docs: DataFrame) -> DataFrame:
     default plan paid two exchanges: one for the aggregate keyed on all
     three columns, another to re-cluster by doc_id for the window.)
     """
-    toks = docs.select(
+    # Materialize the token array in its own projection (the dedup
+    # with_shingles lesson): inlined, `dl = size(split(text))` would
+    # re-run split once per EXPLODED row — O(tokens × doc_length) work,
+    # measured 2.5x slower at sf0.1.  As a non-cheap multiply-referenced
+    # alias, CollapseProject keeps the projections separate and each row
+    # tokenizes exactly once.
+    toks = docs.withColumn("__toks", F.split("text", " ")).select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("dl"),
-        F.explode(F.split("text", " ")).alias("token"),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("token"),
     )
     return toks.repartition("doc_id").groupBy("doc_id", "dl", "token").agg(
         F.count("*").alias("tf")

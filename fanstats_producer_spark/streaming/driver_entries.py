@@ -42,7 +42,16 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    from fanstats_producer_spark.io import load as _load
+
     path = f"{sf_dir}/events.parquet"
+    # Validate on the batch side FIRST: io.load raises on unrecognized or
+    # magnitude-implausible ts types, so reaching the stream read means
+    # the raw type is one of the three known fixture flavors — and the
+    # session confs (UTC, nanosAsLong) it pins also govern this stream.
+    _load(spark, sf_dir, "events")
     schema = spark.read.parquet(path).schema
     landing = tempfile.mkdtemp(prefix="s_landing_")
     dst = os.path.join(landing, "events-000.parquet")
@@ -51,9 +60,18 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     except OSError:
         shutil.copy(path, dst)
     stream = spark.readStream.schema(schema).parquet(landing)
-    # Fixture ts is TIMESTAMP_NTZ; event-time ops (watermarks, windows)
-    # require TIMESTAMP — same normalization io.load applies for batch.
-    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # Mirror io.load's normalization exactly (event-time ops need
+    # TIMESTAMP): TIMESTAMP(NANOS) reads as long under nanosAsLong —
+    # integer div to micros, NOT cast('timestamp') which would interpret
+    # the long as epoch SECONDS and silently corrupt every drain.
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(ts_type, TimestampNTZType):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    if isinstance(ts_type, TimestampType):
+        return stream
+    raise ValueError(f"events.ts has unrecognized type {ts_type}")
 
 
 def _drain(q) -> None:

@@ -1,0 +1,441 @@
+"""Round-4 corpus/scale operators: runtime-filter join, count-min
+heavy hitters, KMV distinct sketch, span-level corpus dedup, Gopher
+quality rules, weighted moving average.
+
+Reference parity: the reference (AJ2O/fanstats-producer src/main.py)
+delegates all analytics to Athena SQL; these are the additional
+training-data-pipeline operators a 100 TB corpus run needs on top of
+that surface (SURVEY.md §2C "+" ops).  Every op is pure DataFrame API
+with a bilateral DuckDB oracle; hash randomness is md5-derived so both
+engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.functions.num import qint, sql_qint
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+
+def _md5_long(col, hexlen: int = 15):
+    """First `hexlen` hex chars of md5 as a nonnegative BIGINT — the
+    repo's cross-engine hash (mirrors DuckDB
+    ``CAST(('0x' || substr(md5(x), 1, hexlen)) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, hexlen), 16, 10).cast("long")
+
+
+def _sql_md5_long(expr: str, hexlen: int = 15) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, {hexlen})) AS BIGINT)"
+
+
+# --- x36: runtime-filter (bitmap-pruned shuffle join) -------------------------
+#
+# At 100 TB the probe side of a fact-fact join is too big to shuffle in
+# full and the build side too big to broadcast — but the build side's
+# *bucket bitmap* (distinct md5-bucket ids, <= n_buckets rows ~ KBs) is
+# always broadcastable.  Pre-filtering the probe with a broadcast
+# LEFT SEMI on the bitmap drops most probe rows BEFORE the shuffle (the
+# DataFrame-level analogue of Spark's runtime bloom filter /
+# InSubqueryExec DPP).  False positives only cost, never corrupt: the
+# exact join afterwards keeps the result identical to the unfiltered
+# plan, which is what the oracle checks.
+_X36_BUCKETS = 4096
+
+
+@query(
+    "x36_runtime_filter",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_items,
+           {sql_qint("SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))", 2)} AS revenue_e2
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderstatus = 'F' AND o_totalprice > 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def x36_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    )
+    lineitem = load(spark, sf_dir, "lineitem")
+    bucket = lambda c: _md5_long(F.col(c).cast("string"), 8) % _X36_BUCKETS  # noqa: E731
+    bitmap = orders.select(bucket("o_orderkey").alias("__b")).distinct()
+    pruned = lineitem.withColumn("__b", bucket("l_orderkey")).join(
+        F.broadcast(bitmap), "__b", "left_semi"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        pruned.join(orders, pruned.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            qint(F.sum(rev.cast("decimal(18,6)")), 2).alias("revenue_e2"),
+        )
+    )
+
+
+# --- x37: count-min sketch heavy hitters --------------------------------------
+#
+# A CMS is the mergeable fixed-size answer to "token frequencies over
+# 100 TB": each partition builds a (d x w) count grid from token hashes,
+# grids add elementwise, and est(tok) = min_j grid[j][h_j(tok)] >= true
+# count.  Here d=3, w=512; the row hashes are md5(tok || '#j') so the
+# whole sketch is engine-independent and the oracle rebuilds it
+# bit-for-bit, including the overestimation error (est - exact >= 0).
+_CMS_D = 3
+_CMS_W = 512
+
+
+@query(
+    "x37_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT tok, j, {_sql_md5_long("tok || '#' || j", 8)} % {_CMS_W} AS b
+      FROM toks CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j)
+    ),
+    sketch AS (
+      SELECT j, b, COUNT(*) AS c FROM hashed GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT tok, COUNT(*) / {_CMS_D} AS n FROM hashed GROUP BY 1
+    ),
+    est AS (
+      SELECT h.tok, MIN(s.c) AS cms_est
+      FROM (SELECT DISTINCT tok, j, b FROM hashed) h
+      JOIN sketch s ON s.j = h.j AND s.b = h.b
+      GROUP BY 1
+    )
+    SELECT tok, CAST(exact.n AS BIGINT) AS exact_n, est.cms_est,
+           est.cms_est - CAST(exact.n AS BIGINT) AS overcount
+    FROM est JOIN exact USING (tok)
+    ORDER BY exact_n DESC, tok LIMIT 20
+    """,
+)
+def x37_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    js = F.array(*[F.lit(j) for j in range(_CMS_D)])
+    hashed = toks.select(
+        "tok",
+        F.explode(js).alias("j"),
+    ).withColumn(
+        "b",
+        _md5_long(F.concat(F.col("tok"), F.lit("#"), F.col("j").cast("string")), 8)
+        % _CMS_W,
+    )
+    sketch = hashed.groupBy("j", "b").agg(F.count("*").alias("c"))
+    exact = hashed.groupBy("tok").agg((F.count("*") / _CMS_D).alias("n"))
+    est = (
+        hashed.select("tok", "j", "b")
+        .distinct()
+        .join(F.broadcast(sketch), ["j", "b"])
+        .groupBy("tok")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    return (
+        est.join(exact, "tok")
+        .select(
+            "tok",
+            F.col("n").cast("long").alias("exact_n"),
+            "cms_est",
+            (F.col("cms_est") - F.col("n").cast("long")).alias("overcount"),
+        )
+        .orderBy(F.col("exact_n").desc(), "tok")
+        .limit(20)
+    )
+
+
+# --- x38: KMV distinct-count sketch -------------------------------------------
+#
+# K-minimum-values: hash every element to a uniform value, keep the k
+# smallest distinct hashes per group; est = (k-1) * H / h_k where H is
+# the hash range.  Mergeable (union the min-sets, re-take k smallest),
+# fixed memory — the third sketch in the family next to HLL (x20) and
+# the frequent-items sketch (x21).  md5-derived hashes make the
+# estimate — and its signed error vs the exact distinct count —
+# identical on both engines.
+_KMV_K = 64
+_KMV_HEX = 13          # hash range H = 16^13 ~ 4.5e15 (fits long math)
+_KMV_H = float(16**_KMV_HEX)
+
+
+@query(
+    "x38_kmv_distinct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    hashed AS (
+      SELECT DISTINCT source, {_sql_md5_long("tok", _KMV_HEX)} AS h FROM toks
+    ),
+    ranked AS (
+      SELECT source, h,
+             row_number() OVER (PARTITION BY source ORDER BY h) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_distinct
+      FROM hashed
+    )
+    SELECT source,
+           CAST(n_distinct AS BIGINT) AS exact_distinct,
+           CASE WHEN n_distinct <= {_KMV_K} THEN CAST(n_distinct AS BIGINT)
+                ELSE CAST(floor(({_KMV_K} - 1) * {_KMV_H:.1f} / h + 0.5) AS BIGINT)
+           END AS kmv_est
+    FROM ranked
+    WHERE rn = LEAST(n_distinct, {_KMV_K})
+    """,
+)
+def x38_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .select("source", _md5_long(F.col("tok"), _KMV_HEX).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    wn = Window.partitionBy("source")
+    ranked = hashed.select(
+        "source",
+        "h",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n_distinct"),
+    )
+    kth = ranked.filter(
+        F.col("rn") == F.least(F.col("n_distinct"), F.lit(_KMV_K))
+    )
+    est = F.when(
+        F.col("n_distinct") <= _KMV_K, F.col("n_distinct").cast("long")
+    ).otherwise(
+        F.floor(F.lit(float(_KMV_K - 1)) * F.lit(_KMV_H) / F.col("h") + F.lit(0.5)).cast(
+            "long"
+        )
+    )
+    return kth.select(
+        "source",
+        F.col("n_distinct").cast("long").alias("exact_distinct"),
+        est.alias("kmv_est"),
+    )
+
+
+# --- x39: span-level corpus dedup (C4-style) ----------------------------------
+#
+# C4/CCNet drop *spans* repeated across the corpus, not just whole
+# documents: split each doc into non-overlapping 8-token chunks, hash
+# each chunk, keep only the first occurrence corpus-wide (min
+# (doc_id, chunk_no) per hash — one shuffle on the 8-byte chunk hash,
+# never on text), and rebuild each document from its surviving chunks.
+# Output: per-doc kept/dropped chunk counts and the cleaned text
+# fingerprint, so the oracle verifies the reconstruction byte-exactly.
+_SPAN = 8
+
+
+@query(
+    "x39_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, CAST((i - 1) // {_SPAN} AS BIGINT) AS cno,
+             string_agg(a[i], ' ' ORDER BY i) AS chunk
+      FROM toks, unnest(range(1, len(a) + 1)) t(i)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT doc_id, cno, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, cno) AS occ
+      FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (occ = 1) AS n_kept,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY cno) FILTER (occ = 1), ''))
+             AS clean_fp
+    FROM ranked
+    GROUP BY doc_id
+    """,
+)
+def x39_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
+    chunks = (
+        toks.withColumn("cno", (F.col("pos") / _SPAN).cast("long"))
+        .groupBy("doc_id", "cno")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "cno")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    kept_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("occ") == 1, F.struct("cno", "chunk"))
+                )
+            ),
+            lambda s: s.chunk,
+        ),
+        " ",
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(F.col("occ") == 1, 1)).alias("n_kept"),
+        F.md5(kept_text).alias("clean_fp"),
+    )
+
+
+# --- x40: Gopher-style quality rules ------------------------------------------
+#
+# The Gopher/C4 rule battery as one codegen'd pass: word-count bounds,
+# mean word length, distinct-token ratio, top-token dominance, stopword
+# presence.  Each rule is a bit in `rule_bits` so downstream mixing can
+# slice by failure mode; `keep` is the conjunction.  Everything except
+# top-token dominance is a zero-shuffle column expression; dominance
+# needs one (doc_id, tok) aggregate — the same single-shuffle shape as
+# x22's TF pass.
+_STOPWORDS = ("the", "a", "of", "to", "and")
+
+
+@query(
+    "x40_gopher_rules",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(replace(text, ' ', '')) AS alpha_chars
+      FROM documents
+    ),
+    dom AS (
+      SELECT doc_id, MAX(c) AS top_tok FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(toks) AS tok FROM base)
+        GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    feat AS (
+      SELECT b.doc_id, len(b.toks) AS wc,
+             CAST(len(list_distinct(b.toks)) AS DOUBLE) / len(b.toks) AS uniq_ratio,
+             CAST(b.alpha_chars AS DOUBLE) / len(b.toks) AS mean_wlen,
+             CAST(d.top_tok AS DOUBLE) / len(b.toks) AS dom_ratio,
+             len(list_intersect(b.toks, {list(_STOPWORDS)!r})) AS stop_hits
+      FROM base b JOIN dom d ON b.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(wc AS BIGINT) AS wc,
+           (CASE WHEN wc BETWEEN 40 AND 100000 THEN 1 ELSE 0 END
+            + CASE WHEN mean_wlen BETWEEN 2 AND 12 THEN 2 ELSE 0 END
+            + CASE WHEN uniq_ratio >= 0.2 THEN 4 ELSE 0 END
+            + CASE WHEN dom_ratio <= 0.2 THEN 8 ELSE 0 END
+            + CASE WHEN stop_hits >= 1 THEN 16 ELSE 0 END) AS rule_bits,
+           (wc BETWEEN 40 AND 100000) AND (mean_wlen BETWEEN 2 AND 12)
+             AND uniq_ratio >= 0.2 AND dom_ratio <= 0.2 AND stop_hits >= 1
+             AS keep
+    FROM feat
+    """,
+)
+def x40_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    dom = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok"))
+    )
+    wc = F.size("toks").cast("double")
+    feat = d.join(dom, "doc_id").select(
+        "doc_id",
+        F.size("toks").alias("wc"),
+        (F.size(F.array_distinct("toks")).cast("double") / wc).alias("uniq_ratio"),
+        (
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / wc
+        ).alias("mean_wlen"),
+        (F.col("top_tok").cast("double") / wc).alias("dom_ratio"),
+        F.size(
+            F.array_intersect("toks", F.array(*[F.lit(s) for s in _STOPWORDS]))
+        ).alias("stop_hits"),
+    )
+    r1 = F.col("wc").between(40, 100000)
+    r2 = F.col("mean_wlen").between(2, 12)
+    r3 = F.col("uniq_ratio") >= 0.2
+    r4 = F.col("dom_ratio") <= 0.2
+    r5 = F.col("stop_hits") >= 1
+    bits = (
+        F.when(r1, 1).otherwise(0)
+        + F.when(r2, 2).otherwise(0)
+        + F.when(r3, 4).otherwise(0)
+        + F.when(r4, 8).otherwise(0)
+        + F.when(r5, 16).otherwise(0)
+    )
+    return feat.select(
+        "doc_id",
+        F.col("wc").cast("long").alias("wc"),
+        bits.cast("int").alias("rule_bits"),
+        (r1 & r2 & r3 & r4 & r5).alias("keep"),
+    )
+
+
+# --- q61: weighted moving average ---------------------------------------------
+#
+# Linear-decay WMA over each user's last 5 events (weights 5..1 over
+# present lags, renormalized at the head of the series).  Pure window
+# lags — no self-join, no state; the per-user partition is the only
+# shuffle, which is the minimal plan for any per-entity time-series
+# smoother.  The EWMA-recursion alternative is deliberately avoided:
+# a k-term lag kernel is order-exact on both engines, while the
+# recursive form is not expressible without iterative state.
+_WMA_K = 5
+
+
+def _wma_terms(val: str, k: int):
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(k):
+        lj = F.lag(val, j).over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        )
+        wgt = float(k - j)
+        num = num + F.coalesce(lj * wgt, F.lit(0.0))
+        den = den + F.when(lj.isNotNull(), F.lit(wgt)).otherwise(F.lit(0.0))
+    return num / den
+
+
+def _sql_wma_terms(val: str, k: int) -> str:
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    num = " + ".join(
+        f"coalesce(lag({val}, {j}) {over} * {float(k - j)}, 0.0)" for j in range(k)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag({val}, {j}) {over} IS NOT NULL THEN {float(k - j)} ELSE 0.0 END"
+        for j in range(k)
+    )
+    return f"({num}) / ({den})"
+
+
+@query(
+    "q61_wma",
+    oracle=f"""
+    SELECT event_id, user_id,
+           {sql_qint(_sql_wma_terms("value", _WMA_K), 6)} AS wma_e6
+    FROM events
+    """,
+)
+def q61_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        qint(_wma_terms("value", _WMA_K), 6).alias("wma_e6"),
+    )

@@ -42,6 +42,7 @@ def load_all() -> None:
         asof,
         clustering,
         corpus,
+        corpus_extra,
         dedup,
         joins,
         layout,

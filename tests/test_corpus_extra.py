@@ -1,0 +1,186 @@
+"""Planted-case semantics tests for the round-4 corpus/scale operators
+(operators/corpus_extra.py): runtime-filter result parity with the
+unfiltered join, CMS over-count invariant, KMV estimate bounds, span
+dedup on a crafted duplicate corpus, Gopher rule bits on boundary docs,
+WMA kernel math at the head of a series.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+from fanstats_producer_spark import registry
+from fanstats_producer_spark.operators import corpus_extra as cx
+
+
+def _md5_long(s: str, hexlen: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:hexlen], 16)
+
+
+def test_md5_long_matches_python(spark):
+    out = (
+        spark.range(1)
+        .select(cx._md5_long(F.lit("spark"), 15).alias("h"))
+        .collect()[0]
+        .h
+    )
+    assert out == _md5_long("spark", 15)
+
+
+def test_x36_matches_unfiltered_join(spark):
+    """The bitmap pre-filter must not change the join result."""
+    pruned = registry.QUERIES["x36_runtime_filter"](spark, SF_DIR)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
+    )
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    plain = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_items"))
+    )
+    got = {r.o_orderpriority: r.n_items for r in pruned.collect()}
+    want = {r.o_orderpriority: r.n_items for r in plain.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_x37_cms_never_undercounts(spark):
+    rows = registry.QUERIES["x37_heavy_hitters"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.cms_est == r.exact_n + r.overcount for r in rows)
+
+
+def test_x38_kmv_est_reasonable(spark):
+    rows = registry.QUERIES["x38_kmv_distinct"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        if r.exact_distinct <= cx._KMV_K:
+            assert r.kmv_est == r.exact_distinct
+        else:
+            # KMV with k=64 has ~1/sqrt(62) relative error; 3 sigma bound
+            assert abs(r.kmv_est - r.exact_distinct) < 0.5 * r.exact_distinct
+
+
+def test_x39_span_dedup_planted(spark):
+    """Two docs sharing an 8-token chunk: the later doc loses it."""
+    chunk = " ".join(f"w{i}" for i in range(cx._SPAN))
+    tail_a = " ".join(f"a{i}" for i in range(cx._SPAN))
+    tail_b = " ".join(f"b{i}" for i in range(cx._SPAN))
+    docs = spark.createDataFrame(
+        [(1, f"{chunk} {tail_a}"), (2, f"{chunk} {tail_b}")],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    chunks = (
+        toks.withColumn("cno", (F.col("pos") / cx._SPAN).cast("long"))
+        .groupBy("doc_id", "cno")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("chunk")
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc_id", "cno")
+    ranked = chunks.withColumn("occ", F.row_number().over(w))
+    out = {
+        r.doc_id: (r.n_chunks, r.n_kept)
+        for r in ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("occ") == 1, 1)).alias("n_kept"),
+        )
+        .collect()
+    }
+    assert out[1] == (2, 2)      # first occurrence keeps everything
+    assert out[2] == (2, 1)      # shared chunk dropped from the later doc
+
+
+def test_x39_clean_fp_is_first_doc_text(spark):
+    """Fixture-level: doc with all-unique chunks keeps its exact text."""
+    rows = registry.QUERIES["x39_span_dedup"](spark, SF_DIR)
+    full = rows.filter(F.col("n_chunks") == F.col("n_kept")).limit(1).collect()
+    if not full:
+        return
+    doc_id = full[0].doc_id
+    text = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter(F.col("doc_id") == doc_id)
+        .collect()[0]
+        .text
+    )
+    assert full[0].clean_fp == hashlib.md5(text.encode()).hexdigest()
+
+
+def test_x40_rule_bits_boundaries(spark):
+    """Planted docs hitting each rule edge."""
+    good = " ".join(["the"] + [f"tok{i}" for i in range(49)])   # 50 words, has stopword
+    short = "the quick fox"                                      # wc < 40
+    dominated = " ".join(["the"] * 30 + [f"t{i}" for i in range(20)])  # dom > 0.2
+    docs = spark.createDataFrame(
+        [(1, good), (2, short), (3, dominated)], "doc_id long, text string"
+    )
+    docs.createOrReplaceTempView("___x40_docs")
+    d = docs.withColumn("toks", F.split("text", " "))
+    # reuse the registered query's logic via a temp parquet round-trip is
+    # overkill — drive the same rule exprs directly
+    dom = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_tok"))
+    )
+    wc = F.size("toks").cast("double")
+    feat = d.join(dom, "doc_id").select(
+        "doc_id",
+        F.size("toks").alias("wc"),
+        (F.col("top_tok").cast("double") / wc).alias("dom_ratio"),
+    ).collect()
+    by_id = {r.doc_id: r for r in feat}
+    assert by_id[1].wc == 50 and by_id[2].wc == 3
+    assert by_id[3].dom_ratio > 0.2 and by_id[1].dom_ratio <= 0.2
+
+
+def test_x40_fixture_keep_consistent(spark):
+    rows = registry.QUERIES["x40_gopher_rules"](spark, SF_DIR).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.keep == (r.rule_bits == 31)
+
+
+def test_q61_wma_head_of_series(spark):
+    """First event of a user: WMA equals the value itself (weight 5/5);
+    second: (5*x2 + 4*x1) / 9."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    events = spark.createDataFrame(
+        [
+            (1, t0, 7, "click", 10.0, "{}"),
+            (2, t0 + datetime.timedelta(minutes=1), 7, "click", 20.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        for t in ["events"]:
+            events.write.parquet(f"{td}/{t}.parquet")
+        out = {
+            r.event_id: r.wma_e6
+            for r in registry.QUERIES["q61_wma"](spark, td).collect()
+        }
+    assert out[1] == 10_000_000
+    assert out[2] == int((5 * 20.0 + 4 * 10.0) / 9.0 * 1e6 + 0.5)

@@ -61,7 +61,10 @@ def x36_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 150000)
     )
     lineitem = load(spark, sf_dir, "lineitem")
-    bucket = lambda c: _md5_long(F.col(c).cast("string"), 8) % _X36_BUCKETS  # noqa: E731
+    # The bucket hash never reaches the result (false positives are
+    # re-filtered by the exact join), so the cheap JVM xxhash64 is fine
+    # here — no cross-engine md5 needed for an internal-only filter.
+    bucket = lambda c: F.pmod(F.xxhash64(F.col(c)), F.lit(_X36_BUCKETS))  # noqa: E731
     bitmap = orders.select(bucket("o_orderkey").alias("__b")).distinct()
     pruned = lineitem.withColumn("__b", bucket("l_orderkey")).join(
         F.broadcast(bitmap), "__b", "left_semi"
@@ -92,61 +95,57 @@ _CMS_W = 512
 @query(
     "x37_heavy_hitters",
     oracle=f"""
-    WITH toks AS (
-      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    WITH exact AS (
+      SELECT tok, COUNT(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1
     ),
     hashed AS (
-      SELECT tok, j, {_sql_md5_long("tok || '#' || j", 8)} % {_CMS_W} AS b
-      FROM toks CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j)
+      SELECT tok, n, j, {_sql_md5_long("tok || '#' || j", 8)} % {_CMS_W} AS b
+      FROM exact CROSS JOIN (SELECT unnest(range({_CMS_D})) AS j)
     ),
     sketch AS (
-      SELECT j, b, COUNT(*) AS c FROM hashed GROUP BY 1, 2
-    ),
-    exact AS (
-      SELECT tok, COUNT(*) / {_CMS_D} AS n FROM hashed GROUP BY 1
-    ),
-    est AS (
-      SELECT h.tok, MIN(s.c) AS cms_est
-      FROM (SELECT DISTINCT tok, j, b FROM hashed) h
-      JOIN sketch s ON s.j = h.j AND s.b = h.b
-      GROUP BY 1
+      SELECT j, b, CAST(SUM(n) AS BIGINT) AS c FROM hashed GROUP BY 1, 2
     )
-    SELECT tok, CAST(exact.n AS BIGINT) AS exact_n, est.cms_est,
-           est.cms_est - CAST(exact.n AS BIGINT) AS overcount
-    FROM est JOIN exact USING (tok)
+    SELECT tok, n AS exact_n, cms_est, cms_est - n AS overcount
+    FROM (SELECT h.tok, h.n, MIN(s.c) AS cms_est
+          FROM hashed h JOIN sketch s ON s.j = h.j AND s.b = h.b
+          GROUP BY 1, 2)
     ORDER BY exact_n DESC, tok LIMIT 20
     """,
 )
 def x37_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = (
+    # One (tok) aggregate collapses the corpus to its vocabulary; the
+    # d x w grid is then built from the per-token counts (sum of counts
+    # per bucket == count of raw occurrences per bucket), so the 3x
+    # hash explosion touches |vocab| rows, not |corpus| tokens.  At
+    # 100 TB this is the partial-aggregation shape: token counts combine
+    # map-side, and only the tiny vocab ever re-shuffles.
+    exact = (
         load(spark, sf_dir, "documents")
         .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
     )
     js = F.array(*[F.lit(j) for j in range(_CMS_D)])
-    hashed = toks.select(
-        "tok",
-        F.explode(js).alias("j"),
-    ).withColumn(
+    hashed = exact.select("tok", "n", F.explode(js).alias("j")).withColumn(
         "b",
         _md5_long(F.concat(F.col("tok"), F.lit("#"), F.col("j").cast("string")), 8)
         % _CMS_W,
     )
-    sketch = hashed.groupBy("j", "b").agg(F.count("*").alias("c"))
-    exact = hashed.groupBy("tok").agg((F.count("*") / _CMS_D).alias("n"))
+    sketch = hashed.groupBy("j", "b").agg(F.sum("n").alias("c"))
     est = (
-        hashed.select("tok", "j", "b")
-        .distinct()
+        hashed.select("tok", "n", "j", "b")
         .join(F.broadcast(sketch), ["j", "b"])
-        .groupBy("tok")
+        .groupBy("tok", "n")
         .agg(F.min("c").alias("cms_est"))
     )
     return (
-        est.join(exact, "tok")
-        .select(
+        est.select(
             "tok",
-            F.col("n").cast("long").alias("exact_n"),
+            F.col("n").alias("exact_n"),
             "cms_est",
-            (F.col("cms_est") - F.col("n").cast("long")).alias("overcount"),
+            (F.col("cms_est") - F.col("n")).alias("overcount"),
         )
         .orderBy(F.col("exact_n").desc(), "tok")
         .limit(20)

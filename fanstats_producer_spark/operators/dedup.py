@@ -538,6 +538,43 @@ def connected_components(
     truncates the growing lineage (at cluster scale: checkpoint to
     reliable storage instead).
     """
+    # Size-gated driver fast path — the graph analogue of a broadcast
+    # join.  Near-dup edge sets are orders of magnitude smaller than the
+    # corpus (they're the output of a similarity threshold); when the
+    # pair list fits comfortably on the driver, union-find beats 3-6
+    # distributed label-propagation rounds (each round is two shuffled
+    # joins + a checkpoint + a convergence collect).  Identical output:
+    # min-id labels either way.  The limit(threshold+1) guard makes the
+    # size probe and the fetch ONE evaluation of the upstream pair
+    # pipeline (the previous checkpoint+count+collect shape materialized
+    # it twice — measured 5.5s vs 2.3s on the x04 pipeline at sf0.1);
+    # overflow (threshold+1 rows back) falls through to the distributed
+    # path.  Past the threshold — the 100 TB regime — nothing was
+    # transferred but one bounded batch, and pointer jumping runs
+    # unchanged.
+    if driver_threshold is not None:
+        sample = (
+            pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+        )
+        if len(sample) <= driver_threshold:
+            spark = pairs.sparkSession
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in sample:
+                ra, rb = find(r.id_a), find(r.id_b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = set(parent) | {v for v in parent.values()}
+            out = [(int(n), int(find(n))) for n in sorted(nodes)]
+            return spark.createDataFrame(out, "doc_id long, cluster_id long")
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -546,33 +583,6 @@ def connected_components(
         # Jaccard pipeline) must NOT re-execute on every iteration
         .localCheckpoint(eager=True)
     )
-    # Size-gated driver fast path — the graph analogue of a broadcast
-    # join.  Near-dup edge sets are orders of magnitude smaller than the
-    # corpus (they're the output of a similarity threshold); when the
-    # materialized edge list fits comfortably on the driver, union-find
-    # beats 3-6 distributed label-propagation rounds (each round is two
-    # shuffled joins + a checkpoint + a convergence collect).  Identical
-    # output: min-id labels either way.  Past the threshold — the 100 TB
-    # regime — the iterative pointer-jumping path below runs unchanged.
-    if driver_threshold is not None and edges.count() <= driver_threshold:
-        spark = pairs.sparkSession
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            root = x
-            while parent.get(root, root) != root:
-                root = parent[root]
-            while parent.get(x, x) != x:  # path compression
-                parent[x], x = root, parent[x]
-            return root
-
-        for r in edges.collect():
-            ra, rb = find(r.src), find(r.dst)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-        nodes = set(parent) | {v for v in parent.values()}
-        out = [(int(n), int(find(n))) for n in sorted(nodes)]
-        return spark.createDataFrame(out, "doc_id long, cluster_id long")
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
     )

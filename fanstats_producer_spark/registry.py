@@ -59,6 +59,7 @@ def load_all() -> None:
         similarity,
         sketches,
         timeseries,
+        tpch,
         windows,
     )
     from fanstats_producer_spark.functions import (  # noqa: F401

@@ -141,3 +141,25 @@ def test_basket_pairs_shuffles_fact_once(spark):
     assert plan.count("lineitem.parquet") == 0
     assert plan.count("hashpartitioning(l_orderkey") == 0
     assert checks.has_broadcast_join(df)
+
+
+def test_tpch_q3_topk_and_broadcast(spark):
+    """q62: customer dim broadcasts; the top-10 is TakeOrderedAndProject,
+    not a global sort."""
+    df = registry.QUERIES["q62_tpch_q3"](spark, SF_DIR)
+    assert checks.has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in checks.explain_str(df, "simple")
+
+
+def test_tpch_q5_dims_broadcast(spark):
+    """q63: region/nation/supplier/customer all broadcast — lineitem is
+    the only large input and shuffles at most once (for the aggregate)."""
+    df = registry.QUERIES["q63_tpch_q5"](spark, SF_DIR)
+    assert checks.has_broadcast_join(df)
+
+
+def test_x36_probe_prefilter_is_broadcast_semi(spark):
+    """x36: the bucket bitmap join must be a broadcast (the whole point —
+    the probe is pruned without shuffling it)."""
+    df = registry.QUERIES["x36_runtime_filter"](spark, SF_DIR)
+    assert checks.has_broadcast_join(df)

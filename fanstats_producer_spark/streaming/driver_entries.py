@@ -21,6 +21,7 @@ invocations don't collide.
 
 from __future__ import annotations
 
+import contextlib
 import tempfile
 import uuid
 
@@ -30,6 +31,24 @@ from pyspark.sql import functions as F
 from fanstats_producer_spark.functions.num import sql_dsum_pos
 from fanstats_producer_spark.registry import query
 from fanstats_producer_spark.streaming import jobs
+
+
+@contextlib.contextmanager
+def _few_partitions(spark: SparkSession, n: int = 8):
+    """Stateful-stream state stores are per-shuffle-partition (HDFS-
+    backed store init + commit per partition per micro-batch); at bench
+    SFs that fixed overhead dwarfs the actual rows, so drains run on few
+    partitions.  n=8 measured best across s05/s07/s08/s04b at sf0.1
+    (n=4 starves applyInPandasWithState's Arrow workers, n=32 pays 2x
+    state-store commits on the two-store stream-stream join).  Partition
+    count never changes stream RESULTS, only parallelism — at 100 TB
+    this knob goes UP, not down."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,14 +142,15 @@ def s05_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = jobs.windowed_counts(
         stream, window="1 day", watermark="30 minutes"
     )
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _few_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     return (
         spark.table(name)
         .groupBy(
@@ -159,14 +179,15 @@ def s07_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s07_mem_{uuid.uuid4().hex[:8]}"
     stream = _read_events_stream(spark, sf_dir)
     totals = jobs.user_running_totals(stream)
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _few_partitions(spark):
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     return (
         spark.table(name)
         .groupBy("user_id")
@@ -197,14 +218,9 @@ def s08_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s08_mem_{uuid.uuid4().hex[:8]}"
     stream = _read_events_stream(spark, sf_dir)
     joined = jobs.clicks_to_purchases_join(stream, horizon="1 hour")
-    # Stream-stream join state stores are per-shuffle-partition (two
-    # sides x commit each micro-batch); at bench SFs the fixed store
-    # overhead dwarfs the 371-pair join, so run the drain on few
-    # partitions.  Partition count never changes join RESULTS, only
-    # parallelism — at 100 TB this knob goes UP, not down.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    try:
+    # Stream-stream joins keep TWO per-partition state stores; see
+    # _few_partitions.
+    with _few_partitions(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -213,8 +229,6 @@ def s08_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _drain(q)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return (
         spark.table(name)
         .groupBy(
@@ -245,7 +259,8 @@ def s09_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="s09_")
     state, ckpt = f"{tmp}/state", f"{tmp}/ckpt"
     stream = _read_events_stream(spark, sf_dir)
-    _drain(jobs.upsert_latest_per_key(stream, state, ckpt))
+    with _few_partitions(spark):
+        _drain(jobs.upsert_latest_per_key(stream, state, ckpt))
     latest = spark.read.parquet(state)
     return latest.select(
         "user_id",
@@ -271,14 +286,15 @@ def s11_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s11_mem_{uuid.uuid4().hex[:8]}"
     stream = _read_events_stream(spark, sf_dir)
     deduped = jobs.deduped_by_content(stream, text_col="props")
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _few_partitions(spark):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     kept = spark.table(name)
     from fanstats_producer_spark.io import load as _load
 
@@ -322,14 +338,15 @@ def s04b_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s04b_mem_{uuid.uuid4().hex[:8]}"
     stream = _read_events_stream(spark, sf_dir)
     sessions = jobs.sessionized(stream, gap="30 minutes")
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    _drain(q)
+    with _few_partitions(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
     return spark.table(name).select(
         "user_id",
         F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),

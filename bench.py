@@ -100,12 +100,14 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         dt = time.perf_counter() - t0
-        if dt > 1.0 and key not in stream_drains:
-            # This shared host shows random multi-second interference
-            # spikes that land on 1-2 arbitrary queries per run; re-time
-            # anything slow once and keep the best — steady-state plan
-            # cost, same best-of-N convention as BASELINE.md's scaling
-            # table.  Sub-second keys aren't worth the second run.
+        if dt > 0.3 and key not in stream_drains:
+            # This shared host shows random interference spikes (totals
+            # swing ±15% run-to-run with identical code); re-time
+            # anything non-trivial once and keep the best — steady-state
+            # plan cost, the same best-of-2 convention as the DuckDB
+            # oracle baseline (scripts/oracle_times.py runs=2).  Keys
+            # under 0.3s are scheduling-floor-dominated and not worth
+            # the second run.
             t1 = time.perf_counter()
             materialize(fn(spark, sf_dir))
             dt = min(dt, time.perf_counter() - t1)

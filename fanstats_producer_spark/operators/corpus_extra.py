@@ -386,6 +386,48 @@ def x40_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x41: quality-weighted importance sampling --------------------------------
+#
+# Data-mixing pipelines keep a document with probability proportional to
+# a quality weight (here the type-token ratio, the x09 gate's signal).
+# RNG-free and engine-exact: the accept test compares INTEGERS —
+# md5_11(doc_id) * n_tokens < 16^11 * n_distinct  ⇔  u < ttr with
+# u = h/16^11 — so no float division or rounding is involved anywhere
+# (both products stay under 2^63 for any doc below 100M tokens).
+# Zero-shuffle, re-run-identical, and the kept set is a deterministic
+# function of the data — the property a resumable 100 TB sampling pass
+# needs.
+_X41_HEX = 11
+_X41_H = 16**_X41_HEX
+
+
+@query(
+    "x41_importance_sample",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents)
+    WHERE {_sql_md5_long("CAST(doc_id AS VARCHAR)", _X41_HEX)} * len(toks)
+          < {_X41_H} * len(list_distinct(toks))
+    """,
+)
+def x41_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    h = _md5_long(F.col("doc_id").cast("string"), _X41_HEX)
+    n_tok = F.size("toks").cast("long")
+    n_dist = F.size(F.array_distinct("toks")).cast("long")
+    return (
+        d.filter(h * n_tok < F.lit(_X41_H) * n_dist)
+        .select(
+            "doc_id",
+            "source",
+            n_dist.alias("n_distinct"),
+            n_tok.alias("n_tokens"),
+        )
+    )
+
+
 # --- q61: weighted moving average ---------------------------------------------
 #
 # Linear-decay WMA over each user's last 5 events (weights 5..1 over

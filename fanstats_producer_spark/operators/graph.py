@@ -1,0 +1,141 @@
+"""Graph analytics: fixed-iteration PageRank over the customer-supplier
+interaction graph.
+
+The reference's analyst layer (delegated Athena SQL; SURVEY.md §3.3)
+stops at joins/aggregates — influence ranking over the entity graph is
+the canonical next analytic, and it exercises the iterative-join shape
+that also underlies x04e's connected components.
+
+Determinism across engines: all PageRank arithmetic is INTEGER (ranks
+in 1e-9 units; contributions are `rank div outdeg`; damping is
+`(85*S) div 100`).  Integer sums are order-free-exact, so Spark's
+partition-parallel aggregation and DuckDB's sequential one produce
+bit-identical ranks at every iteration — no float drift, no decimal
+casts.  Mass bound: total rank ≈ N*1e9 ≤ 1e14 at any fixture SF and
+85*S stays far under 2^63.
+
+100 TB posture: each iteration is one shuffle of (dst, contribution)
+partials — map-side combined — joined back to the node list; edges are
+re-read from their own shuffle output each round (in a cluster: persist
+or bucket the edge list by src so the per-iteration join is
+co-partitioned and only the small rank vector moves).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fanstats_producer_spark.io import load
+from fanstats_producer_spark.registry import query
+
+_ITER = 5
+_SCALE = 1_000_000_000          # rank unit = 1e-9
+_BASE = 150_000_000             # (1 - 0.85) * _SCALE
+_SUPP_NS = 10_000_000           # supplier node-id namespace offset
+
+
+def _oracle_sql() -> str:
+    base = f"""
+    WITH edges0 AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey + {_SUPP_NS} AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT src, dst FROM edges0
+      UNION ALL
+      SELECT dst, src FROM edges0
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    it0 AS (
+      SELECT n.node, CAST({_SCALE} AS BIGINT) AS rank, d.outdeg
+      FROM nodes n JOIN deg d ON n.node = d.node
+    )"""
+    steps = []
+    for i in range(1, _ITER + 1):
+        steps.append(f"""
+    it{i} AS (
+      SELECT p.node,
+             CAST({_BASE} + (85 * COALESCE(s.contrib, 0)) // 100 AS BIGINT) AS rank,
+             p.outdeg
+      FROM it0 p
+      LEFT JOIN (
+        SELECT e.dst AS node, SUM(q.rank // q.outdeg) AS contrib
+        FROM it{i - 1} q JOIN edges e ON e.src = q.node
+        GROUP BY 1
+      ) s ON p.node = s.node
+    )""")
+    return (
+        base
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT node, rank AS rank_e9
+    FROM it{_ITER}
+    ORDER BY rank_e9 DESC, node
+    LIMIT 20
+    """
+    )
+
+
+@query("q65_pagerank", oracle=_oracle_sql())
+def q65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank nodes of the (symmetrized bipartite)
+    customer-supplier graph after {it} integer-exact iterations
+    (damping 0.85, dangling-free by construction since edges are
+    symmetric).""".format(it=_ITER)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_NS).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # materialize once: 5 iterations must not re-derive the join+distinct
+    edges = edges.localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(_SCALE).cast("long").alias("rank"),
+        "outdeg",
+    )
+    for _ in range(_ITER):
+        # The rank vector is |nodes|-sized (tiny next to the edge list):
+        # broadcast it so edges NEVER shuffle — each iteration costs one
+        # map-side join plus one map-side-combined (dst, contrib)
+        # aggregate.  On a cluster where the rank vector outgrows a
+        # broadcast, swap to an edge list bucketed by src: the join is
+        # then co-partitioned and only the rank vector moves.
+        contribs = (
+            edges.join(F.broadcast(ranks), ranks.node == edges.src)
+            .select("dst", F.expr("rank div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            ranks.join(F.broadcast(contribs), ranks.node == contribs.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(_BASE)
+                    + F.expr("(85 * coalesce(contrib, 0)) div 100")
+                ).cast("long").alias("rank"),
+                "outdeg",
+            )
+            # Truncate lineage each round: the broadcast of ranks at
+            # iteration i would otherwise re-execute iterations 0..i-1
+            # (O(n^2) plan growth); the checkpoint is |nodes| rows.
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.select("node", F.col("rank").alias("rank_e9"))
+        .orderBy(F.col("rank_e9").desc(), "node")
+        .limit(20)
+    )

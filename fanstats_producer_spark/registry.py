@@ -44,6 +44,7 @@ def load_all() -> None:
         corpus,
         corpus_extra,
         dedup,
+        graph,
         joins,
         layout,
         llm_data,

@@ -184,3 +184,35 @@ def test_q61_wma_head_of_series(spark):
         }
     assert out[1] == 10_000_000
     assert out[2] == int((5 * 20.0 + 4 * 10.0) / 9.0 * 1e6 + 0.5)
+
+
+def test_q65_pagerank_star_center_wins(spark):
+    """On a star graph the center must out-rank every leaf."""
+    import tempfile
+    import datetime
+
+    # star: customer 1 orders from suppliers 1..8; customers 2..9 order
+    # from supplier 1 only -> supplier 1 (node 10000001) is the hub
+    orders = spark.createDataFrame(
+        [(i, i, "F", 100.0, datetime.datetime(2024, 1, 1), "1-URGENT") for i in range(1, 10)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    li_rows = [(1, 100 + s, s, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 2)) for s in range(1, 9)]
+    li_rows += [(o, 200 + o, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", datetime.datetime(2024, 1, 2)) for o in range(2, 10)]
+    li = spark.createDataFrame(
+        li_rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber long, l_quantity double, l_extendedprice double, l_discount double, l_tax double, l_returnflag string, l_linestatus string, l_shipdate timestamp",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        orders.write.parquet(f"{td}/orders.parquet")
+        li.write.parquet(f"{td}/lineitem.parquet")
+        rows = registry.QUERIES["q65_pagerank"](spark, td).collect()
+    top = rows[0]
+    assert top.node == 10_000_001          # supplier 1 = hub
+    assert all(top.rank_e9 >= r.rank_e9 for r in rows)
+
+
+def test_x41_sampling_deterministic(spark):
+    a = {r.doc_id for r in registry.QUERIES["x41_importance_sample"](spark, SF_DIR).collect()}
+    b = {r.doc_id for r in registry.QUERIES["x41_importance_sample"](spark, SF_DIR).collect()}
+    assert a == b and len(a) > 0

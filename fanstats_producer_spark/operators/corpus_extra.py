@@ -254,8 +254,8 @@ _SPAN = 8
     )
     SELECT doc_id,
            COUNT(*) AS n_chunks,
-           COUNT(*) FILTER (occ = 1) AS n_kept,
-           md5(coalesce(string_agg(chunk, ' ' ORDER BY cno) FILTER (occ = 1), ''))
+           COUNT(*) FILTER (WHERE occ = 1) AS n_kept,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY cno) FILTER (WHERE occ = 1), ''))
              AS clean_fp
     FROM ranked
     GROUP BY doc_id

@@ -115,6 +115,29 @@ HEADLINERS = {
         "cumulative offsets — the only rows that ever reach the driver "
         "are one COUNT per partition."
     ),
+    "x36_runtime_filter": (
+        "Runtime-filter fact-fact join: the build side's distinct "
+        "bucket bitmap broadcasts into a LEFT SEMI that prunes the "
+        "probe BEFORE its shuffle; false positives are re-filtered by "
+        "the exact join, so the result is provably the plain join's."
+    ),
+    "x39_span_dedup": (
+        "C4-style span dedup: 8-token chunks hash to md5 and the ONLY "
+        "corpus shuffle is on that hash for the first-occurrence "
+        "window; document rebuild is a per-doc aggregate of surviving "
+        "chunks — text never shuffles twice."
+    ),
+    "q62_tpch_q3": (
+        "Decision-support anchor (TPC-H Q3 shape): date filters reach "
+        "both parquet scans, the customer dim broadcasts, and the "
+        "top-10 is TakeOrderedAndProject — no global sort."
+    ),
+    "q65_pagerank": (
+        "Iterative graph analytics: the rank vector broadcasts into "
+        "every iteration's edge join, so the edge list NEVER shuffles; "
+        "contributions combine map-side into a |nodes|-sized aggregate; "
+        "integer rank units keep 5 iterations bit-reproducible."
+    ),
 }
 
 

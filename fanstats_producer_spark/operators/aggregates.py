@@ -15,10 +15,12 @@ from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import (
     qavg,
+    qavg_pos,
     qint,
     dsum,
     dsum_pos,
     sql_qavg,
+    sql_qavg_pos,
     sql_dsum,
     sql_dsum_pos,
 )
@@ -43,10 +45,12 @@ from fanstats_producer_spark.registry import query
     GROUP BY 1, 2
     HAVING COUNT(*) > 10
     """.format(
-        sum_qty=sql_dsum("l_quantity"),
-        sum_base=sql_dsum("l_extendedprice"),
-        sum_disc=sql_dsum("l_extendedprice * (1 - l_discount)"),
-        avg_qty=sql_qavg("l_quantity"),
+        # all four measures are nonnegative -> split-accumulator fast
+        # path (plain long digit sums, ~6x cheaper than decimal casts)
+        sum_qty=sql_dsum_pos("l_quantity"),
+        sum_base=sql_dsum_pos("l_extendedprice"),
+        sum_disc=sql_dsum_pos("l_extendedprice * (1 - l_discount)"),
+        avg_qty=sql_qavg_pos("l_quantity"),
     ),
 )
 def q20_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,10 +59,10 @@ def q20_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count("*").alias("count_order"),
-            dsum("l_quantity").alias("sum_qty"),
-            dsum("l_extendedprice").alias("sum_base_price"),
-            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-            qavg("l_quantity").alias("avg_qty_e6"),
+            dsum_pos("l_quantity").alias("sum_qty"),
+            dsum_pos("l_extendedprice").alias("sum_base_price"),
+            dsum_pos(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            qavg_pos("l_quantity").alias("avg_qty_e6"),
             F.min("l_quantity").alias("min_qty"),
             F.max("l_quantity").alias("max_qty"),
         )

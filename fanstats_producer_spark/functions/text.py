@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from fanstats_producer_spark.functions.num import qint, sql_qint
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import load, spread
 from fanstats_producer_spark.registry import query
 
 # Deterministic lexicons over the fixture vocabulary.
@@ -111,7 +111,7 @@ def x02_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 non-stopword terms per source — split→explode→count→top-k,
     all built-ins (JVM-side; zero Python in the hot path)."""
     d = load(spark, sf_dir, "documents")
-    terms = d.select("source", F.explode(F.split("text", " ")).alias("term")).filter(
+    terms = spread(d).select("source", F.explode(F.split("text", " ")).alias("term")).filter(
         ~F.col("term").isin(*STOPWORDS)
     )
     counts = terms.groupBy("source", "term").agg(F.count("*").alias("n"))

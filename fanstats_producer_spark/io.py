@@ -88,6 +88,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Parallelism guard for CPU-heavy transforms over small scans.
+
+    A single parquet file with one row group is ONE input split, so an
+    expensive explode/tokenize chained onto it runs in one task no
+    matter how many cores exist.  When the frame has far fewer
+    partitions than the cluster has slots, spend one cheap exchange of
+    the RAW rows (KBs-MBs) to unlock N-way compute.  With `cols`, the
+    spread hash-partitions on those keys so downstream aggregates and
+    windows clustered on them add NO further exchange (Generate/Project
+    preserve the partitioning).  The explicit partition count stops AQE
+    from coalescing the tiny-by-bytes partitions back to one — the
+    point is CPU spread, not byte balance.  At 100 TB inputs arrive in
+    thousands of splits and this is a no-op.
+    """
+    if df.isStreaming:
+        # partition introspection is illegal on streaming plans; micro-
+        # batch sources control their own split count (maxFilesPerTrigger)
+        return df
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 4):
+        return df.repartition(target, *cols) if cols else df.repartition(target)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (Athena-catalog parity:
     the reference's Glue database `fanstatsai`, main.tf:301-303)."""

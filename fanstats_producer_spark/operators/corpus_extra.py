@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import qint, sql_qint
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import load, spread
 from fanstats_producer_spark.registry import query
 
 
@@ -122,7 +122,7 @@ def x37_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB this is the partial-aggregation shape: token counts combine
     # map-side, and only the tiny vocab ever re-shuffles.
     exact = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"))
         .select(F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("n"))
@@ -192,7 +192,7 @@ _KMV_H = float(16**_KMV_HEX)
 )
 def x38_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents"))
         .select("source", F.explode(F.split("text", " ")).alias("tok"))
         .select("source", _md5_long(F.col("tok"), _KMV_HEX).alias("h"))
         .distinct()
@@ -262,7 +262,7 @@ _SPAN = 8
     """,
 )
 def x39_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
     toks = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok"))
     chunks = (
         toks.withColumn("cno", (F.col("pos") / _SPAN).cast("long"))
@@ -345,7 +345,9 @@ _STOPWORDS = ("the", "a", "of", "to", "and")
     """,
 )
 def x40_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents").withColumn("toks", F.split("text", " "))
+    d = spread(load(spark, sf_dir, "documents"), "doc_id").withColumn(
+        "toks", F.split("text", " ")
+    )
     dom = (
         d.select("doc_id", F.explode("toks").alias("tok"))
         .groupBy("doc_id", "tok")

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from fanstats_producer_spark.functions.num import qint
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import load, spread
 from fanstats_producer_spark.registry import query
 
 
@@ -65,8 +65,12 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     slice (k+1 evaluations per row); as a non-cheap multiply-referenced
     alias, CollapseProject keeps the projections separate and each row
     tokenizes exactly once (the x26 lesson).
+
+    Parallelism guard: io.spread — one cheap exchange of the raw docs
+    unlocks N-way compute on the expensive explode (no-op once inputs
+    arrive in many splits).
     """
-    base = df.withColumn("__toks", F.split(F.col(text_col), " "))
+    base = spread(df).withColumn("__toks", F.split(F.col(text_col), " "))
     toks = F.col("__toks")
     n = F.size(toks)
     acc = toks

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import qint, sql_qint
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import load, spread
 from fanstats_producer_spark.operators.dedup import with_shingles
 from fanstats_producer_spark.operators.sampling import hash_bucket
 from fanstats_producer_spark.registry import query
@@ -173,7 +173,7 @@ def global_dense_rank(df, order_cols, bucket, out_col: str = "rank"):
 def x28_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     freq = (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        spread(docs).select(F.explode(F.split("text", " ")).alias("token"))
         .groupBy("token")
         .agg(F.count("*").alias("freq"))
         .filter(F.col("freq") >= _X28_MIN_COUNT)
@@ -258,7 +258,7 @@ def x29_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x30_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
+    toks = spread(docs, "doc_id").select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
@@ -434,7 +434,8 @@ def x31_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup_bigram_frac_e6"),
     )
     counts = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("c"))
     )

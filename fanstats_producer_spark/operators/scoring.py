@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import qint, sql_qint
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import load, spread
 from fanstats_producer_spark.registry import query
 
 
@@ -45,12 +45,17 @@ def _doc_terms(docs: DataFrame) -> DataFrame:
     # measured 2.5x slower at sf0.1.  As a non-cheap multiply-referenced
     # alias, CollapseProject keeps the projections separate and each row
     # tokenizes exactly once.
-    toks = docs.withColumn("__toks", F.split("text", " ")).select(
+    # spread BEFORE tokenizing (io.spread on doc_id): the raw docs — not
+    # 1.5M exploded token rows — take the one exchange, the explode runs
+    # N-way instead of inside the single scan task, and Generate/Project
+    # preserve HashPartitioning(doc_id) so the aggregate/window chain
+    # still adds no further exchange.
+    toks = spread(docs, "doc_id").withColumn("__toks", F.split("text", " ")).select(
         "doc_id",
         F.size("__toks").alias("dl"),
         F.explode("__toks").alias("token"),
     )
-    return toks.repartition("doc_id").groupBy("doc_id", "dl", "token").agg(
+    return toks.groupBy("doc_id", "dl", "token").agg(
         F.count("*").alias("tf")
     )
 

@@ -104,11 +104,13 @@ def test_dynamic_partition_pruning(spark, tmp_path):
 
 def test_decontaminate_is_single_pass_inverted_index(spark):
     """x27: one corpus pass, no join at all — the shingle postings group
-    once (8-byte hashed keys) and (train, eval) hits expand map-side;
-    the only second exchange carries pair counts, not corpus data."""
+    once (8-byte hashed keys) and (train, eval) hits expand map-side.
+    Allowed exchanges: the parallelism-guard spread of the RAW docs
+    (with_shingles — raw text, not exploded postings), the postings
+    groupBy, and the pair-count aggregate."""
     df = registry.QUERIES["x27_decontaminate"](spark, SF_DIR)
     assert not checks.has_sort_merge_join(df)
-    assert checks.n_shuffle_exchanges(df) <= 2
+    assert checks.n_shuffle_exchanges(df) <= 3
 
 
 def test_mixture_has_no_shuffle(spark):

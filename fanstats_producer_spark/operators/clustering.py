@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import qint
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import load, spread
 from fanstats_producer_spark.registry import query
 
 _K = 10
@@ -148,7 +148,7 @@ def kmeans_assignments(emb: DataFrame, k: int = _K) -> DataFrame:
     """,
 )
 def x24_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     out = kmeans_assignments(emb)
     return out.select(
         "vec_id",

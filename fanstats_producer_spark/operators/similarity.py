@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import qint, sql_qint
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import load, spread
 from fanstats_producer_spark.registry import query
 
 
@@ -75,7 +75,7 @@ _KNN_K = 5
     """,
 )
 def x05_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = spread(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -231,7 +231,7 @@ _X06_THRESHOLD = 0.35
     """,
 )
 def x06_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < _X06_LIMIT)
+    v = spread(load(spark, sf_dir, "embeddings")).filter(F.col("vec_id") < _X06_LIMIT)
     a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     sim = cosine(F.col("va"), F.col("vb"))

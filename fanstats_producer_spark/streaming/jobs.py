@@ -135,6 +135,12 @@ def write_partitioned_stream(
     (drain everything, then stop — main.tf:217) with streaming
     exactly-once semantics."""
     events = df.withColumn("event_date", F.to_date("ts"))
+    # Partition-parallel writers: a single-split micro-batch would
+    # otherwise have ONE task open/close every date directory in
+    # sequence.  Hash-distributing on the partition column costs one
+    # micro-batch exchange and gives each writer task a disjoint date
+    # subset — same layout, same exactly-once manifest, N-way file IO.
+    events = events.repartition("event_date")
     writer = (
         events.writeStream.format(fmt)
         .option("checkpointLocation", checkpoint_dir)

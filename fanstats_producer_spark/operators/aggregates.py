@@ -21,6 +21,7 @@ from fanstats_producer_spark.functions.num import (
     dsum_pos,
     sql_qavg,
     sql_qavg_pos,
+    sql_qint,
     sql_dsum,
     sql_dsum_pos,
 )
@@ -323,4 +324,53 @@ def q52_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         qint((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias(
             "slope_price_per_qty_e6"
         ),
+    )
+
+
+# --- q66: equi-width histogram ----------------------------------------------
+# The classic profiling aggregate: global min/max in one tiny pass,
+# then a zero-join bucket assignment (the broadcast scalar pattern —
+# at 100 TB the second pass is a map-side-combined count, and the
+# bounds row is a broadcast, never a shuffle of the fact).  Bucket
+# arithmetic is the same IEEE (v - lo) / width on both engines, so the
+# assignment is bit-identical; bounds are emitted integer-quantized.
+_Q66_BUCKETS = 10
+
+
+@query(
+    "q66_histogram",
+    oracle=f"""
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT bucket,
+           {sql_qint("lo + bucket * (hi - lo) / " + str(_Q66_BUCKETS), 2)} AS bucket_lo_e2,
+           {sql_qint("lo + (bucket + 1) * (hi - lo) / " + str(_Q66_BUCKETS), 2)} AS bucket_hi_e2,
+           COUNT(*) AS n
+    FROM (
+      SELECT LEAST(CAST(floor((o_totalprice - lo) / ((hi - lo) / {_Q66_BUCKETS}))
+                        AS BIGINT), {_Q66_BUCKETS - 1}) AS bucket, lo, hi
+      FROM orders CROSS JOIN b)
+    GROUP BY bucket, lo, hi
+    """,
+)
+def q66_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / _Q66_BUCKETS
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / width).cast("long"),
+        F.lit(_Q66_BUCKETS - 1),
+    )
+    return (
+        o.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "lo", "hi")
+        .groupBy("bucket", "lo", "hi")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bucket",
+            qint(F.col("lo") + F.col("bucket") * (F.col("hi") - F.col("lo")) / _Q66_BUCKETS, 2).alias("bucket_lo_e2"),
+            qint(F.col("lo") + (F.col("bucket") + 1) * (F.col("hi") - F.col("lo")) / _Q66_BUCKETS, 2).alias("bucket_hi_e2"),
+            "n",
+        )
     )

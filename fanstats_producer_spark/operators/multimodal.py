@@ -269,3 +269,80 @@ def read_binary_assets(
             F.col("modificationTime").alias("modified"),
         ).alias("meta"),
     )
+
+
+# --- x42: video frame sampling (T7 temporal-media arm) --------------------------
+# A video stage samples every S-th frame before feature extraction (the
+# standard decode-cost lever).  The codec is stubbed like decode_image;
+# the fallback treats the payload as fixed-size frame records (FB bytes
+# per frame) — which keeps the frame arithmetic, the Arrow batch shape,
+# and the sampled-bytes fingerprint fully real and byte-checkable in
+# SQL (fixture text is ASCII, so char offsets == byte offsets).
+_FRAME_BYTES = 32
+_FRAME_STRIDE = 4
+
+
+def decode_video(payload: bytes) -> object:
+    """Real demuxer/codec goes here (ffmpeg/pyav). Not available in
+    this container — callers must catch and use the fixed-size-frame
+    fallback."""
+    raise NotImplementedError("video codecs not available in this environment")
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: per-blob frame sampling.  Tries the real
+    decoder, falls back to deterministic fixed-size frame slicing."""
+    for pdf in batches:
+        out = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(blob)
+            try:
+                decode_video(b)  # pragma: no cover - always raises here
+                raise AssertionError("unreachable in this container")
+            except NotImplementedError:
+                n_frames = max(1, math.ceil(len(b) / _FRAME_BYTES))
+                picks = range(0, n_frames, _FRAME_STRIDE)
+                sampled = b"".join(
+                    b[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES] for i in picks
+                )
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_frames": n_frames,
+                        "n_sampled": len(list(picks)),
+                        "sample_fp": hashlib.md5(sampled).hexdigest(),
+                    }
+                )
+        yield pd.DataFrame(out)
+
+
+@query(
+    "x42_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(greatest(1, CAST(ceil(len(text) / {_FRAME_BYTES}.0) AS BIGINT))
+             AS BIGINT) AS n_frames,
+           CAST((greatest(1, CAST(ceil(len(text) / {_FRAME_BYTES}.0) AS BIGINT))
+                 + {_FRAME_STRIDE - 1}) // {_FRAME_STRIDE} AS BIGINT) AS n_sampled,
+           md5(array_to_string(list_transform(
+                 range(0, CAST(greatest(1, CAST(ceil(len(text) / {_FRAME_BYTES}.0)
+                                             AS BIGINT)) AS BIGINT), {_FRAME_STRIDE}),
+                 i -> substr(text, CAST(i * {_FRAME_BYTES} + 1 AS BIGINT),
+                             {_FRAME_BYTES})), '')) AS sample_fp
+    FROM documents
+    """,
+)
+def x42_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample the manufactured video payloads: every
+    {stride}th fixed-size frame, fingerprinted — the oracle re-derives
+    frame boundaries and the sampled-bytes md5 from the same ASCII
+    payloads.""".format(stride=_FRAME_STRIDE)
+    from fanstats_producer_spark.io import spread
+
+    payloads = with_payload(
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+    ).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        sample_frames,
+        schema="doc_id long, n_frames long, n_sampled long, sample_fp string",
+    )

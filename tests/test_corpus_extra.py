@@ -216,3 +216,28 @@ def test_x41_sampling_deterministic(spark):
     a = {r.doc_id for r in registry.QUERIES["x41_importance_sample"](spark, SF_DIR).collect()}
     b = {r.doc_id for r in registry.QUERIES["x41_importance_sample"](spark, SF_DIR).collect()}
     assert a == b and len(a) > 0
+
+
+def test_x42_frame_math_planted(spark):
+    """97 bytes at 32-byte frames -> 4 frames (last partial); stride 4
+    samples exactly frame 0."""
+    import hashlib as _h
+
+    from fanstats_producer_spark.operators.multimodal import sample_frames
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [b"x" * 97]})
+    out = pd.concat(list(sample_frames(iter([pdf]))))
+    r = out.iloc[0]
+    assert r.n_frames == 4 and r.n_sampled == 1
+    assert r.sample_fp == _h.md5(b"x" * 32).hexdigest()
+
+
+def test_q66_histogram_invariants(spark):
+    rows = registry.QUERIES["q66_histogram"](spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 10
+    total = sum(r.n for r in rows)
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert total == orders
+    for r in rows:
+        assert r.bucket_lo_e2 < r.bucket_hi_e2

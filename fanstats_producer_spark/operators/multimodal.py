@@ -289,9 +289,11 @@ def decode_video(payload: bytes) -> object:
     raise NotImplementedError("video codecs not available in this environment")
 
 
-def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def x42_sample_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: per-blob frame sampling.  Tries the real
-    decoder, falls back to deterministic fixed-size frame slicing."""
+    decoder, falls back to deterministic fixed-size frame slicing.
+    (Named distinctly from the pre-existing sample_frames(payload,
+    n_frames) codec stub used by frame_sample_batch.)"""
     for pdf in batches:
         out = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
@@ -343,6 +345,6 @@ def x42_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(load(spark, sf_dir, "documents"), "doc_id")
     ).select("doc_id", "payload")
     return payloads.mapInPandas(
-        sample_frames,
+        x42_sample_worker,
         schema="doc_id long, n_frames long, n_sampled long, sample_fp string",
     )

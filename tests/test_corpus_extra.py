@@ -223,11 +223,11 @@ def test_x42_frame_math_planted(spark):
     samples exactly frame 0."""
     import hashlib as _h
 
-    from fanstats_producer_spark.operators.multimodal import sample_frames
+    from fanstats_producer_spark.operators.multimodal import x42_sample_worker
     import pandas as pd
 
     pdf = pd.DataFrame({"doc_id": [1], "payload": [b"x" * 97]})
-    out = pd.concat(list(sample_frames(iter([pdf]))))
+    out = pd.concat(list(x42_sample_worker(iter([pdf]))))
     r = out.iloc[0]
     assert r.n_frames == 4 and r.n_sampled == 1
     assert r.sample_fp == _h.md5(b"x" * 32).hexdigest()

@@ -145,11 +145,18 @@ def main() -> None:
     # short→full mapping is documented in BASELINE.md.
     shorts = [k.split("_")[0] for k in timings]
     if len(set(shorts)) == len(shorts):
+        # 138 short keys at 3dp plus the full retimed list measured
+        # 2222 chars — past the capture window again.  The driver line
+        # carries 2dp timings and only the retimed COUNT; full-fidelity
+        # 3dp timings + the retimed key list live in
+        # BENCH_FULL_LATEST.json.
         line = json.dumps(
             {
                 **payload,
-                "queries": {k.split("_")[0]: v for k, v in timings.items()},
-                "retimed": [k.split("_")[0] for k in sorted(retimed)],
+                "queries": {
+                    k.split("_")[0]: round(v, 2) for k, v in timings.items()
+                },
+                "retimed": len(retimed),
             },
             separators=(",", ":"),
         )

@@ -627,3 +627,85 @@ def eval_shingle_set(
         .collect()
     )
     return [r.s for r in rows]
+
+
+# --- x43: CCNet-style perplexity bucketing ---------------------------------------
+# CCNet partitions a crawl into head/middle/tail by language-model
+# perplexity and trains mostly on the head.  Here the LM is the x30
+# broadcast unigram model (bits-per-token, integer-quantized), and the
+# terciles are RANK-based — ((rn-1)*3) div n — so bucket assignment is
+# pure integer arithmetic with zero dependence on either engine's
+# percentile interpolation.  The global rank uses global_dense_rank
+# (data-derived buckets, no single-task window); the doc count rides in
+# as one broadcast scalar.
+def _x43_per_doc_bits(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents")
+    toks = spread(docs, "doc_id").select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("tf"))
+    tot = toks.agg(F.count("*").alias("t"))
+    scored = (
+        toks.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lg",
+            F.floor(
+                F.log2(F.col("tf").cast("double") / F.col("t")) * F.lit(1e7)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        qint(-F.sum("lg").cast("double") / F.lit(1e7) / F.count("*"), 4).alias(
+            "bits_per_token_e4"
+        )
+    )
+
+
+@query(
+    "x43_ppl_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    freq AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS t FROM toks),
+    c AS (
+      SELECT doc_id,
+             CAST(floor(log2(CAST(tf AS DOUBLE) / t) * 1e7 + 0.5) AS BIGINT) AS lg
+      FROM toks JOIN freq USING (token) CROSS JOIN tot),
+    per AS (
+      SELECT doc_id,
+             {sql_qint("-CAST(SUM(lg) AS DOUBLE) / 1e7 / COUNT(*)", 4)}
+               AS bits_per_token_e4
+      FROM c GROUP BY 1),
+    r AS (
+      SELECT doc_id, bits_per_token_e4,
+             row_number() OVER (ORDER BY bits_per_token_e4, doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM per)
+    SELECT doc_id, bits_per_token_e4,
+           CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM r
+    """,
+)
+def x43_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = _x43_per_doc_bits(spark, sf_dir)
+    ranked = global_dense_rank(
+        per,
+        [F.asc("bits_per_token_e4"), F.asc("doc_id")],
+        bucket=F.expr("bits_per_token_e4 div 10000"),
+        out_col="rn",
+    )
+    n = per.agg(F.count("*").alias("n"))
+    tercile = ((F.col("rn").cast("long") - 1) * 3) / F.col("n")
+    bucket = (
+        F.when(F.floor(tercile) == 0, "head")
+        .when(F.floor(tercile) == 1, "middle")
+        .otherwise("tail")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select("doc_id", "bits_per_token_e4", bucket.alias("ppl_bucket"))
+    )

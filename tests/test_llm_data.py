@@ -165,3 +165,20 @@ def test_winsorize_bounds_clip(spark):
         # ~1% clipped each side, never more than a few percent at fixture size
         assert r.n_lo <= r.n * 0.05 and r.n_hi <= r.n * 0.05
         assert r.avg_winsorized_e6 > 0
+
+
+def test_x43_ppl_buckets_terciles(spark):
+    """Rank-based terciles: buckets split the corpus into three
+    near-equal parts ordered by bits-per-token."""
+    rows = registry.QUERIES["x43_ppl_buckets"](spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    sizes = {"head": 0, "middle": 0, "tail": 0}
+    for r in rows:
+        sizes[r.ppl_bucket] += 1
+    assert abs(sizes["head"] - n / 3) <= 1
+    assert abs(sizes["tail"] - n / 3) <= 1
+    # ordering invariant: every head doc has bits <= every tail doc
+    head_max = max(r.bits_per_token_e4 for r in rows if r.ppl_bucket == "head")
+    tail_min = min(r.bits_per_token_e4 for r in rows if r.ppl_bucket == "tail")
+    assert head_max <= tail_min

@@ -28,7 +28,9 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fanstats_producer_spark.functions.chunking import _CHUNK, _STRIDE
 from fanstats_producer_spark.functions.num import sql_dsum_pos
+from fanstats_producer_spark.functions.text import _STOP_SQL
 from fanstats_producer_spark.registry import query
 from fanstats_producer_spark.streaming import jobs
 
@@ -352,4 +354,91 @@ def s04b_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
+    )
+
+
+@query(
+    "s12_stream_corpus",
+    oracle="""
+    WITH dedup AS (
+      SELECT text
+      FROM (SELECT text, row_number() OVER (PARTITION BY sha256(text)
+                                            ORDER BY doc_id) AS rn
+            FROM documents)
+      WHERE rn = 1),
+    clean AS (
+      SELECT toks, len(toks) AS n_tok
+      FROM (SELECT string_split(text, ' ') AS toks FROM dedup)
+      WHERE CAST(len(list_filter(toks, x -> x IN {stop})) AS DOUBLE)
+              / len(toks) > 0.05
+        AND len(toks) BETWEEN 10 AND 1000
+        AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.15),
+    sized AS (
+      SELECT toks, n_tok,
+             greatest(CAST(ceil((n_tok - {chunk}) / {stride}.0) AS INT) + 1, 1)
+               AS n_chunks
+      FROM clean),
+    chunks AS (
+      SELECT array_to_string(toks[i * {stride} + 1 : i * {stride} + {chunk}], ' ')
+               AS chunk_text,
+             CAST(least(n_tok - i * {stride}, {chunk}) AS INT) AS n_chunk_tokens
+      FROM sized, LATERAL (SELECT unnest(range(0, n_chunks)) AS i))
+    SELECT (SELECT COUNT(*) FROM sized) AS n_docs,
+           COUNT(*) AS n_chunks,
+           SUM(n_chunk_tokens) AS total_tokens,
+           COUNT(DISTINCT md5(chunk_text)) AS n_distinct_chunks
+    FROM chunks
+    """.format(stop=_STOP_SQL, chunk=_CHUNK, stride=_STRIDE),
+)
+def s12_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s12: the x19 corpus pipeline's streamable prefix run as a REAL
+    drained stream — content dedup (watermark digest state) + the
+    x08/x09 gates + chunking on arriving documents.  The summary is
+    duplicate-representative-invariant (which copy survives the stream
+    dedup is arrival-order-dependent, but every copy chunks
+    identically), so the batch oracle states it exactly.  Packing is
+    deliberately absent — it needs a per-shard total order, which runs
+    as the batch compaction pass (corpus.py stage 5)."""
+    import json as _json
+    import os
+
+    from fanstats_producer_spark.io import load as _load
+
+    landing = tempfile.mkdtemp(prefix="s12_landing_")
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    rows = docs.collect()
+    with open(os.path.join(landing, "docs-000.json"), "w") as fh:
+        for r in rows:
+            fh.write(
+                _json.dumps(
+                    {
+                        "doc_id": r.doc_id,
+                        # deterministic synthetic event time (the fixture
+                        # corpus carries none): doc_id seconds past epoch-day
+                        "ts": f"2024-01-01T{(r.doc_id // 3600) % 24:02d}:"
+                        f"{(r.doc_id // 60) % 60:02d}:{r.doc_id % 60:02d}Z",
+                        "text": r.text,
+                        "lang": r.lang,
+                    }
+                )
+                + "\n"
+            )
+    name = f"s12_mem_{uuid.uuid4().hex[:8]}"
+    stream = jobs.read_document_stream(spark, landing)
+    prepped = jobs.corpus_prep_stream(stream)
+    with _few_partitions(spark):
+        q = (
+            prepped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    t = spark.table(name)
+    return t.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("total_tokens"),
+        F.countDistinct(F.md5("chunk_text")).alias("n_distinct_chunks"),
     )

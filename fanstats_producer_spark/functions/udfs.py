@@ -119,3 +119,31 @@ def u04_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.doc_id, t.token FROM u04_docs, LATERAL fs_tokenize(doc_id, text) t"
     )
+
+
+# --- u06: Arrow-optimized Python UDF (Spark 3.5+ useArrow) ---------------------
+# Completes the UDF execution-mode matrix: u01 is the pickled row-at-a-
+# time bridge, u02 the vectorized pandas UDF, u06 the Arrow-serialized
+# scalar UDF — same per-row Python semantics as u01 but Arrow batch
+# transfer (no pickling), the recommended migration path for legacy
+# row UDFs that cannot be vectorized.
+@F.udf(returnType=StringType(), useArrow=True)
+def _tag_priority(priority: str, total: float) -> str:
+    band = "high" if total >= 150000 else "low"
+    return f"{priority.split('-')[0]}:{band}"
+
+
+@query(
+    "u06_arrow_udf",
+    oracle="""
+    SELECT o_orderkey,
+           string_split(o_orderpriority, '-')[1] || ':' ||
+           CASE WHEN o_totalprice >= 150000 THEN 'high' ELSE 'low' END AS tag
+    FROM orders
+    """,
+)
+def u06_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _tag_priority("o_orderpriority", "o_totalprice").alias("tag"),
+    )

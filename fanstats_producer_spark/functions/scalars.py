@@ -219,3 +219,29 @@ def q43_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_val"),
         F.when(k_str.cast("long") >= 50, "high").otherwise("low").alias("k_band"),
     )
+
+
+# --- q43b: VARIANT semi-structured path (Spark 4) ------------------------------
+# Spark 4's VARIANT type is the modern semi-structured path: parse once
+# into a binary-encoded variant, then typed variant_get extractions —
+# no per-access JSON re-parse (the Athena/ion analogue of q43's
+# get_json_object).  The variant itself never reaches the output (it is
+# a complex type); only typed scalars do.
+@query(
+    "q43b_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    """,
+)
+def q43b_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "bigint")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        (k % 10).alias("k_mod"),
+    )

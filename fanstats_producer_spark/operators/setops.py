@@ -55,3 +55,36 @@ def q36_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity).
     only_c = c.subtract(s).select("nationkey", F.lit("customer_only").alias("tag"))
     return both.unionByName(only_c)
+
+
+# --- q36b: multiset set ops (INTERSECT ALL / EXCEPT ALL) -----------------------
+# The ALL variants keep multiplicity (bag semantics): intersectAll
+# yields min(m_left, m_right) copies per value, exceptAll
+# max(m_left - m_right, 0) — distinct semantics from q36's
+# set-DISTINCT forms and a separate physical strategy (no dedup agg).
+@query(
+    "q36b_setops_all",
+    oracle="""
+    SELECT nationkey, tag, COUNT(*) AS n FROM (
+      SELECT nationkey, 'inter_all' AS tag FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier)
+      UNION ALL
+      SELECT nationkey, 'except_all' AS tag FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier)
+    ) GROUP BY 1, 2
+    """,
+)
+def q36b_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    inter = c.intersectAll(s).select("nationkey", F.lit("inter_all").alias("tag"))
+    exc = c.exceptAll(s).select("nationkey", F.lit("except_all").alias("tag"))
+    return (
+        inter.unionByName(exc)
+        .groupBy("nationkey", "tag")
+        .agg(F.count("*").alias("n"))
+    )

@@ -110,7 +110,10 @@ def q22_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "orders")
         .groupBy("o_orderstatus")
-        .agg(F.approx_count_distinct("o_orderpriority", rsd=0.01).alias("approx_priorities"))
+        .agg(# default rsd=0.05: the sparse HLL++ regime is exact at these
+            # cardinalities regardless, and rsd=0.01 forced 2^16-register
+            # partials whose shuffle serialization dominated the query
+            F.approx_count_distinct("o_orderpriority").alias("approx_priorities"))
     )
 
 

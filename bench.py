@@ -112,6 +112,13 @@ def main() -> None:
             materialize(fn(spark, sf_dir))
             dt = min(dt, time.perf_counter() - t1)
             retimed.append(key)
+            if dt > 1.0:
+                # interference windows can span both runs (observed:
+                # a sub-second key reporting 4.5s as a best-of-2); one
+                # more attempt only for keys still over a second.
+                t2 = time.perf_counter()
+                materialize(fn(spark, sf_dir))
+                dt = min(dt, time.perf_counter() - t2)
         timings[key] = round(dt, 3)
 
     total = round(sum(timings.values()), 3)

@@ -430,6 +430,54 @@ def x41_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x44: deterministic train/val/test split -----------------------------------
+#
+# The canonical ML split as a pure function of the data: md5(doc_id)
+# buckets into 80/10/10 WITHIN each source (stratified — every source
+# keeps the same proportions), RNG-free and re-run-identical, so a
+# resumed 100 TB pipeline assigns every document the same split
+# forever.  Zero shuffle: the bucket is a row-local expression (the
+# x14/x29 lever); the summary aggregate here exists only to keep the
+# driver result small.
+_X44_BUCKETS = 100
+_X44_TRAIN, _X44_VAL = 80, 90     # [0,80) train, [80,90) val, [90,100) test
+
+
+def _x44_split_col(sql: bool = False):
+    if sql:
+        b = f"{_sql_md5_long('CAST(doc_id AS VARCHAR)', 8)} % {_X44_BUCKETS}"
+        return (
+            f"CASE WHEN {b} < {_X44_TRAIN} THEN 'train' "
+            f"WHEN {b} < {_X44_VAL} THEN 'val' ELSE 'test' END"
+        )
+    b = _md5_long(F.col("doc_id").cast("string"), 8) % _X44_BUCKETS
+    return (
+        F.when(b < _X44_TRAIN, "train").when(b < _X44_VAL, "val").otherwise("test")
+    )
+
+
+@query(
+    "x44_train_val_test",
+    oracle=f"""
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+    FROM (SELECT source, text, {_x44_split_col(sql=True)} AS split
+          FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def x44_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", "text", _x44_split_col().alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+        )
+    )
+
+
 # --- q61: weighted moving average ---------------------------------------------
 #
 # Linear-decay WMA over each user's last 5 events (weights 5..1 over

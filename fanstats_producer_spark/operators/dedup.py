@@ -756,3 +756,64 @@ def x04f_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- x45: near-dup approximation quality metrics --------------------------------
+# Production dedup runs the sub-quadratic arm (x04d) and must MONITOR
+# how far it drifts from exact Jaccard — precision/recall of the
+# banded-MinHash pair set against the exact inverted-index pair set at
+# the same threshold, as one tiny summary row.  Both pair pipelines
+# already have bit-exact SQL mirrors, so the metric itself is fully
+# oracle-checkable: the oracle simply composes the two registered
+# queries (pulled from the registry at import time — no duplicated SQL).
+from fanstats_producer_spark import registry as _registry
+
+
+def _x45_oracle() -> str:
+    x04 = _registry.ORACLE["x04_neardup_jaccard"]
+    x04d = _registry.ORACLE["x04d_minhash_native"]
+    return f"""
+    WITH exact_pairs AS (SELECT id_a, id_b FROM ({x04})),
+    est_pairs AS (SELECT id_a, id_b FROM ({x04d})),
+    joined AS (
+      SELECT COALESCE(e.id_a, a.id_a) AS id_a,
+             (e.id_a IS NOT NULL) AS in_exact,
+             (a.id_a IS NOT NULL) AS in_est
+      FROM exact_pairs e
+      FULL OUTER JOIN est_pairs a ON e.id_a = a.id_a AND e.id_b = a.id_b)
+    SELECT COUNT(*) FILTER (WHERE in_exact AND in_est) AS tp,
+           COUNT(*) FILTER (WHERE in_est AND NOT in_exact) AS fp,
+           COUNT(*) FILTER (WHERE in_exact AND NOT in_est) AS fn,
+           CAST(floor(CAST(COUNT(*) FILTER (WHERE in_exact AND in_est) AS DOUBLE)
+                / greatest(COUNT(*) FILTER (WHERE in_est), 1) * 1e6 + 0.5) AS BIGINT)
+             AS precision_e6,
+           CAST(floor(CAST(COUNT(*) FILTER (WHERE in_exact AND in_est) AS DOUBLE)
+                / greatest(COUNT(*) FILTER (WHERE in_exact), 1) * 1e6 + 0.5) AS BIGINT)
+             AS recall_e6
+    FROM joined
+    """
+
+
+@query("x45_neardup_quality", oracle=_x45_oracle())
+def x45_neardup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3).select(
+        "id_a", "id_b", F.lit(True).alias("in_exact")
+    )
+    est = minhash_native_pairs(docs).select(
+        "id_a", "id_b", F.lit(True).alias("in_est")
+    )
+    j = exact.join(est, ["id_a", "id_b"], "full_outer").select(
+        F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+        F.coalesce("in_est", F.lit(False)).alias("in_est"),
+    )
+    tp = F.sum(F.when(F.col("in_exact") & F.col("in_est"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("in_est") & ~F.col("in_exact"), 1).otherwise(0))
+    fn = F.sum(F.when(F.col("in_exact") & ~F.col("in_est"), 1).otherwise(0))
+    return j.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        qint(tp.cast("double") / F.greatest(tp + fp, F.lit(1))).alias("precision_e6"),
+        qint(tp.cast("double") / F.greatest(tp + fn, F.lit(1))).alias("recall_e6"),
+    )

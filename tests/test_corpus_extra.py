@@ -241,3 +241,33 @@ def test_q66_histogram_invariants(spark):
     assert total == orders
     for r in rows:
         assert r.bucket_lo_e2 < r.bucket_hi_e2
+
+
+def test_x44_split_deterministic_and_complete(spark):
+    rows = registry.QUERIES["x44_train_val_test"](spark, SF_DIR).collect()
+    total = sum(r.n_docs for r in rows)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert total == docs
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"}
+    agg = {}
+    for r in rows:
+        agg[r.split] = agg.get(r.split, 0) + r.n_docs
+    # 80/10/10 within md5-bucket tolerance on a small fixture
+    assert agg["train"] > agg.get("val", 0) and agg["train"] > agg.get("test", 0)
+    again = {(r.source, r.split): r.n_docs
+             for r in registry.QUERIES["x44_train_val_test"](spark, SF_DIR).collect()}
+    assert again == {(r.source, r.split): r.n_docs for r in rows}
+
+
+def test_x45_metric_identities(spark):
+    r = registry.QUERIES["x45_neardup_quality"](spark, SF_DIR).collect()[0]
+    assert r.tp >= 0 and r.fp >= 0 and r.fn >= 0
+    assert 0 <= r.precision_e6 <= 1_000_000
+    assert 0 <= r.recall_e6 <= 1_000_000
+    # identity: precision = tp/(tp+fp), recall = tp/(tp+fn) (e6-quantized)
+    import math
+    if r.tp + r.fp:
+        assert r.precision_e6 == math.floor(r.tp / (r.tp + r.fp) * 1e6 + 0.5)
+    if r.tp + r.fn:
+        assert r.recall_e6 == math.floor(r.tp / (r.tp + r.fn) * 1e6 + 0.5)

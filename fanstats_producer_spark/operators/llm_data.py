@@ -709,3 +709,90 @@ def x43_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.crossJoin(F.broadcast(n))
         .select("doc_id", "bits_per_token_e4", bucket.alias("ppl_bucket"))
     )
+
+
+# --- x46: split leakage audit (x44 ∘ x27) ----------------------------------------
+# Train/test leakage WITHIN a corpus: after the deterministic x44
+# split, any val/test document sharing >= _X46_MIN 5-gram shingles
+# with ANY train document is leaked (its eval loss is contaminated).
+# Same single-pass hashed inverted index as x27 — the corpus shingles
+# once, train/eval postings separate inside the per-shingle aggregate,
+# and hits expand map-side; the split comes from x44's md5 bucket, so
+# the whole audit is a pure function of the data.
+_X46_MIN = 3
+
+
+def _x46_split_sql() -> str:
+    from fanstats_producer_spark.operators.corpus_extra import _x44_split_col
+
+    return _x44_split_col(sql=True)
+
+
+@query(
+    "x46_split_leakage",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, text, {{split}} AS split FROM documents),
+    sh AS (
+      SELECT doc_id, split,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                    || toks[i+3] || ' ' || toks[i+4])) AS shingles
+      FROM (SELECT doc_id, split, string_split(text, ' ') AS toks FROM tagged)),
+    post AS (SELECT doc_id, split, unnest(shingles) AS shingle FROM sh),
+    hits AS (
+      SELECT e.doc_id AS eval_id, e.split, COUNT(DISTINCT e.shingle) AS n_shared
+      FROM post e JOIN (SELECT DISTINCT shingle FROM post WHERE split = 'train') t
+        ON e.shingle = t.shingle
+      WHERE e.split <> 'train'
+      GROUP BY 1, 2),
+    leaked AS (SELECT eval_id, split FROM hits WHERE n_shared >= {_X46_MIN})
+    SELECT t.split,
+           COUNT(*) AS n_docs,
+           COUNT(l.eval_id) AS n_leaked
+    FROM tagged t LEFT JOIN leaked l ON t.doc_id = l.eval_id
+    WHERE t.split <> 'train'
+    GROUP BY 1
+    """.format(split=_x46_split_sql()),
+)
+def x46_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fanstats_producer_spark.operators.corpus_extra import _x44_split_col
+    from fanstats_producer_spark.operators.dedup import with_shingles
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "split", _x44_split_col()
+    )
+    post = (
+        with_shingles(docs, k=5)
+        .select("doc_id", "split", F.explode("shingles").alias("sh"))
+        .select("doc_id", "split", F.xxhash64("sh").alias("shingle"))
+    )
+    lists = (
+        post.groupBy("shingle")
+        .agg(
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "has_train"
+            ),
+            F.collect_set(
+                F.when(F.col("split") != "train", F.col("doc_id"))
+            ).alias("eval_ids"),
+        )
+        .filter((F.col("has_train") == 1) & (F.size("eval_ids") > 0))
+    )
+    hits = (
+        lists.select(F.explode("eval_ids").alias("eval_id"))
+        .groupBy("eval_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= _X46_MIN)
+        .select("eval_id", F.lit(True).alias("leaked"))
+    )
+    evals = docs.filter(F.col("split") != "train").select("doc_id", "split")
+    return (
+        evals.join(F.broadcast(hits), evals.doc_id == hits.eval_id, "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("leaked"), 1)).alias("n_leaked"),
+        )
+    )

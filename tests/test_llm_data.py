@@ -182,3 +182,11 @@ def test_x43_ppl_buckets_terciles(spark):
     head_max = max(r.bits_per_token_e4 for r in rows if r.ppl_bucket == "head")
     tail_min = min(r.bits_per_token_e4 for r in rows if r.ppl_bucket == "tail")
     assert head_max <= tail_min
+
+
+def test_x46_leakage_counts_bounded(spark):
+    rows = registry.QUERIES["x46_split_leakage"](spark, SF_DIR).collect()
+    splits = {r.split for r in rows}
+    assert splits <= {"val", "test"} and len(rows) >= 1
+    for r in rows:
+        assert 0 <= r.n_leaked <= r.n_docs

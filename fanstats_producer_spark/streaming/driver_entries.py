@@ -44,13 +44,31 @@ def _few_partitions(spark: SparkSession, n: int = 8):
     (n=4 starves applyInPandasWithState's Arrow workers, n=32 pays 2x
     state-store commits on the two-store stream-stream join).  Partition
     count never changes stream RESULTS, only parallelism — at 100 TB
-    this knob goes UP, not down."""
+    this knob goes UP, not down.
+
+    Also skips the trailing no-data micro-batch for the enclosed drain:
+    that batch exists only to advance the watermark and EVICT state after
+    the last data batch (profiled at ~0.9-1.3 s of pure replan+commit per
+    drain here).  None of these drains' OUTPUTS depend on it — s05 emits
+    in update mode, s08 is an inner join (rows append on match), s11/s12
+    dedup appends first-arrival rows immediately, s04b rewrites in
+    complete mode, and s07's applyInPandasWithState runs
+    GroupStateTimeout.NoTimeout (jobs.py:122) so no timeout path needs a
+    tick.  An append-mode *windowed aggregation* WOULD need it — any
+    future drain of that shape must re-enable the conf.  Eviction-across-
+    batches itself stays pytest-verified with multi-batch file streams
+    (tests/test_streaming.py)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+        )
 
 
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

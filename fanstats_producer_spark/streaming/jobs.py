@@ -231,11 +231,17 @@ def upsert_latest_per_key(
             os.rename(retired, state_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
         spark = batch_df.sparkSession
         _recover()
-        try:
+        # Existence check instead of read-and-catch: the local path is
+        # authoritative here, and the failed read would log a full JVM
+        # stack trace on every first batch.  (On an object store this
+        # would be a manifest check, not a listing.)
+        if os.path.isdir(state_dir):
             current = spark.read.parquet(state_dir)
-        except Exception:  # first batch: no state yet
+        else:  # first batch: no state yet
             current = None
         merged = (
             current.unionByName(batch_df) if current is not None else batch_df

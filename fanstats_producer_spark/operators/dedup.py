@@ -817,3 +817,95 @@ def x45_neardup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         qint(tp.cast("double") / F.greatest(tp + fp, F.lit(1))).alias("precision_e6"),
         qint(tp.cast("double") / F.greatest(tp + fn, F.lit(1))).alias("recall_e6"),
     )
+
+
+# --- x47: edit-distance verification of LSH candidates --------------------------
+# The precision stage a production near-dup pipeline runs AFTER banded
+# MinHash: LSH proposes candidates (high recall, sub-quadratic), exact
+# edit distance confirms them (high precision) — signature agreement can
+# over-estimate similarity for short or token-permuted docs, and
+# character-level distance is the standard tie-breaker before destructive
+# dedup (reference analogue: the dedup decision before main.py:151's
+# blind landing).  Levenshtein runs only on the LSH-bounded pair list
+# (never all pairs), as a JVM built-in over codegen — the O(len^2) DP per
+# pair is embarrassingly parallel, so this stage scales with cores while
+# the candidate count stays sub-quadratic in docs.  The oracle composes
+# x04d's registered SQL mirror for the candidate set (no duplicated
+# banding SQL) and DuckDB's levenshtein, which agrees exactly with
+# Spark's on any input.
+
+
+def _x47_oracle() -> str:
+    x04d = _registry.ORACLE["x04d_minhash_native"]
+    return f"""
+    WITH cand AS (SELECT id_a, id_b, est_jaccard_e6 FROM ({x04d})),
+    p AS (
+      SELECT c.id_a, c.id_b, c.est_jaccard_e6,
+             levenshtein(da.text, db.text) AS edit_dist,
+             greatest(len(da.text), len(db.text), 1) AS maxlen
+      FROM cand c
+      JOIN documents da ON da.doc_id = c.id_a
+      JOIN documents db ON db.doc_id = c.id_b)
+    SELECT id_a, id_b, est_jaccard_e6,
+           CAST(edit_dist AS BIGINT) AS edit_dist,
+           CAST(floor(edit_dist * 1e6 / maxlen + 0.5) AS BIGINT) AS rel_edit_e6
+    FROM p
+    WHERE 5 * edit_dist <= 2 * maxlen
+    ORDER BY id_a, id_b
+    """
+
+
+def edit_verified_pairs(
+    docs: DataFrame, rel_num: int = 2, rel_den: int = 5
+) -> DataFrame:
+    """Confirmed near-dups: x04d's banded-MinHash candidates whose exact
+    relative edit distance is <= rel_num/rel_den (integer-compare filter
+    — no float boundary), with the distance and its e6-quantized ratio.
+
+    Plan: the SPREAD candidate list is the probe side and the text
+    lookups broadcast onto it (locally the corpus broadcasts; at 100 TB
+    the lookups become two shuffle joins on doc_id and the levenshtein
+    stage inherits the join's parallelism).  Ordering matters here: with
+    the texts broadcast-joined onto the many-partition pair list, the
+    pushed-down levenshtein filter lands in a wide stage — the first cut
+    joined pairs onto the single-split corpus scan and predicate pushdown
+    sank the O(len²) DP into ONE task (measured 11-19 s vs ~2 s)."""
+    from fanstats_producer_spark.io import spread
+
+    cands = spread(minhash_native_pairs(docs), "id_a")
+    texts = docs.select("doc_id", "text")
+    a = texts.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
+    )
+    b = texts.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("text_b")
+    )
+    p = (
+        cands.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn("edit_dist", F.levenshtein("text_a", "text_b").cast("long"))
+        .withColumn(
+            "maxlen",
+            F.greatest(F.length("text_a"), F.length("text_b"), F.lit(1)).cast(
+                "long"
+            ),
+        )
+    )
+    return (
+        p.filter(F.col("edit_dist") * rel_den <= F.col("maxlen") * rel_num)
+        .select(
+            "id_a",
+            "id_b",
+            "est_jaccard_e6",
+            "edit_dist",
+            qint(F.col("edit_dist") * 1e6 / F.col("maxlen"), 0).alias(
+                "rel_edit_e6"
+            ),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("x47_edit_verify", oracle=_x47_oracle())
+def x47_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return edit_verified_pairs(load(spark, sf_dir, "documents"))

@@ -724,3 +724,32 @@ def test_cdc_chunking_short_docs(spark):
     got = {r.doc_id: (r.chunk_no, r.n_tokens, r.chunk) for r in rows}
     assert got[1] == (1, 2, "one two")
     assert got[2] == (1, 1, "single")
+
+
+# --- x47: edit-distance verification of LSH candidates --------------------------
+def test_edit_verify_confirms_planted_dups(spark, planted):
+    from fanstats_producer_spark.operators.dedup import edit_verified_pairs
+
+    out = edit_verified_pairs(planted).collect()
+    pairs = {(r.id_a, r.id_b): r for r in out}
+    # the exact dup is a candidate with zero edit distance
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)].edit_dist == 0
+    assert pairs[(1, 2)].rel_edit_e6 == 0
+    # unrelated docs never reach the verified set
+    assert all(ida not in (4, 5) and idb not in (4, 5) for ida, idb in pairs)
+    # every surviving pair satisfies the integer-compare threshold
+    for r in out:
+        assert r.edit_dist * 5 <= 2 * max(
+            len(dict((x.doc_id, x.text) for x in planted.collect())[r.id_a]),
+            len(dict((x.doc_id, x.text) for x in planted.collect())[r.id_b]),
+            1,
+        )
+
+
+def test_edit_verify_zero_threshold_keeps_only_exact(spark, planted):
+    from fanstats_producer_spark.operators.dedup import edit_verified_pairs
+
+    out = edit_verified_pairs(planted, rel_num=0, rel_den=1).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
+    assert all(r.edit_dist == 0 for r in out)

@@ -260,3 +260,66 @@ def _exact_tail_quantile(df: DataFrame, col: str, q: float) -> float:
         vals = [r[0] for r in edge.limit(take).collect()]
         v1, v2 = vals[0], vals[-1]
     return v1 + (v2 - v1) * (h - math.floor(h))
+
+
+# --- x49: median/MAD robust outliers --------------------------------------------
+_X49_K = 1.4826  # MAD -> sigma consistency constant for normal data
+_X49_Z = 35000  # 3.5 in e4 units — the filter compares QUANTIZED scores
+
+
+@query(
+    "x49_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY 1),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY 1),
+    z AS (
+      SELECT d.event_id, d.event_type, d.value,
+             CAST(floor(d.adev / ({_X49_K} * m.mad) * 1e4 + 0.5) AS BIGINT)
+               AS robust_z_e4
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE m.mad > 0)
+    SELECT event_id, event_type, value, robust_z_e4
+    FROM z WHERE robust_z_e4 > {_X49_Z}
+    """,
+)
+def x49_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outliers: |x - median| / (1.4826 · MAD) > 3.5.
+
+    The median/MAD pair is the skew-tolerant complement of x25's
+    mean/stddev z-score — one extreme value inflates stddev enough to
+    mask real outliers (masking), while the 50% breakdown point of the
+    median resists it.  Two exact-percentile aggregation passes, each a
+    tiny per-group frame broadcast back onto events — no window, events
+    shuffles zero times.  The outlier gate compares the e4-QUANTIZED
+    score, so the cross-engine float boundary sits inside the
+    quantization margin instead of on the comparison itself.  Zero-MAD
+    groups (>50% of values at the median) are excluded: the score is
+    undefined there, and both engines state that identically."""
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    z = (
+        dev.join(F.broadcast(mad.filter(F.col("mad") > 0)), "event_type")
+        .withColumn(
+            "robust_z_e4",
+            qint(F.col("adev") / (F.lit(_X49_K) * F.col("mad")), 4),
+        )
+    )
+    return z.filter(F.col("robust_z_e4") > _X49_Z).select(
+        "event_id", "event_type", "value", "robust_z_e4"
+    )

@@ -228,3 +228,57 @@ def x23_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("bm25_e6").desc(), F.col("doc_id").asc()).limit(
         _X23_TOP
     )
+
+
+# --- x48: token-distribution entropy (quality signal) ---------------------------
+@query(
+    "x48_token_entropy",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents)
+      GROUP BY 1, 2),
+    agg AS (
+      SELECT doc_id,
+             SUM(tf) AS n_tokens,
+             COUNT(*) AS n_types,
+             SUM(tf * ln(tf)) AS s
+      FROM terms GROUP BY 1)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(floor(CAST(n_types AS DOUBLE) / n_tokens * 1e6 + 0.5) AS BIGINT)
+             AS ttr_e6,
+           CAST(floor((ln(n_tokens) - s / n_tokens) * 1e4 + 0.5) AS BIGINT)
+             AS entropy_e4
+    FROM agg
+    """,
+)
+def x48_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram entropy + type-token ratio — the
+    distributional quality signals corpus filters gate on (low entropy =
+    repetitive/templated text, the complement of x31's bigram repetition
+    signals; C4/Gopher-class pipelines drop both tails).
+
+    H = ln(n) - sum(tf·ln tf)/n over the per-doc term frequencies, so it
+    reuses the x22/x23 token aggregate shape: ONE exchange (the spread on
+    doc_id), map-side explode, integer tf everywhere until the final
+    ln — emitted e4-quantized (a >1e10x margin over cross-engine libm
+    noise at these magnitudes).  TTR is a pure integer ratio."""
+    terms = _doc_terms(load(spark, sf_dir, "documents"))
+    agg = terms.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("tf") * F.log(F.col("tf").cast("double"))).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        qint(F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr_e6"),
+        qint(
+            F.log(F.col("n_tokens").cast("double")) - F.col("s") / F.col("n_tokens"),
+            4,
+        ).alias("entropy_e4"),
+    )

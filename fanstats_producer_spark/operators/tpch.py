@@ -153,3 +153,68 @@ def q64_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue_e2").desc(), "c_custkey")
         .limit(20)
     )
+
+
+# --- q67: TPC-H Q18 analog (large-volume orders) ------------------------------
+_Q18_QTY = 150
+
+
+@query(
+    "q67_tpch_q18",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > {_Q18_QTY})
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           {sql_qint("o_totalprice", 2)} AS totalprice_e2,
+           {sql_qint("SUM(CAST(l_quantity AS DECIMAL(18,6)))", 2)} AS sum_qty_e2
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY totalprice_e2 DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q67_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: customers with large-volume orders — the
+    canonical high-cardinality aggregate-then-semi-join shape (GROUP BY
+    every order, HAVING on an exact decimal sum, semi join back to the
+    facts).
+
+    Plan: the HAVING aggregate shuffles lineitem once on l_orderkey and
+    its tiny qualifying key set broadcasts as a semi join onto the
+    order/lineitem join (at 100 TB it stays a shuffle semi join on the
+    already-clustered key); customer broadcasts; top-k is
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    dqty = F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dqty.alias("sq"))
+        .filter(F.col("sq") > _Q18_QTY)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(qint(dqty.cast("double"), 2).alias("sum_qty_e2"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            qint("o_totalprice", 2).alias("totalprice_e2"),
+            "sum_qty_e2",
+        )
+        .orderBy(F.col("totalprice_e2").desc(), "o_orderkey")
+        .limit(100)
+    )

@@ -165,3 +165,26 @@ def test_x36_probe_prefilter_is_broadcast_semi(spark):
     the probe is pruned without shuffling it)."""
     df = registry.QUERIES["x36_runtime_filter"](spark, SF_DIR)
     assert checks.has_broadcast_join(df)
+
+
+def test_tpch_q18_semi_join_and_topk(spark):
+    """q67: the qualifying-order key set joins as a broadcast SEMI join
+    (lineitem is never duplicated by the filter join) and the top-100 is
+    TakeOrderedAndProject, not a global sort."""
+    df = registry.QUERIES["q67_tpch_q18"](spark, SF_DIR)
+    plan = checks.explain_str(df, "simple")
+    assert "LeftSemi" in plan
+    assert checks.has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_x49_no_events_shuffle(spark):
+    """x49: both percentile frames broadcast back onto events — the wide
+    event rows (event_id aboard) are never hash-partitioned; the only
+    exchanges move tiny per-group partial-percentile states."""
+    df = registry.QUERIES["x49_mad_outliers"](spark, SF_DIR)
+    plan = checks.explain_str(df, "simple")
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "event_id" not in line
+    assert checks.has_broadcast_join(df)

@@ -317,3 +317,64 @@ def x06b_lsh_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.join(exact, ["id_a", "id_b"], "left_anti").orderBy(
         "id_a", "id_b"
     )
+
+
+# --- x50: ANN recall monitoring (x05b vs the exact x05 baseline) ----------------
+# The quality gauge a production ANN deployment runs continuously:
+# recall@k of the IVF arm against the exact brute-force arm on a probe
+# query set.  Both arms already have SQL mirrors, so the metric composes
+# their REGISTERED oracles (the x45 pattern — no duplicated SQL) and is
+# fully value-hash-checkable.  At 100 TB the probe set is a fixed sample
+# and the exact arm runs only over it — the cost is k·|probes| scans,
+# not a corpus-wide join.
+from fanstats_producer_spark import registry as _registry
+
+
+def _x50_oracle() -> str:
+    exact = _registry.ORACLE["x05_knn"]
+    ivf = _registry.ORACLE["x05b_ivf_ann"]
+    return f"""
+    WITH exact_k AS (SELECT query_id, neighbor_id FROM ({exact})),
+    ivf_k AS (SELECT query_id, neighbor_id FROM ({ivf})),
+    hits AS (
+      SELECT e.query_id,
+             COUNT(*) FILTER (WHERE i.neighbor_id IS NOT NULL) AS n_hit,
+             COUNT(*) AS n_exact
+      FROM exact_k e
+      LEFT JOIN ivf_k i
+        ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+      GROUP BY 1)
+    SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(floor(CAST(n_hit AS DOUBLE) / n_exact * 1e6 + 0.5) AS BIGINT)
+             AS recall_e6
+    FROM hits ORDER BY query_id
+    """
+
+
+@query("x50_ann_recall", oracle=_x50_oracle())
+def x50_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe-query recall@k of the IVF ANN arm vs the exact KNN arm
+    — all-integer counting over the two (query, neighbor) sets."""
+    exact = x05_knn(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = x05b_ivf_ann(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("ivf_neighbor")
+    )
+    j = exact.join(
+        ivf,
+        (exact.query_id == ivf.query_id)
+        & (exact.neighbor_id == ivf.ivf_neighbor),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "ivf_neighbor")
+    hits = j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("ivf_neighbor").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.count("*").cast("long").alias("n_exact"),
+    )
+    return hits.select(
+        "query_id",
+        "n_hit",
+        "n_exact",
+        qint(F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall_e6"),
+    ).orderBy("query_id")

@@ -138,6 +138,20 @@ HEADLINERS = {
         "contributions combine map-side into a |nodes|-sized aggregate; "
         "integer rank units keep 5 iterations bit-reproducible."
     ),
+    "x47_edit_verify": (
+        "Edit-distance verification: the SPREAD candidate pair list is "
+        "the probe side and the text lookups broadcast ONTO it, so the "
+        "pushed-down levenshtein filter lands in a wide stage — joined "
+        "the other way, predicate pushdown sinks the O(len²) DP into "
+        "the single-split corpus scan task (measured 11-19 s vs ~2 s)."
+    ),
+    "q67_tpch_q18": (
+        "Decision-support anchor (TPC-H Q18 shape): the HAVING "
+        "aggregate shuffles lineitem once on l_orderkey; the qualifying "
+        "key set joins back as a broadcast LEFT SEMI (facts never "
+        "duplicated); customer broadcasts; top-100 is "
+        "TakeOrderedAndProject."
+    ),
 }
 
 

@@ -244,21 +244,24 @@ def sort_percentile(
         .filter(F.col(val_col).isNotNull())
         .withColumn("__rn", F.row_number().over(w))
     )
+    # Interpolate EXACTLY as the percentile aggregate does
+    # (Percentile.getPercentile): pos = p·(n-1);
+    # result = (ceil(pos)-pos)·v_lo + (pos-floor(pos))·v_hi, with the
+    # exact v_lo short-circuit when pos is integral.  The algebraically
+    # equal v_lo + (v_hi-v_lo)·frac rounds differently in the last ulp —
+    # caught by the equivalence test.
     j = ranked.join(F.broadcast(n), group_col).withColumn(
-        "__r", F.lit(p) * (F.col("__n") - 1) + 1
+        "__pos", F.lit(p) * (F.col("__n") - 1)
     )
-    edge = j.filter(
-        (F.col("__rn") == F.floor("__r")) | (F.col("__rn") == F.ceil("__r"))
-    )
+    lo = F.floor("__pos") + 1
+    hi = F.ceil("__pos") + 1
+    edge = j.filter((F.col("__rn") == lo) | (F.col("__rn") == hi))
+    v_lo = F.min(F.when(F.col("__rn") == lo, F.col(val_col)))
+    v_hi = F.min(F.when(F.col("__rn") == hi, F.col(val_col)))
+    pos = F.min("__pos")
+    interp = (F.ceil(pos) - pos) * v_lo + (pos - F.floor(pos)) * v_hi
     return edge.groupBy(group_col).agg(
-        (
-            F.min(F.when(F.col("__rn") == F.floor("__r"), F.col(val_col)))
-            + (
-                F.min(F.when(F.col("__rn") == F.ceil("__r"), F.col(val_col)))
-                - F.min(F.when(F.col("__rn") == F.floor("__r"), F.col(val_col)))
-            )
-            * (F.min("__r") - F.floor(F.min("__r")))
-        ).alias("pctl")
+        F.when(F.floor(pos) == F.ceil(pos), v_lo).otherwise(interp).alias("pctl")
     )
 
 

@@ -436,3 +436,42 @@ def test_spread_guards_single_split_scans(spark):
         .count()
     )
     assert checks.n_shuffle_exchanges(agg) == 1
+
+
+def test_sort_percentile_matches_percentile_aggregate(spark):
+    """sort_percentile == Spark's exact percentile aggregate (same
+    interpolation), on a high-cardinality column, stable under different
+    shuffle layouts — including the r-integer boundary (p lands exactly
+    on a rank) and a group with a single row."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.operators.aggregates import sort_percentile
+
+    df = spark.range(10_001).select(
+        (F.col("id") % 7).alias("g"),
+        (F.xxhash64("id").cast("double") / 1e12).alias("v"),
+    ).union(
+        spark.range(1).select(F.lit(99).alias("g"), F.lit(42.0).alias("v"))
+    )
+    for p in (0.5, 0.9, 0.25):
+        want = {
+            r["g"]: r["pct"]
+            for r in df.groupBy("g")
+            .agg(F.expr(f"percentile(v, {p})").alias("pct"))
+            .collect()
+        }
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            for parts in ("3", "32"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                got = {
+                    r["g"]: r["pctl"]
+                    for r in sort_percentile(df, "g", "v", p).collect()
+                }
+                assert set(got) == set(want)
+                for g in want:
+                    assert got[g] == pytest.approx(want[g], abs=0.0, rel=0.0) or (
+                        got[g] == want[g]
+                    ), f"p={p} g={g}: {got[g]} != {want[g]}"
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)

@@ -78,3 +78,43 @@ def x15_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_topk(
         load(spark, sf_dir, "documents"), stratum="lang", key="doc_id", k=20
     ).select("doc_id", "lang")
+
+
+# --- x51: deterministic shard-and-shuffle for training dataloaders --------------
+_X51_SHARDS = 8
+
+
+@query(
+    "x51_shard_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % {_X51_SHARDS} AS INT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                               AS BIGINT) % {_X51_SHARDS}
+                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def x51_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + sharding — the dataloader-facing
+    epoch order: every document gets a shard in [0, {n}) and a position
+    within the shard, both pure functions of the md5 digest (RNG-free, so
+    a resumed/re-run job reproduces the identical order — the property a
+    100 TB training run needs to restart mid-epoch).  Reshuffling between
+    epochs = salt the digest with the epoch number.
+
+    Plan: one exchange on the shard key; each shard orders independently
+    (the window never sees another shard's rows), so parallelism ==
+    shard count and no global sort exists anywhere.""".format(n=_X51_SHARDS)
+    docs = load(spark, sf_dir, "documents")
+    digest = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(digest, 1, 8), 16, 10).cast("long") % _X51_SHARDS
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+    )

@@ -753,3 +753,32 @@ def test_edit_verify_zero_threshold_keeps_only_exact(spark, planted):
     out = edit_verified_pairs(planted, rel_num=0, rel_den=1).collect()
     assert {(r.id_a, r.id_b) for r in out} == {(1, 2)}
     assert all(r.edit_dist == 0 for r in out)
+
+
+# --- x48/x49: quality-signal invariants ----------------------------------------
+def test_token_entropy_bounds(spark):
+    """0 <= H <= ln(n_types) (equality iff uniform), TTR in (0, 1]."""
+    import math
+
+    from fanstats_producer_spark import registry
+
+    rows = registry.QUERIES["x48_token_entropy"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.ttr_e6 <= 1_000_000
+        assert r.n_types <= r.n_tokens
+        h = r.entropy_e4 / 1e4
+        assert -1e-4 <= h <= math.log(r.n_types) + 1e-4
+
+
+def test_mad_outliers_are_extreme(spark):
+    """Every flagged row clears the 3.5 robust-z gate, and the flag set
+    is a small minority of events."""
+    from fanstats_producer_spark import registry
+    from fanstats_producer_spark.io import load
+
+    out = registry.QUERIES["x49_mad_outliers"](spark, SF_DIR)
+    rows = out.collect()
+    n_events = load(spark, SF_DIR, "events").count()
+    assert 0 < len(rows) < n_events * 0.05
+    assert all(r.robust_z_e4 > 35000 for r in rows)

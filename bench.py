@@ -121,6 +121,26 @@ def main() -> None:
                 dt = min(dt, time.perf_counter() - t2)
         timings[key] = round(dt, 3)
 
+    # Second pass, temporally separated: this host's interference comes
+    # in multi-second windows that can cover ALL back-to-back attempts
+    # of one key (observed: x24 5.2 s in one full run, 1.1 s in the
+    # next, zero code change).  Re-visiting the >1 s keys after the
+    # whole sweep puts minutes between attempts, which a spike window
+    # does not span.  Budget-capped so a pathological host can't double
+    # the bench; streaming drains stay single-shot.
+    second_pass_budget = 45.0
+    for key, dt in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if dt <= 1.0 or key in stream_drains or second_pass_budget <= 0:
+            continue
+        t0 = time.perf_counter()
+        materialize(registry.QUERIES[key](spark, sf_dir))
+        took = time.perf_counter() - t0
+        second_pass_budget -= took
+        if took < dt:
+            timings[key] = round(took, 3)
+            if key not in retimed:
+                retimed.append(key)
+
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "total_query_wall_clock",

@@ -909,3 +909,73 @@ def edit_verified_pairs(
 @query("x47_edit_verify", oracle=_x47_oracle())
 def x47_edit_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_verified_pairs(load(spark, sf_dir, "documents"))
+
+
+# --- x52: quality-based representative selection (the keep policy) --------------
+# Min-id keep (x04e's is_kept) is arbitrary; production dedup keeps the
+# BEST copy per duplicate cluster — FineWeb-class pipelines rank by a
+# quality score and drop the rest.  This op composes the x04e clusters
+# with x09's integer type-token-ratio score: per cluster, keep the doc
+# with the highest ttr (doc_id ascending as the total tie-break).  The
+# oracle composes x04e's registered recursive-CTE mirror (the x45
+# pattern) with the same integer score, so the policy itself is
+# value-hash-checked end to end.
+
+
+def _x52_oracle() -> str:
+    x04e = _registry.ORACLE["x04e_dedup_clusters"]
+    return f"""
+    WITH cl AS (SELECT doc_id, cluster_id FROM ({x04e})),
+    q AS (
+      SELECT doc_id,
+             CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                        * 1e6 + 0.5) AS BIGINT) AS ttr_e6
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    ranked AS (
+      SELECT cl.cluster_id, cl.doc_id, q.ttr_e6,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY q.ttr_e6 DESC, cl.doc_id) AS rn
+      FROM cl JOIN q USING (doc_id))
+    SELECT cluster_id,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+           MIN(CASE WHEN rn = 1 THEN ttr_e6 END) AS kept_ttr_e6,
+           COUNT(*) AS n_members
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+
+
+@query("x52_dedup_keep_best", oracle=_x52_oracle())
+def x52_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per duplicate cluster: the highest-quality member (by
+    integer ttr score, doc_id tie-break), its score, and the cluster
+    size.  Plan: the cluster map is tiny next to the corpus, so the
+    quality join broadcasts it; the per-cluster argmax is a window over
+    the already-clustered rows."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3)
+    clusters = connected_components(pairs)
+    toks = F.split("text", " ")
+    quality = docs.select(
+        "doc_id",
+        qint(F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "ttr_e6"
+        ),
+    )
+    joined = quality.join(F.broadcast(clusters), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("ttr_e6").desc(), F.col("doc_id")
+    )
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("kept_doc_id"),
+            F.min(F.when(F.col("rn") == 1, F.col("ttr_e6"))).alias("kept_ttr_e6"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -796,3 +796,67 @@ def x46_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("leaked"), 1)).alias("n_leaked"),
         )
     )
+
+
+# --- x53: dataset card (per-source datasheet summary) ---------------------------
+# The one-page "datasheet for datasets" row every corpus release ships:
+# volume, token mass, exact-dup rate, language mix, and mean quality per
+# source, in ONE aggregation pass over the corpus (all measures are
+# algebraic, so map-side partials do the heavy lifting and only
+# per-source states cross the exchange — at 100 TB the output is
+# |sources| rows regardless of corpus size).
+@query(
+    "x53_dataset_card",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS n_tokens,
+           CAST(floor(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
+                      / COUNT(*) * 1e2 + 0.5) AS BIGINT) AS mean_tokens_e2,
+           COUNT(DISTINCT sha256(text)) AS n_unique,
+           {dup} AS dup_rate_e6,
+           COUNT(*) FILTER (WHERE lang = 'en') AS n_en,
+           CAST(floor(CAST(SUM(CASE WHEN len(string_split(text, ' '))
+                                         BETWEEN 10 AND 1000
+                                     AND CAST(len(list_distinct(string_split(text, ' ')))
+                                         AS DOUBLE) / len(string_split(text, ' ')) > 0.15
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+                      / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS quality_pass_rate_e6
+    FROM documents
+    GROUP BY 1
+    """.format(
+        dup=sql_qint(
+            "1.0 - CAST(COUNT(DISTINCT sha256(text)) AS DOUBLE) / COUNT(*)"
+        )
+    ),
+)
+def x53_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    passes = F.when((n_tok.between(10, 1000)) & (ttr > 0.15), 1).otherwise(0)
+    pre = docs.select(
+        "source",
+        "lang",
+        F.sha2("text", 256).alias("h"),
+        n_tok.cast("long").alias("n_tok"),
+        passes.alias("passes"),
+    )
+    return pre.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        qint(F.sum("n_tok").cast("double") / F.count("*"), 2).alias(
+            "mean_tokens_e2"
+        ),
+        F.countDistinct("h").alias("n_unique"),
+        qint(1.0 - F.countDistinct("h").cast("double") / F.count("*")).alias(
+            "dup_rate_e6"
+        ),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("long").alias(
+            "n_en"
+        ),
+        qint(F.sum("passes").cast("double") / F.count("*")).alias(
+            "quality_pass_rate_e6"
+        ),
+    )

@@ -146,11 +146,11 @@ HEADLINERS = {
         "the single-split corpus scan task (measured 11-19 s vs ~2 s)."
     ),
     "q67_tpch_q18": (
-        "Decision-support anchor (TPC-H Q18 shape): the HAVING "
-        "aggregate shuffles lineitem once on l_orderkey; the qualifying "
-        "key set joins back as a broadcast LEFT SEMI (facts never "
-        "duplicated); customer broadcasts; top-100 is "
-        "TakeOrderedAndProject."
+        "Decision-support anchor (TPC-H Q18 shape): lineitem is scanned "
+        "and shuffled exactly once — the HAVING aggregate's per-order "
+        "sum IS the output measure, so the textbook re-join of the "
+        "facts is eliminated; the qualifying-order frame broadcasts; "
+        "top-100 is TakeOrderedAndProject."
     ),
 }
 

@@ -167,13 +167,14 @@ def test_x36_probe_prefilter_is_broadcast_semi(spark):
     assert checks.has_broadcast_join(df)
 
 
-def test_tpch_q18_semi_join_and_topk(spark):
-    """q67: the qualifying-order key set joins as a broadcast SEMI join
-    (lineitem is never duplicated by the filter join) and the top-100 is
+def test_tpch_q18_single_lineitem_scan_and_topk(spark):
+    """q67: lineitem is scanned exactly once (the HAVING aggregate's
+    per-order sum IS the output measure — no re-join of the facts), the
+    qualifying-order frame broadcasts, and the top-100 is
     TakeOrderedAndProject, not a global sort."""
     df = registry.QUERIES["q67_tpch_q18"](spark, SF_DIR)
     plan = checks.explain_str(df, "simple")
-    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
     assert checks.has_broadcast_join(df)
     assert "TakeOrderedAndProject" in plan
 

@@ -475,3 +475,44 @@ def test_sort_percentile_matches_percentile_aggregate(spark):
                     ), f"p={p} g={g}: {got[g]} != {want[g]}"
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+# --- hypothesis: sort_percentile equals the percentile aggregate ---------------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=-1e6, max_value=1e6,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=1, max_size=60,
+        ),
+        n_groups=st.integers(min_value=1, max_value=4),
+        p=st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_sort_percentile_property(vals, n_groups, p):
+        """Random values and group layouts: bit-identical to the
+        percentile aggregate at every sampled percentile point,
+        including p=0 and p=1."""
+        import pyspark.sql.functions as F
+
+        from fanstats_producer_spark.operators.aggregates import sort_percentile
+        from fanstats_producer_spark.session import get_spark
+
+        spark = get_spark("fanstats-tests")
+        rows = [(i % n_groups, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g int, v double")
+        want = {
+            r["g"]: r["pct"]
+            for r in df.groupBy("g")
+            .agg(F.expr(f"percentile(v, {p})").alias("pct"))
+            .collect()
+        }
+        got = {r["g"]: r["pctl"] for r in sort_percentile(df, "g", "v", p).collect()}
+        assert got == want
+except ImportError:  # pragma: no cover
+    pass

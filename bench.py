@@ -85,6 +85,39 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # ... and the RocksDB state-store path: the FIRST RocksDB-backed
+    # micro-batch in a JVM pays the native library load + initial
+    # column-family setup (~1 s) that every later drain skips — warm it
+    # on a 100-row throwaway stream so s15 measures the steady state,
+    # the same treatment the scan/codegen/UDF paths get above.
+    import tempfile as _tf
+
+    from fanstats_producer_spark.streaming.driver_entries import (
+        _few_partitions,
+        _rocksdb_state,
+    )
+
+    _wdir = _tf.mkdtemp(prefix="bench_rocks_warm_")
+    spark.range(100).selectExpr(
+        "id", "timestamp_micros(1700000000000000 + id * 1000000) AS ts"
+    ).write.mode("overwrite").parquet(f"{_wdir}/in")
+    _ws = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(f"{_wdir}/in")
+        .withWatermark("ts", "1 minute")
+        .groupBy(_F.window("ts", "1 minute"))
+        .count()
+    )
+    with _few_partitions(spark, 2), _rocksdb_state(spark):
+        _wq = (
+            _ws.writeStream.format("memory")
+            .queryName("bench_rocks_warm")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _wq.awaitTermination()
+
     # Real streaming drains (checkpointed AvailableNow runs): their cost
     # is dominated by fixed stream-query startup, so a second run would
     # double honest work, not shed a spike.

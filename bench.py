@@ -97,26 +97,32 @@ def main() -> None:
         _rocksdb_state,
     )
 
-    _wdir = _tf.mkdtemp(prefix="bench_rocks_warm_")
-    spark.range(100).selectExpr(
-        "id", "timestamp_micros(1700000000000000 + id * 1000000) AS ts"
-    ).write.mode("overwrite").parquet(f"{_wdir}/in")
-    _ws = (
-        spark.readStream.schema("id long, ts timestamp")
-        .parquet(f"{_wdir}/in")
-        .withWatermark("ts", "1 minute")
-        .groupBy(_F.window("ts", "1 minute"))
-        .count()
-    )
-    with _few_partitions(spark, 2), _rocksdb_state(spark):
-        _wq = (
-            _ws.writeStream.format("memory")
-            .queryName("bench_rocks_warm")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
+    try:
+        _wdir = _tf.mkdtemp(prefix="bench_rocks_warm_")
+        spark.range(100).selectExpr(
+            "id", "timestamp_micros(1700000000000000 + id * 1000000) AS ts"
+        ).write.mode("overwrite").parquet(f"{_wdir}/in")
+        _ws = (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(f"{_wdir}/in")
+            .withWatermark("ts", "1 minute")
+            .groupBy(_F.window("ts", "1 minute"))
+            .count()
         )
-        _wq.awaitTermination()
+        with _few_partitions(spark, 2), _rocksdb_state(spark):
+            _wq = (
+                _ws.writeStream.format("memory")
+                .queryName("bench_rocks_warm")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _wq.awaitTermination()
+    except Exception:
+        # warmup is best-effort: an environment without the RocksDB
+        # native library must not kill the whole bench — s15 itself
+        # would surface the real failure in the timed loop.
+        pass
 
     # Real streaming drains (checkpointed AvailableNow runs): their cost
     # is dominated by fixed stream-query startup, so a second run would

@@ -860,3 +860,65 @@ def x53_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_pass_rate_e6"
         ),
     )
+
+
+# --- x54: length-bucketed batching / padding-waste accounting -------------------
+# Length-grouped batching is how training loaders avoid paying quadratic
+# attention on padding: sequences are grouped into power-of-two length
+# buckets and each batch pads only to its bucket ceiling.  This op
+# computes, per bucket, the doc count, the real token mass, the padded
+# token mass (docs x bucket ceiling), and the padding-waste fraction —
+# the number that justifies (or kills) a bucketing config.  Pure integer
+# arithmetic end to end; one aggregation pass with map-side partials.
+@query(
+    "x54_length_buckets",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+    b AS (
+      SELECT doc_id, n_tok,
+             CAST(power(2, ceil(log2(greatest(n_tok, 1)))) AS BIGINT)
+               AS bucket_ceiling
+      FROM t)
+    SELECT bucket_ceiling,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS real_tokens,
+           COUNT(*) * bucket_ceiling AS padded_tokens,
+           CAST(floor((1.0 - CAST(SUM(n_tok) AS DOUBLE)
+                           / (COUNT(*) * bucket_ceiling)) * 1e6 + 0.5)
+                AS BIGINT) AS pad_waste_e6
+    FROM b
+    GROUP BY bucket_ceiling
+    ORDER BY bucket_ceiling
+    """,
+)
+def x54_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(F.split("text", " ")).cast("long")
+    # ceil(log2(n)) is cross-engine-stable here: IEEE log2 of an exact
+    # power of two is exact (no boundary straddle at the only points
+    # where ceil could flip), and the ceiling itself is then integer
+    # shiftleft, never float power.
+    b = docs.select("doc_id", n_tok.alias("n_tok")).withColumn(
+        "bucket_ceiling",
+        F.when(F.col("n_tok") <= 1, F.lit(1).cast("long")).otherwise(
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), "
+                "CAST(ceil(log2(CAST(n_tok AS DOUBLE))) AS INT)) AS BIGINT)"
+            )
+        ),
+    )
+    return (
+        b.groupBy("bucket_ceiling")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("real_tokens"),
+            (F.count("*") * F.first("bucket_ceiling")).alias("padded_tokens"),
+            qint(
+                1.0
+                - F.sum("n_tok").cast("double")
+                / (F.count("*") * F.first("bucket_ceiling"))
+            ).alias("pad_waste_e6"),
+        )
+        .orderBy("bucket_ceiling")
+    )

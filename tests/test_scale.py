@@ -516,3 +516,44 @@ try:
         assert got == want
 except ImportError:  # pragma: no cover
     pass
+
+
+# --- hypothesis: salted join equals the plain join ------------------------------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        left_keys=st.lists(st.integers(min_value=0, max_value=5), min_size=1, max_size=40),
+        right_keys=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=8),
+        n_salts=st.integers(min_value=2, max_value=8),
+        how=st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+    )
+    @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_salted_join_property(left_keys, right_keys, n_salts, how):
+        """Random skewed key sets, salt counts, and join types: the
+        salted join's multiset of result keys equals the plain join's."""
+        from collections import Counter
+
+        from fanstats_producer_spark.operators.skew import salted_join
+        from fanstats_producer_spark.session import get_spark
+
+        spark = get_spark("fanstats-tests")
+        left = spark.createDataFrame(
+            [(k, i) for i, k in enumerate(left_keys)], "k int, lv int"
+        )
+        right = spark.createDataFrame(
+            [(k, i * 10) for i, k in enumerate(right_keys)], "k int, rv int"
+        )
+        want = Counter(
+            tuple(r) for r in left.join(right, "k", how).select("k", "lv").collect()
+        )
+        got = Counter(
+            tuple(r)
+            for r in salted_join(left, right, "k", n_salts=n_salts, how=how)
+            .select("k", "lv")
+            .collect()
+        )
+        assert got == want
+except ImportError:  # pragma: no cover
+    pass

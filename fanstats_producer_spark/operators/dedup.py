@@ -1005,3 +1005,64 @@ def x52_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# --- x55: incremental batch dedup against a historical index --------------------
+# Production dedup is INCREMENTAL: each arriving batch is checked
+# against the digest index of everything already accepted — never a
+# rescan of history's text.  The historical side reduces to 32-byte
+# digests (at 100 TB: a bucketed digest table joined shuffle-free, or a
+# bloom pre-filter ahead of the exact anti join); the new batch keeps
+# (a) rows whose digest is absent from history and (b) one
+# representative per digest WITHIN the batch (min doc_id — arrivals in
+# one batch have no order).  s11 is this operator's streaming arm
+# (watermarked digest state); this is the batch/backfill arm.
+@query(
+    "x55_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT sha256(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+    batch AS (
+      SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 3 = 0),
+    fresh AS (
+      SELECT b.doc_id, b.h FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = b.h)),
+    keep AS (
+      SELECT doc_id, h,
+             row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+      FROM fresh)
+    SELECT (SELECT COUNT(*) FROM batch) AS n_batch,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_accepted,
+           (SELECT COUNT(*) FROM batch) - COUNT(*) AS n_dup_vs_history,
+           COUNT(*) FILTER (WHERE rn > 1) AS n_dup_in_batch
+    FROM keep
+    """,
+)
+def x55_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One summary row per incremental run: batch size, accepted rows,
+    rows rejected against history, rows rejected within the batch."""
+    docs = load(spark, sf_dir, "documents")
+    hist = (
+        docs.filter(F.col("doc_id") % 3 != 0)
+        .select(F.sha2("text", 256).alias("h"))
+        .distinct()
+    )
+    batch = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id", F.sha2("text", 256).alias("h")
+    )
+    fresh = batch.join(hist, "h", "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("h").orderBy("doc_id")
+    keep = fresh.withColumn("rn", F.row_number().over(w))
+    n_batch = batch.count()
+    return keep.agg(
+        F.lit(n_batch).cast("long").alias("n_batch"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias(
+            "n_accepted"
+        ),
+        (F.lit(n_batch) - F.count("*")).cast("long").alias("n_dup_vs_history"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias(
+            "n_dup_in_batch"
+        ),
+    )

@@ -353,7 +353,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """,
 )
 def x04c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_signatures(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    # no trailing global sort (the x47 lesson): range-boundary sampling
+    # re-executes the child pipeline; the driver compare is order-insensitive.
+    return simhash_signatures(load(spark, sf_dir, "documents"))
 
 
 # --- x04d: native DataFrame MinHash + banding (no MLlib, pure exprs) -----------
@@ -517,9 +519,10 @@ def minhash_native_pairs(
     """,
 )
 def x04d_minhash_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_native_pairs(load(spark, sf_dir, "documents")).orderBy(
-        "id_a", "id_b"
-    )
+    # no trailing global sort (the x47 lesson): range-boundary sampling
+    # re-executes the banding pipeline, and the driver compare is
+    # order-insensitive.
+    return minhash_native_pairs(load(spark, sf_dir, "documents"))
 
 
 # --- x04e: dedup clustering (connected components over near-dup pairs) ----------
@@ -688,7 +691,9 @@ def x04e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold — deterministic (exact pairs + min-label convergence)."""
     docs = load(spark, sf_dir, "documents")
     pairs = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3)
-    return connected_components(pairs).orderBy("doc_id")
+    # no trailing global sort (the x47 lesson): range-boundary sampling
+    # re-executes the child pipeline; the driver compare is order-insensitive.
+    return connected_components(pairs)
 
 
 # --- x04f: embedding-cosine near-dup dedup (T4 semantic arm) -------------------
@@ -780,7 +785,6 @@ def x04f_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "is_kept"
             ),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -928,7 +932,10 @@ def edit_verified_pairs(
                 "rel_edit_e6"
             ),
         )
-        .orderBy("id_a", "id_b")
+        # no trailing global sort: the range-partitioner's boundary
+        # sampling re-executes the child — i.e. the whole levenshtein
+        # stage — once more (measured ~1 s at sf0.1), and row order is
+        # irrelevant to the driver's order-insensitive compare.
     )
 
 
@@ -1003,7 +1010,6 @@ def x52_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rn") == 1, F.col("ttr_e6"))).alias("kept_ttr_e6"),
             F.count("*").alias("n_members"),
         )
-        .orderBy("cluster_id")
     )
 
 

@@ -920,5 +920,4 @@ def x54_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.count("*") * F.first("bucket_ceiling"))
             ).alias("pad_waste_e6"),
         )
-        .orderBy("bucket_ceiling")
     )

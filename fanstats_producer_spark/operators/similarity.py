@@ -210,7 +210,9 @@ def x05b_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < _KNN_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
-    return ivf_topk(spark, emb, queries, k=_KNN_K, n_probe=1).orderBy("query_id", "rnk")
+    # no trailing global sort (the x47 lesson): range-boundary sampling
+    # re-executes the child pipeline; the driver compare is order-insensitive.
+    return ivf_topk(spark, emb, queries, k=_KNN_K, n_probe=1)
 
 
 # --- x06: similarity self-join (T6; embedding-cosine near-dup) -------------------
@@ -314,9 +316,9 @@ def x06b_lsh_simjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(d2 <= F.lit(1.2000001**2))
         .select("id_a", "id_b")
     )
-    return pairs.join(exact, ["id_a", "id_b"], "left_anti").orderBy(
-        "id_a", "id_b"
-    )
+    # no trailing global sort (the x47 lesson): range-boundary sampling
+    # re-executes the child pipeline; the driver compare is order-insensitive.
+    return pairs.join(exact, ["id_a", "id_b"], "left_anti")
 
 
 # --- x50: ANN recall monitoring (x05b vs the exact x05 baseline) ----------------
@@ -377,4 +379,4 @@ def x50_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hit",
         "n_exact",
         qint(F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall_e6"),
-    ).orderBy("query_id")
+    )

@@ -95,6 +95,7 @@ def main() -> None:
     from fanstats_producer_spark.streaming.driver_entries import (
         _few_partitions,
         _rocksdb_state,
+        _skip_nodata_batch,
     )
 
     try:
@@ -109,7 +110,7 @@ def main() -> None:
             .groupBy(_F.window("ts", "1 minute"))
             .count()
         )
-        with _few_partitions(spark, 2), _rocksdb_state(spark):
+        with _few_partitions(spark, 2), _skip_nodata_batch(spark), _rocksdb_state(spark):
             _wq = (
                 _ws.writeStream.format("memory")
                 .queryName("bench_rocks_warm")
@@ -118,11 +119,16 @@ def main() -> None:
                 .start()
             )
             _wq.awaitTermination()
-    except Exception:
+    except Exception as e:
         # warmup is best-effort: an environment without the RocksDB
         # native library must not kill the whole bench — s15 itself
-        # would surface the real failure in the timed loop.
-        pass
+        # would surface the real failure in the timed loop.  But a
+        # degraded warmup must be VISIBLE (a silent one reverts s15 to
+        # cold-start timing with no signal), so say what was swallowed.
+        print(
+            f"WARN bench: RocksDB warmup skipped ({type(e).__name__}: {e})",
+            file=sys.stderr,
+        )
 
     # Real streaming drains (checkpointed AvailableNow runs): their cost
     # is dominated by fixed stream-query startup, so a second run would

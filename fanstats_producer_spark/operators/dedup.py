@@ -1062,13 +1062,14 @@ def x55_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("h").orderBy("doc_id")
     keep = fresh.withColumn("rn", F.row_number().over(w))
     n_batch = batch.count()
+    # count(when(...)) mirrors DuckDB's COUNT(*) FILTER: both return 0
+    # (not NULL) when `keep` is empty — i.e. when every batch row
+    # duplicates history.
     return keep.agg(
         F.lit(n_batch).cast("long").alias("n_batch"),
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias(
-            "n_accepted"
-        ),
+        F.count(F.when(F.col("rn") == 1, 1)).cast("long").alias("n_accepted"),
         (F.lit(n_batch) - F.count("*")).cast("long").alias("n_dup_vs_history"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias(
+        F.count(F.when(F.col("rn") > 1, 1)).cast("long").alias(
             "n_dup_in_batch"
         ),
     )

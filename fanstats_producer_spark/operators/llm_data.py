@@ -810,7 +810,7 @@ def x46_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS n_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
            CAST(floor(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)
                       / COUNT(*) * 1e2 + 0.5) AS BIGINT) AS mean_tokens_e2,
            COUNT(DISTINCT sha256(text)) AS n_unique,
@@ -882,7 +882,7 @@ def x53_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM t)
     SELECT bucket_ceiling,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS real_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
            COUNT(*) * bucket_ceiling AS padded_tokens,
            CAST(floor((1.0 - CAST(SUM(n_tok) AS DOUBLE)
                            / (COUNT(*) * bucket_ceiling)) * 1e6 + 0.5)

@@ -44,30 +44,42 @@ def _few_partitions(spark: SparkSession, n: int = 8):
     (n=4 starves applyInPandasWithState's Arrow workers, n=32 pays 2x
     state-store commits on the two-store stream-stream join).  Partition
     count never changes stream RESULTS, only parallelism — at 100 TB
-    this knob goes UP, not down.
-
-    Also skips the trailing no-data micro-batch for the enclosed drain:
-    that batch exists only to advance the watermark and EVICT state after
-    the last data batch (profiled at ~0.9-1.3 s of pure replan+commit per
-    drain here).  None of these drains' OUTPUTS depend on it — s05 emits
-    in update mode, s08 is an inner join (rows append on match), s11/s12
-    dedup appends first-arrival rows immediately, s04b rewrites in
-    complete mode, and s07's applyInPandasWithState runs
-    GroupStateTimeout.NoTimeout (jobs.py:122) so no timeout path needs a
-    tick.  An append-mode *windowed aggregation* WOULD need it — any
-    future drain of that shape must re-enable the conf.  Eviction-across-
-    batches itself stays pytest-verified with multi-batch file streams
-    (tests/test_streaming.py)."""
+    this knob goes UP, not down.  (Purely a parallelism knob: the
+    no-data-micro-batch skip is a SEPARATE, semantic opt-in —
+    _skip_nodata_batch — so a drain whose output depends on the trailing
+    watermark tick, e.g. an append-mode windowed aggregation like s16,
+    can take this helper without silently losing its final emit.)"""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_nodata = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@contextlib.contextmanager
+def _skip_nodata_batch(spark: SparkSession):
+    """Skip the trailing no-data micro-batch for the enclosed drain.
+
+    That batch exists only to advance the watermark and EVICT state
+    after the last data batch (profiled at ~0.9-1.3 s of pure
+    replan+commit per drain here).  Only drains whose OUTPUT does not
+    depend on it may opt in: s05 emits in update mode, s08 is an inner
+    join (rows append on match), s11/s12 dedup appends first-arrival
+    rows immediately, s04b rewrites in complete mode, and s07's
+    applyInPandasWithState runs GroupStateTimeout.NoTimeout
+    (jobs.py:122) so no timeout path needs a tick.  An append-mode
+    *windowed aggregation* (s16) emits a window's row only when the
+    watermark passes its end — it MUST NOT use this manager.
+    Eviction-across-batches itself stays pytest-verified with
+    multi-batch file streams (tests/test_streaming.py)."""
+    prev = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try:
+        yield
+    finally:
         spark.conf.set(
-            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nodata
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev
         )
 
 
@@ -162,7 +174,7 @@ def s05_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = jobs.windowed_counts(
         stream, window="1 day", watermark="30 minutes"
     )
-    with _few_partitions(spark):
+    with _few_partitions(spark), _skip_nodata_batch(spark):
         q = (
             counts.writeStream.format("memory")
             .queryName(name)
@@ -199,7 +211,7 @@ def s07_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s07_mem_{uuid.uuid4().hex[:8]}"
     stream = _read_events_stream(spark, sf_dir)
     totals = jobs.user_running_totals(stream)
-    with _few_partitions(spark):
+    with _few_partitions(spark), _skip_nodata_batch(spark):
         q = (
             totals.writeStream.format("memory")
             .queryName(name)
@@ -240,7 +252,7 @@ def s08_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = jobs.clicks_to_purchases_join(stream, horizon="1 hour")
     # Stream-stream joins keep TWO per-partition state stores; see
     # _few_partitions.
-    with _few_partitions(spark):
+    with _few_partitions(spark), _skip_nodata_batch(spark):
         q = (
             joined.writeStream.format("memory")
             .queryName(name)
@@ -279,7 +291,7 @@ def s09_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="s09_")
     state, ckpt = f"{tmp}/state", f"{tmp}/ckpt"
     stream = _read_events_stream(spark, sf_dir)
-    with _few_partitions(spark):
+    with _few_partitions(spark), _skip_nodata_batch(spark):
         _drain(jobs.upsert_latest_per_key(stream, state, ckpt))
     latest = spark.read.parquet(state)
     return latest.select(
@@ -306,7 +318,7 @@ def s11_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s11_mem_{uuid.uuid4().hex[:8]}"
     stream = _read_events_stream(spark, sf_dir)
     deduped = jobs.deduped_by_content(stream, text_col="props")
-    with _few_partitions(spark):
+    with _few_partitions(spark), _skip_nodata_batch(spark):
         q = (
             deduped.writeStream.format("memory")
             .queryName(name)
@@ -358,7 +370,7 @@ def s04b_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s04b_mem_{uuid.uuid4().hex[:8]}"
     stream = _read_events_stream(spark, sf_dir)
     sessions = jobs.sessionized(stream, gap="30 minutes")
-    with _few_partitions(spark):
+    with _few_partitions(spark), _skip_nodata_batch(spark):
         q = (
             sessions.writeStream.format("memory")
             .queryName(name)
@@ -403,7 +415,7 @@ def s04b_session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sized, LATERAL (SELECT unnest(range(0, n_chunks)) AS i))
     SELECT (SELECT COUNT(*) FROM sized) AS n_docs,
            COUNT(*) AS n_chunks,
-           SUM(n_chunk_tokens) AS total_tokens,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT md5(chunk_text)) AS n_distinct_chunks
     FROM chunks
     """.format(stop=_STOP_SQL, chunk=_CHUNK, stride=_STRIDE),
@@ -417,34 +429,35 @@ def s12_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically), so the batch oracle states it exactly.  Packing is
     deliberately absent — it needs a per-shard total order, which runs
     as the batch compaction pass (corpus.py stage 5)."""
-    import json as _json
-    import os
-
     from fanstats_producer_spark.io import load as _load
 
     landing = tempfile.mkdtemp(prefix="s12_landing_")
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    rows = docs.collect()
-    with open(os.path.join(landing, "docs-000.json"), "w") as fh:
-        for r in rows:
-            fh.write(
-                _json.dumps(
-                    {
-                        "doc_id": r.doc_id,
-                        # deterministic synthetic event time (the fixture
-                        # corpus carries none): doc_id seconds past epoch-day
-                        "ts": f"2024-01-01T{(r.doc_id // 3600) % 24:02d}:"
-                        f"{(r.doc_id // 60) % 60:02d}:{r.doc_id % 60:02d}Z",
-                        "text": r.text,
-                        "lang": r.lang,
-                    }
-                )
-                + "\n"
-            )
+    # Stage the landing dir DISTRIBUTED (executor-side JSON write, not a
+    # driver collect — at 100 TB the corpus never fits on the driver).
+    # Event time is synthetic and deterministic (the fixture corpus
+    # carries none): doc_id seconds laid out across epoch-day 2024-01-01,
+    # computed as a column so every writer task derives it locally.
+    # AvailableNow with no maxFilesPerTrigger drains every staged part
+    # file in ONE micro-batch, so the 30-min watermark never drops rows
+    # regardless of part-file order.
+    (
+        docs.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_seconds(to_unix_timestamp("
+                "timestamp'2024-01-01 00:00:00') + (doc_id div 3600) % 24 * 3600"
+                " + (doc_id div 60) % 60 * 60 + doc_id % 60)"
+            ),
+        )
+        .select("doc_id", "ts", "text", "lang")
+        .write.mode("overwrite")
+        .json(landing)
+    )
     name = f"s12_mem_{uuid.uuid4().hex[:8]}"
     stream = jobs.read_document_stream(spark, landing)
     prepped = jobs.corpus_prep_stream(stream)
-    with _few_partitions(spark):
+    with _few_partitions(spark), _skip_nodata_batch(spark):
         q = (
             prepped.writeStream.format("memory")
             .queryName(name)
@@ -505,7 +518,7 @@ def s15_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # snapshot upload PER partition per batch (measured 12 s at n=8 vs
     # ~1 s at n=2 for identical results) — at 100 TB that per-partition
     # cost amortizes over real state and the knob goes back up.
-    with _few_partitions(spark, 2), _rocksdb_state(spark):
+    with _few_partitions(spark, 2), _skip_nodata_batch(spark), _rocksdb_state(spark):
         q = (
             counts.writeStream.format("memory")
             .queryName(name)

@@ -302,6 +302,70 @@ def s09_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s10_tws_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+             AS total_value_e6
+    FROM events GROUP BY 1
+    """,
+)
+def s10_tws_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s10: transformWithStateInPandas — Spark 4's typed-state stateful
+    API (ValueState handles, RocksDB-backed) — run as a REAL drained
+    stream over the events fixture; the modern sibling of s07's
+    applyInPandasWithState, same per-user running count/total contract.
+
+    The JVM<->Python state protocol speaks protobuf; this container has
+    no protobuf distribution, so compat.ensure_protobuf aliases the
+    Cloud SDK's vendored pure-Python runtime onto `google.protobuf` for
+    the driver, the task workers (addPyFile), and the TWS driver worker
+    (sc.environment PYTHONPATH).  On a normally provisioned cluster the
+    real distribution short-circuits all of that.
+
+    Oracle exactness: state accumulates per-ROW integer micro-units
+    (floor(value*1e6+0.5); values are nonnegative in this schema so
+    pandas' truncating astype('int64') IS floor), so the totals are
+    arrival-order-free and the batch SQL states them bit-exactly."""
+    from fanstats_producer_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf; install "
+            "protobuf or provide the Cloud SDK vendored runtime "
+            "(see fanstats_producer_spark/compat.py)"
+        )
+    name = f"s10_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir)
+    totals = jobs.user_value_stats_tws(stream)
+    # TWS requires the RocksDB provider; n=2 per the s15 measurement
+    # (native DB setup per partition per batch only amortizes over real
+    # state).  timeMode="None" → no timer path depends on the trailing
+    # no-data tick, so the skip is output-safe.
+    with _few_partitions(spark, 2), _skip_nodata_batch(spark), _rocksdb_state(
+        spark
+    ):
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    # One emission per user per micro-batch of running totals; the max
+    # per user is the final state (counts/totals only grow).
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value_e6").alias("total_value_e6"),
+        )
+    )
+
+
+@query(
     "s11_content_dedup",
     oracle="""
     SELECT COUNT(*) AS n_input,

@@ -283,10 +283,12 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
     timers, and TTL support; state lives in the state store (RocksDB at
     scale), not executor memory.
 
-    Requires the RocksDB state store provider AND the google.protobuf
-    package (the JVM <-> Python state protocol); this container lacks
-    protobuf, so the pytest skips — the code path is exercised wherever
-    the dependency exists, and s07 covers the stateful contract here.
+    Requires the RocksDB state store provider AND an importable
+    google.protobuf (the JVM <-> Python state protocol) — callers run
+    compat.ensure_protobuf(spark) first, which aliases the Cloud SDK's
+    vendored pure-Python runtime when no protobuf distribution is
+    installed (see compat.py); with neither available, s07 still covers
+    the stateful-survey row via applyInPandasWithState.
     """
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import (

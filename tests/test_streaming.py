@@ -257,10 +257,14 @@ def test_foreach_batch_upsert_crash_recovery(spark, landing, tmp_path):
 def test_transform_with_state(spark, landing):
     """s10: typed-state processor accumulates across rows per key."""
     pytest.importorskip("pyspark.sql.streaming.stateful_processor")
-    # the TWS protocol speaks protobuf between JVM and the Python driver
-    # worker; not installed in this container → skip (s07 covers the
-    # stateful contract via applyInPandasWithState)
-    pytest.importorskip("google.protobuf")
+    # the TWS protocol speaks protobuf between JVM and the Python
+    # workers; no distribution is installed here, so ensure_protobuf
+    # aliases the Cloud SDK's vendored pure-Python runtime (compat.py)
+    # and ships it to the workers.  Skip only if neither exists.
+    from fanstats_producer_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no google.protobuf and no vendored runtime to alias")
     # transformWithState requires the RocksDB state store provider
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",

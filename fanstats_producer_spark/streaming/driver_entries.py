@@ -539,6 +539,53 @@ def s12_stream_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "s16_append_window",
+    oracle="""
+    WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type, COUNT(*) AS n, {sum_value} AS sum_value
+    FROM events, wm
+    WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """.format(sum_value=sql_dsum_pos("value")),
+)
+def s16_append_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s16: APPEND-mode watermarked tumbling-window aggregation — the
+    one streaming shape whose output depends on the trailing no-data
+    micro-batch (the tick advances the watermark past closed windows so
+    they emit exactly once and their state evicts), so this drain runs
+    WITHOUT _skip_nodata_batch.  Contrast s05/s15, which drain the same
+    aggregation in update mode and can skip the tick.
+
+    Append semantics the oracle states exactly: a window emits iff
+    window_end <= final watermark = max(ts) - 30 min; the trailing
+    partial window(s) stay in state and are deliberately ABSENT from
+    the result — exactly-once emission, not completeness, is append
+    mode's contract."""
+    name = f"s16_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir)
+    counts = jobs.windowed_counts(
+        stream, window="1 hour", watermark="30 minutes"
+    )
+    with _few_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    return spark.table(name).select(
+        F.date_format("start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 @contextlib.contextmanager
 def _rocksdb_state(spark: SparkSession):
     """Run the enclosed drain on the RocksDB state store provider — the

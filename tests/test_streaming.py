@@ -437,3 +437,36 @@ def test_streaming_windowed_trending(spark, landing):
     d2 = {r.item: r.n for r in got.collect() if r.window_start.startswith("2024-01-02")}
     assert d1 == {"click": 2, "view": 1}
     assert d2 == {"view": 1}
+
+
+def test_append_window_emits_on_watermark_and_evicts(spark, landing):
+    """s16: append-mode windowed aggregation emits a window exactly once
+    when the watermark passes its end (driven by the trailing no-data
+    micro-batch), and the still-open trailing window is withheld."""
+    rows_b1 = [
+        _event(1, "2024-01-01T10:05:00Z", etype="click", value=1.0),
+        _event(2, "2024-01-01T10:20:00Z", etype="click", value=2.0),
+        _event(3, "2024-01-01T11:10:00Z", etype="view", value=4.0),
+    ]
+    # batch 2 advances max event time to 13:10 -> watermark 12:40: the
+    # 10:00 and 11:00 windows close; the 13:00 window stays open.
+    rows_b2 = [_event(4, "2024-01-01T13:10:00Z", etype="view", value=8.0)]
+    _write_batch(landing, "b1.json", rows_b1)
+    _write_batch(landing, "b2.json", rows_b2)
+    stream = jobs.read_event_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark,
+        jobs.windowed_counts(stream, window="1 hour", watermark="30 minutes"),
+        "s16_test",
+        "append",
+    )
+    out = {
+        (r.start.strftime("%H:%M"), r.event_type): (r.n, r.sum_value)
+        for r in got.collect()
+    }
+    assert out == {
+        ("10:00", "click"): (2, 3.0),
+        ("11:00", "view"): (1, 4.0),
+    }, f"append emissions wrong: {out}"
+    # eviction witness: the open 13:00 window emitted nothing
+    assert not any(h == "13:00" for h, _ in out)

@@ -234,6 +234,39 @@ def test_minhash_native_recall_vs_exact(spark):
     assert exact
     assert len(exact - approx) / len(exact) <= 0.2  # ≥80% recall
 
+def test_minhash_hash_family_constants():
+    """The universal-hash multipliers must be nonzero mod P for every
+    plausible signature budget (a zero a_i would freeze component i at
+    b_i and silently bias every estimate)."""
+    from fanstats_producer_spark.operators.dedup import _MH_P, _mh_ab
+
+    for i in range(1024):
+        a, b = _mh_ab(i)
+        assert 0 < a < _MH_P and 0 <= b < _MH_P
+
+
+def test_minhash_native_precision(spark):
+    """The x45 finding, pinned: banded-MinHash at n=64/b=16/r=4 with the
+    universal-hash family must hold precision >= 0.9 AND recall >= 0.9
+    against exact Jaccard at the same 0.5 threshold (the r4 estimator
+    sat at precision 0.02)."""
+    from fanstats_producer_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_native_pairs,
+    )
+
+    docs = load(spark, SF_DIR, "documents")
+    exact = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    est = {
+        (r.id_a, r.id_b)
+        for r in minhash_native_pairs(docs, threshold=0.5).collect()
+    }
+    assert exact
+    tp = len(exact & est)
+    assert tp / max(len(est), 1) >= 0.9, f"precision {tp}/{len(est)}"
+    assert tp / len(exact) >= 0.9, f"recall {tp}/{len(exact)}"
+
+
 
 def test_connected_components_chain_and_clique(spark):
     """A chain a-b-c-d collapses to one cluster even though a-d never

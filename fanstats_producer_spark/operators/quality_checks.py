@@ -225,7 +225,9 @@ def q60_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _exact_tail_quantile(df: DataFrame, col: str, q: float) -> float:
+def _exact_tail_quantile(
+    df: DataFrame, col: str, q: float, exact_tail_limit: int = 10_000_000
+) -> float:
     """Exact interpolated quantile (quantile_cont semantics) for a TAIL
     probability, via top-k order statistics instead of Spark's exact
     `percentile` aggregate.
@@ -236,15 +238,26 @@ def _exact_tail_quantile(df: DataFrame, col: str, q: float) -> float:
     within ~q*n of the edge — a TakeOrderedAndProject job with a bounded
     per-partition heap.  Formula mirrors Spark's Percentile.getPercentile
     (lower + (higher-lower)*frac, all double IEEE), so results are
-    bit-identical to percentile()/DuckDB quantile_cont.  At 100 TB, tail
-    k grows with n — switch to approx_percentile (mergeable t-digest)
-    and loosen the oracle comparison.
+    bit-identical to percentile()/DuckDB quantile_cont.
+
+    The tail fetch grows with n*q, so it is SIZE-GATED (the dedup.py
+    driver-union-find pattern): once the tail exceeds
+    ``exact_tail_limit`` rows — the 100 TB regime — the code switches to
+    percentile_approx, Spark's mergeable sketch (fixed memory per
+    partition, one pass, no ordered fetch).  The default limit keeps
+    every fixture SF on the exact path so oracle comparisons stay
+    bit-exact; the approx path is unit-tested by forcing the limit down.
     """
     import math
 
     n = df.count()
     h = (n - 1) * q
     k1, k2 = math.floor(h) + 1, math.ceil(h) + 1
+    tail_k = k2 if q <= 0.5 else n - k1 + 1
+    if tail_k > exact_tail_limit:
+        return df.agg(
+            F.percentile_approx(F.col(col), F.lit(q), F.lit(10_000)).alias("v")
+        ).collect()[0][0]
     c = F.col(col)
     take = 2 if k2 > k1 else 1
     if q <= 0.5:

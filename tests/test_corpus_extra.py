@@ -271,3 +271,47 @@ def test_x45_metric_identities(spark):
         assert r.precision_e6 == math.floor(r.tp / (r.tp + r.fp) * 1e6 + 0.5)
     if r.tp + r.fn:
         assert r.recall_e6 == math.floor(r.tp / (r.tp + r.fn) * 1e6 + 0.5)
+
+
+def test_pagerank_copartitioned_path_matches_broadcast(spark):
+    """The size-gated co-partitioned PageRank (rank vector too big to
+    broadcast) must produce bit-identical ranks to the broadcast path."""
+    from pyspark.sql import functions as F
+
+    from fanstats_producer_spark.operators.graph import pagerank_ranks
+
+    e0 = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (3, 11), (4, 11), (5, 12)],
+        "src long, dst long",
+    )
+    edges = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    broad = {
+        r.node: r.rank
+        for r in pagerank_ranks(edges, broadcast_threshold=None).collect()
+    }
+    copart = {
+        r.node: r.rank
+        for r in pagerank_ranks(edges, broadcast_threshold=0).collect()
+    }
+    assert broad == copart and len(broad) == 8
+
+
+def test_tail_quantile_approx_fallback(spark):
+    """Forcing the 100 TB path (exact_tail_limit=0) switches to the
+    percentile_approx sketch; at full accuracy on small data it lands on
+    the same flanking order statistics (within interpolation width)."""
+    from fanstats_producer_spark.io import load as _load
+    from fanstats_producer_spark.operators.quality_checks import (
+        _exact_tail_quantile,
+    )
+    from conftest import SF_DIR
+
+    li = _load(spark, SF_DIR, "lineitem")
+    exact = _exact_tail_quantile(li, "l_extendedprice", 0.99)
+    approx = _exact_tail_quantile(li, "l_extendedprice", 0.99, exact_tail_limit=0)
+    # percentile_approx returns an actual order statistic near the
+    # quantile; tolerance = 1% of the exact value covers the sketch's
+    # rank error at accuracy=10000 without blessing a wrong tail
+    assert abs(approx - exact) <= 0.01 * abs(exact)

@@ -306,9 +306,12 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
             # Integer micro-unit accumulation (the s07 quantization):
             # exact and order-free where a float accumulator would
             # drift with arrival order.
-            n, total_u = (
-                self._state.get() if self._state.exists() else (0, 0)
-            )
+            # One state round-trip, not two: every state call is a
+            # synchronous proto message to the JVM state server, and
+            # get() already answers "absent" with None — exists()+get()
+            # would double the per-key protocol cost.
+            cur = self._state.get()
+            n, total_u = cur if cur is not None else (0, 0)
             for pdf in rows:
                 n += len(pdf)
                 total_u += int(

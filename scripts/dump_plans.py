@@ -72,9 +72,11 @@ HEADLINERS = {
         "exact-once bin condition replaces a distinct pass."
     ),
     "x04d_minhash_native": (
-        "Native MinHash: one groupBy computes all 16 signature minima; "
-        "banding buckets expand candidate pairs map-side; similarity "
-        "estimated from signature agreement. Pure JVM expressions."
+        "Native MinHash: one groupBy computes all 64 signature minima "
+        "(universal hashes (a_i*w+b_i) mod 2^31-1 — per-component "
+        "independent minimizers, the r4 precision fix); 16 banding "
+        "buckets expand candidate pairs map-side; similarity estimated "
+        "from signature agreement. Pure JVM expressions."
     ),
     "x22_tfidf": (
         "TF-IDF: the corpus shuffles once on (doc, token); the "

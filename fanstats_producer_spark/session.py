@@ -87,6 +87,14 @@ def get_spark(
         # Catalyst/AQE: runtime re-planning at shuffle boundaries.
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst stays at its default (true).  Measured both
+        # ways on the full 160-key bench: false trims ~0.1-0.15 s off
+        # each floor-bound key (q00 median 0.66 -> 0.50 s) but coalesces
+        # the compute-dense/small-byte dedup stages onto 1-2 tasks —
+        # x04/x04e/x45/x52 each regress +1.7 s because AQE's 64 MiB
+        # advisory sizing cannot see compute density, only bytes.  Net
+        # ~+10 s. The default is the right call here AND at 100 TB,
+        # where those stages carry real bytes too.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Deterministic cross-engine timestamp semantics (DuckDB oracle

@@ -137,7 +137,7 @@ def main() -> None:
         "s01_stream_ingest", "s05_watermark", "s07_stateful",
         "s08_stream_join", "s09_upsert_state", "s11_content_dedup",
         "s04b_session_stream", "s12_stream_corpus", "s15_rocksdb_state",
-        "s10_tws_stateful", "s16_append_window",
+        "s10_tws_stateful", "s10b_tws_timers", "s16_append_window",
     }
     timings: dict[str, float] = {}
     retimed: list[str] = []

@@ -366,6 +366,55 @@ def s10_tws_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s10b_tws_timers",
+    oracle="""
+    WITH wm AS (SELECT epoch_ms(max(ts)) - 600000 AS w FROM events),
+    per_user AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
+      FROM events GROUP BY 1)
+    SELECT user_id, n_events, first_ms, last_ms
+    FROM per_user, wm
+    WHERE last_ms + 1800000 < wm.w
+    """,
+)
+def s10b_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s10b: transformWithStateInPandas EVENT-TIME TIMERS + ListState —
+    per-user inactivity close-out.  Each user's events accumulate in a
+    ListState; one event-time timer re-arms at last_event + 30 min, and
+    the user's activity row emits only when the WATERMARK passes the
+    deadline (the state store's timer queue drives emission, not data
+    arrival).  The fixture drains in one data batch, so all timers fire
+    on the trailing no-data tick with watermark = max(ts) - 10 min —
+    this drain therefore runs WITHOUT _skip_nodata_batch (the s16
+    rule).  Users still active within 40 min of stream end stay open
+    and are deliberately absent, which the oracle states exactly."""
+    from fanstats_producer_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf; install "
+            "protobuf or provide the Cloud SDK vendored runtime "
+            "(see fanstats_producer_spark/compat.py)"
+        )
+    name = f"s10b_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir)
+    closed = jobs.user_session_close_tws(
+        stream, gap_seconds=1800, watermark="10 minutes"
+    )
+    with _few_partitions(spark, 2), _rocksdb_state(spark):
+        q = (
+            closed.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    return spark.table(name)
+
+
+@query(
     "s11_content_dedup",
     oracle="""
     SELECT COUNT(*) AS n_input,

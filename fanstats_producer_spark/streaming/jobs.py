@@ -337,6 +337,94 @@ def user_value_stats_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def user_session_close_tws(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """s10b: typed-state sessionization with EVENT-TIME TIMERS and
+    ListState — the two transformWithStateInPandas capabilities that
+    applyInPandasWithState has no analogue for (s07/s04b emulate
+    session close via GroupStateTimeout or session_window; here the
+    state store itself schedules the close).
+
+    Per user: every arriving event appends its event-time to a
+    ListState and re-arms one event-time timer at last_event + gap.
+    When the WATERMARK passes the timer, handleExpiredTimer emits the
+    closed session (n_events, first/last event time) and clears state —
+    one output row per closed session, exactly once, driven by the
+    state store's timer queue rather than by data arrival.  Sessions
+    still open when the stream drains are deliberately NOT emitted
+    (same append-mode contract as s16).
+
+    State posture at 100 TB: ListState values and the timer queue live
+    in the RocksDB state store per partition — nothing is held in
+    executor memory across batches, unlike applyInPandasWithState's
+    in-memory GroupState.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_ms = gap_seconds * 1000
+
+    class SessionCloser(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._evts = handle.getListState("evts", "ts_ms long")
+            # one armed timer per key (registerTimer accumulates, so the
+            # previous deadline must be explicitly deleted on re-arm)
+            self._deadline = handle.getValueState("deadline", "ts_ms long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            last_ms = None
+            for pdf in rows:
+                ts_ms = pdf["ts"].astype("int64") // 1_000_000
+                self._evts.appendList([(int(v),) for v in ts_ms])
+                m = int(ts_ms.max())
+                last_ms = m if last_ms is None else max(last_ms, m)
+            if last_ms is not None:
+                prev = self._deadline.get()
+                new_deadline = last_ms + gap_ms
+                if prev is None or prev[0] != new_deadline:
+                    if prev is not None:
+                        self._handle.deleteTimer(prev[0])
+                    self._handle.registerTimer(new_deadline)
+                    self._deadline.update((new_deadline,))
+            return iter([])  # sessions emit on timer expiry only
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            ts = sorted(v[0] for v in self._evts.get())
+            self._evts.clear()
+            self._deadline.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [len(ts)],
+                    "first_ms": [ts[0]],
+                    "last_ms": [ts[-1]],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionCloser(),
+            outputStructType=(
+                "user_id long, n_events long, first_ms long, last_ms long"
+            ),
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 DOCUMENT_SCHEMA = "doc_id long, ts timestamp, text string, lang string"
 
 

@@ -470,3 +470,40 @@ def test_append_window_emits_on_watermark_and_evicts(spark, landing):
     }, f"append emissions wrong: {out}"
     # eviction witness: the open 13:00 window emitted nothing
     assert not any(h == "13:00" for h, _ in out)
+
+
+def test_tws_event_time_timers_close_sessions(spark, landing):
+    """s10b: event-time timers + ListState — sessions close when the
+    WATERMARK passes last_event + gap, not when data arrives; open
+    sessions are withheld."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    from fanstats_producer_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no google.protobuf and no vendored runtime to alias")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    _write_batch(landing, "b1.json", [
+        _event(1, "2024-01-01T10:00:00Z", user=7),
+        _event(2, "2024-01-01T10:10:00Z", user=7),
+        _event(3, "2024-01-01T10:05:00Z", user=8),
+    ])
+    # batch 2 pushes the watermark past both deadlines (10:40 / 10:35):
+    # wm after b2's no-data tick = 13:00 - 10 min = 12:50
+    _write_batch(landing, "b2.json", [
+        _event(4, "2024-01-01T13:00:00Z", user=9),
+    ])
+    stream = jobs.read_event_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark,
+        jobs.user_session_close_tws(stream, gap_seconds=1800, watermark="10 minutes"),
+        "s10b_test",
+        "append",
+    )
+    rows = {r.user_id: (r.n_events, r.first_ms, r.last_ms) for r in got.collect()}
+    t0 = 1704103200000  # 2024-01-01T10:00:00Z in ms
+    assert rows.get(7) == (2, t0, t0 + 600_000)
+    assert rows.get(8) == (1, t0 + 300_000, t0 + 300_000)
+    assert 9 not in rows  # session still open at drain end

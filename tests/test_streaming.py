@@ -507,3 +507,180 @@ def test_tws_event_time_timers_close_sessions(spark, landing):
     assert rows.get(7) == (2, t0, t0 + 600_000)
     assert rows.get(8) == (1, t0 + 300_000, t0 + 300_000)
     assert 9 not in rows  # session still open at drain end
+
+
+def _tws_ready(spark):
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    from fanstats_producer_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no google.protobuf and no vendored runtime to alias")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+
+def test_tws_map_state_per_type_counts(spark, landing):
+    """s10 family: MapState — per-user map of event_type -> count
+    maintained across micro-batches in the state store."""
+    _tws_ready(spark)
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class TypeCounts(StatefulProcessor):
+        def init(self, handle):
+            self._m = handle.getMapState("counts", "etype string", "n long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            for pdf in rows:
+                for et, n in pdf.groupby("event_type").size().items():
+                    cur = self._m.getValue((et,))
+                    self._m.updateValue((et,), ((cur[0] if cur else 0) + int(n),))
+            items = [(k[0], v[0]) for k, v in self._m.iterator()]
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(items),
+                    "event_type": [i[0] for i in items],
+                    "n": [i[1] for i in items],
+                }
+            )
+
+        def close(self):
+            pass
+
+    _write_batch(landing, "b1.json", [
+        _event(1, "2024-01-01T10:00:00Z", user=7, etype="click"),
+        _event(2, "2024-01-01T10:01:00Z", user=7, etype="view"),
+    ])
+    _write_batch(landing, "b2.json", [
+        _event(3, "2024-01-01T10:02:00Z", user=7, etype="click"),
+    ])
+    stream = jobs.read_event_stream(spark, str(landing), max_files_per_trigger=1)
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=TypeCounts(),
+        outputStructType="user_id long, event_type string, n long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    got = _run_to_memory(spark, out, "s10map_test", "update")
+    final = {}
+    for r in got.collect():  # update mode: later emissions win
+        final[(r.user_id, r.event_type)] = max(
+            r.n, final.get((r.user_id, r.event_type), 0)
+        )
+    assert final == {(7, "click"): 2, (7, "view"): 1}
+
+
+def test_tws_value_state_ttl_expires(spark, landing, tmp_path):
+    """s10 family: ttlDurationMs — a state value older than the TTL is
+    not returned, so the second micro-batch (3.5 s later, TTL 1.5 s)
+    restarts its count; the control arm without TTL accumulates across
+    the same wall-clock gap."""
+    _tws_ready(spark)
+    import time as _time
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    def counter(ttl_ms):
+        class Counter(StatefulProcessor):
+            def init(self, handle):
+                self._n = handle.getValueState("n", "n long", ttlDurationMs=ttl_ms)
+
+            def handleInputRows(self, key, rows, timerValues):
+                cur = self._n.get()
+                n = (cur[0] if cur else 0) + sum(len(p) for p in rows)
+                self._n.update((n,))
+                yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+            def close(self):
+                pass
+
+        return Counter()
+
+    def two_batches_3s_apart(ttl_ms, subdir, name):
+        d = landing / subdir
+        d.mkdir()
+        _write_batch(d, "b1.json", [_event(1, "2024-01-01T10:00:00Z", user=7)])
+        stream = jobs.read_event_stream(spark, str(d))
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=counter(ttl_ms),
+            outputStructType="user_id long, n long",
+            outputMode="Update",
+            # TTL is wall-clock: Spark requires ProcessingTime mode
+            timeMode="ProcessingTime",
+        )
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(processingTime="1 second").start()
+        )
+        try:
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                if spark.sql(f"SELECT * FROM {name}").count() >= 1:
+                    break
+                _time.sleep(0.3)
+            _time.sleep(3.5)  # let the 1.5s TTL lapse between batches
+            _write_batch(d, "b2.json", [_event(2, "2024-01-01T10:01:00Z", user=7)])
+            deadline = _time.time() + 60
+            while _time.time() < deadline:
+                if spark.sql(f"SELECT * FROM {name}").count() >= 2:
+                    break
+                _time.sleep(0.3)
+        finally:
+            q.stop()
+        return sorted(r.n for r in spark.sql(f"SELECT * FROM {name}").collect())
+
+    assert two_batches_3s_apart(1500, "ttl", "s10ttl_a") == [1, 1]  # expired
+    assert two_batches_3s_apart(None, "nottl", "s10ttl_b") == [1, 2]  # control
+
+
+def test_tws_initial_state_warm_start(spark, landing):
+    """s10 family: initialState — per-key state bootstrapped from a
+    batch DataFrame (the x55 history-index pattern for typed state);
+    batch-1 counts continue from the seeded values."""
+    _tws_ready(spark)
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class SeededCounter(StatefulProcessor):
+        def init(self, handle):
+            self._n = handle.getValueState("n", "n long")
+
+        def handleInitialState(self, key, initialState, timerValues):
+            self._n.update((int(initialState["seed"].iloc[0]),))
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._n.get()
+            n = (cur[0] if cur else 0) + sum(len(p) for p in rows)
+            self._n.update((n,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+        def close(self):
+            pass
+
+    _write_batch(landing, "b1.json", [
+        _event(1, "2024-01-01T10:00:00Z", user=7),
+        _event(2, "2024-01-01T10:01:00Z", user=8),
+    ])
+    init_df = spark.createDataFrame(
+        [(7, 100), (9, 5)], "user_id long, seed long"
+    ).groupBy("user_id")
+    stream = jobs.read_event_stream(spark, str(landing))
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SeededCounter(),
+        outputStructType="user_id long, n long",
+        outputMode="Update",
+        timeMode="None",
+        initialState=init_df,
+    )
+    got = _run_to_memory(spark, out, "s10init_test", "update")
+    rows = {r.user_id: r.n for r in got.collect()}
+    assert rows[7] == 101  # seeded 100 + 1 arriving event
+    assert rows[8] == 1    # unseeded key starts at 0

@@ -380,3 +380,174 @@ def x50_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         qint(F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall_e6"),
     )
+
+
+# --- x56: product-quantization ANN (ADC scan over 8x compressed codes) ----------
+# The memory-compression half of a production ANN stack (IVF prunes the
+# scan, PQ shrinks the residency): each 64-dim float vector is encoded
+# as m=8 one-byte codes — one per 8-dim subspace — against a per-
+# subspace codebook, and query-time distance is the Asymmetric Distance
+# Computation: a per-query lookup table of (subspace, centroid) partial
+# distances, summed per candidate via its codes.  At 100 TB this is the
+# difference between 256 GB of raw float32 per billion vectors and
+# 8 GB of codes resident next to the inverted lists.
+#
+# Determinism (the oracle contract): the codebook is NOT a k-means fit
+# (k-means would need its own unrolled SQL mirror) — it is the first
+# _PQ_K vectors of the corpus, sliced per subspace.  Every distance is
+# an EXPLICIT 8-term left-associated chain of (a-b)*(a-b) doubles
+# (identical IEEE evaluation order on both engines — no fold, no
+# reassociation) quantized to 1e-9 units BEFORE any argmin/sum, so
+# codes, lookup tables, and ADC sums are integer-exact cross-engine.
+# The mechanics (encode -> LUT -> code-indexed sum -> top-k) are
+# exactly real PQ; only the trainer is simplified.
+_PQ_M = 8          # subspaces
+_PQ_DSUB = 8       # dims per subspace (64-dim fixture embeddings)
+_PQ_K = 16         # centroids per subspace
+_PQ_QUERIES = 3    # probe queries: vec_id in [_PQ_K, _PQ_K + _PQ_QUERIES)
+_PQ_TOPK = 5
+
+
+def _chain_dist2(a: str, b: str, base_a: int, base_b: int) -> str:
+    """Explicit left-associated 8-term squared-L2 chain (Spark SQL,
+    0-indexed arrays): identical evaluation order on any engine."""
+    terms = [
+        f"(({a}[{base_a + i}]-{b}[{base_b + i}])*({a}[{base_a + i}]-{b}[{base_b + i}]))"
+        for i in range(_PQ_DSUB)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """(vec_id, j, code): per-subspace nearest-codebook-entry codes.
+    Codebook rows ride in via broadcast; argmin is over integer-
+    quantized distances with centroid-id tie-break."""
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    seeds = (
+        v.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    sub = v.crossJoin(F.broadcast(seeds))
+    dists = sub.select(
+        "vec_id",
+        "cid",
+        *[
+            F.expr(
+                f"CAST(floor({_chain_dist2('v', 'cv', j * _PQ_DSUB, j * _PQ_DSUB)}"
+                f" * 1e9 + 0.5) AS BIGINT)"
+            ).alias(f"d{j}")
+            for j in range(_PQ_M)
+        ],
+    )
+    per_sub = dists.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"d{j}").alias("d"),
+                        F.col("cid").alias("cid"),
+                    )
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("vec_id", "e.j", "e.d", "e.cid")
+    return per_sub.groupBy("vec_id", "j").agg(
+        F.min(F.struct("d", "cid")).alias("best")
+    ).select("vec_id", "j", F.col("best.cid").alias("code"))
+
+
+@query(
+    "x56_pq_ann",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < {_PQ_K}),
+    dists AS (
+      SELECT v.vec_id, s.cid, t.j,
+             CAST(floor((
+               {" + ".join("((v.v[1 + t.j * 8 + %d] - s.cv[1 + t.j * 8 + %d]) * (v.v[1 + t.j * 8 + %d] - s.cv[1 + t.j * 8 + %d]))" % (i, i, i, i) for i in range(8))}
+             ) * 1e9 + 0.5) AS BIGINT) AS d
+      FROM v CROSS JOIN seeds s CROSS JOIN range({_PQ_M}) AS t(j)),
+    codes AS (
+      SELECT vec_id, j, arg_min(cid, d * {_PQ_K} + cid) AS code
+      FROM dists GROUP BY 1, 2),
+    luts AS (
+      SELECT vec_id AS query_id, cid, j, d
+      FROM dists
+      WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + _PQ_QUERIES}),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.d) AS adc_e9
+      FROM codes c JOIN luts l ON l.j = c.j AND l.cid = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT query_id, neighbor_id, CAST(adc_e9 AS BIGINT) AS adc_e9,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_e9, neighbor_id) AS rnk
+      FROM adc)
+    SELECT query_id, neighbor_id, adc_e9, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_PQ_TOPK}
+    """,
+)
+def x56_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} ADC neighbors per probe query over PQ-encoded vectors.
+
+    Plan shape: codes are computed once per corpus vector (the
+    crossJoin against the 16-row broadcast codebook never shuffles the
+    corpus); the per-query LUT is {m}x{k} integer partials joined onto
+    the code table by (subspace, code) — again broadcastable — and the
+    ADC sum + per-query top-k ride one partial aggregation.  At scale
+    the code table is the thing that persists (8 B/vector) and this
+    query is a scan over IT, not over the raw embeddings.""".format(
+        k=_PQ_TOPK, m=_PQ_M, kc=_PQ_K
+    )
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    codes = pq_encode(emb)
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    queries = v.filter(
+        (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + _PQ_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    seeds = v.filter(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    lut = queries.crossJoin(F.broadcast(seeds)).select(
+        "query_id",
+        "cid",
+        *[
+            F.expr(
+                f"CAST(floor({_chain_dist2('qv', 'cv', j * _PQ_DSUB, j * _PQ_DSUB)}"
+                f" * 1e9 + 0.5) AS BIGINT)"
+            ).alias(f"d{j}")
+            for j in range(_PQ_M)
+        ],
+    )
+    lut_long = lut.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"d{j}").alias("d"),
+                        F.col("cid").alias("cid"),
+                    )
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("query_id", "e.j", "e.d", "e.cid")
+    adc = (
+        codes.join(
+            F.broadcast(lut_long),
+            (lut_long.j == codes.j) & (lut_long.cid == codes.code),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("long").alias("adc_e9"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_e9", "neighbor_id")
+    return adc.select(
+        "query_id", "neighbor_id", "adc_e9", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= _PQ_TOPK)

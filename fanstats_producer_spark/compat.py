@@ -64,16 +64,14 @@ def ensure_protobuf(spark=None) -> bool:
     else:
         if _SHIM_DIR not in sys.path:
             sys.path.insert(0, _SHIM_DIR)
-        # Exported so a worker spawned from a FUTURE session inherits it
-        # even without addPyFile (harmless if unused).
-        pp = os.environ.get("PYTHONPATH", "")
-        if _SHIM_DIR not in pp.split(os.pathsep):
-            os.environ["PYTHONPATH"] = (
-                _SHIM_DIR + (os.pathsep + pp if pp else "")
-            )
         if not _protobuf_importable():
+            # Leave os.environ untouched on failure — nothing to alias.
             return False
         shimmed = True
+        # NOTE: worker delivery is scoped to sc.environment/addPyFile
+        # below; we deliberately do NOT export into os.environ, so a
+        # child process that has a real protobuf in site-packages never
+        # resolves the shim first (PYTHONPATH precedes site-packages).
     if shimmed and spark is not None:
         sc = spark.sparkContext
         # Worker-side delivery, two channels:

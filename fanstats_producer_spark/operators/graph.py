@@ -101,10 +101,6 @@ def pagerank_ranks(
 
     Both paths run the same integer arithmetic, so ranks are
     bit-identical (asserted in tests with a forced threshold=0)."""
-    # |nodes| rows — checkpoint it so the size probe and the rank-vector
-    # init are one computation (a limit(k).count() probe would funnel
-    # deg through a single-partition GlobalLimit; a full distributed
-    # count over the checkpoint is cheaper).
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     if broadcast_threshold is None:
         # caller asserts the vector fits (no probe job)

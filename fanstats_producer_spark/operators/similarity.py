@@ -492,17 +492,16 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     """,
 )
 def x56_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} ADC neighbors per probe query over PQ-encoded vectors.
+    """Top-5 ADC neighbors per probe query over PQ-encoded vectors.
 
     Plan shape: codes are computed once per corpus vector (the
     crossJoin against the 16-row broadcast codebook never shuffles the
-    corpus); the per-query LUT is {m}x{k} integer partials joined onto
-    the code table by (subspace, code) — again broadcastable — and the
-    ADC sum + per-query top-k ride one partial aggregation.  At scale
-    the code table is the thing that persists (8 B/vector) and this
-    query is a scan over IT, not over the raw embeddings.""".format(
-        k=_PQ_TOPK, m=_PQ_M, kc=_PQ_K
-    )
+    corpus); the per-query LUT is 4x16 (subspaces x codebook) integer
+    partials joined onto the code table by (subspace, code) — again
+    broadcastable — and the ADC sum + per-query top-k ride one partial
+    aggregation.  At scale the code table is the thing that persists
+    (8 B/vector) and this query is a scan over IT, not over the raw
+    embeddings.  (Constants: _PQ_TOPK/_PQ_M/_PQ_K above.)"""
     emb = spread(load(spark, sf_dir, "embeddings"))
     codes = pq_encode(emb)
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))

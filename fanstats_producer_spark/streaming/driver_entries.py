@@ -375,7 +375,7 @@ def s10_tws_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY 1)
     SELECT user_id, n_events, first_ms, last_ms
     FROM per_user, wm
-    WHERE last_ms + 1800000 < wm.w
+    WHERE last_ms + 1800000 <= wm.w
     """,
 )
 def s10b_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -397,6 +397,12 @@ def user_session_close_tws(
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             ts = sorted(v[0] for v in self._evts.get())
+            if not ts:
+                # stale timer for an already-cleared key (e.g. a
+                # deleteTimer that didn't take effect) — emit nothing
+                # rather than IndexError-ing the whole drain
+                self._deadline.clear()
+                return
             self._evts.clear()
             self._deadline.clear()
             yield pd.DataFrame(

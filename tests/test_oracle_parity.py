@@ -56,11 +56,8 @@ def test_oracle_parity(key, spark, duck):
     assert s_rows == d_rows
 
 
-@pytest.mark.parametrize("key", sorted(set(registry.QUERIES) - set(registry.ORACLE)))
-def test_rows_only_queries_run(key, spark):
-    """Non-SQL-expressible ops still must execute and return a stable schema."""
-    sdf = registry.QUERIES[key](spark, SF_DIR)
-    _assert_scalar_schema(key, sdf)
-    rows = sdf.collect()
-    assert rows is not None
-    assert len(sdf.columns) > 0
+def test_every_query_has_an_oracle():
+    """All registered keys are oracle-checked — the rows-only fallback
+    path is unused (were a non-SQL-expressible key ever added, give it
+    a dedicated execution test rather than a parametrized skip)."""
+    assert set(registry.QUERIES) == set(registry.ORACLE)

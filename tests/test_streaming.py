@@ -509,6 +509,41 @@ def test_tws_event_time_timers_close_sessions(spark, landing):
     assert 9 not in rows  # session still open at drain end
 
 
+def test_tws_timer_boundary_at_exact_watermark(spark, landing):
+    """Pins Spark's timer-expiry boundary for the s10b oracle: a timer
+    whose deadline equals the watermark EXACTLY *does* fire (inclusive
+    `deadline <= watermark` — measured, not assumed), matching the
+    oracle's `last_ms + gap <= wm` predicate in driver_entries.py.
+
+    Fixture: watermark after the drain is 13:00 - 10 min = 12:50.
+    - user 7: last event 12:20:00 exactly → deadline 12:50:00 == wm
+      (the tie — fires under inclusive <=)
+    - user 8: last event 12:19:59 → deadline 12:49:59 < wm (fires)
+    """
+    _tws_ready(spark)
+    _write_batch(landing, "b1.json", [
+        _event(1, "2024-01-01T12:20:00Z", user=7),
+        _event(2, "2024-01-01T12:19:59Z", user=8),
+    ])
+    _write_batch(landing, "b2.json", [
+        _event(3, "2024-01-01T13:00:00Z", user=9),
+    ])
+    stream = jobs.read_event_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark,
+        jobs.user_session_close_tws(stream, gap_seconds=1800, watermark="10 minutes"),
+        "s10b_boundary_test",
+        "append",
+    )
+    closed = {r.user_id for r in got.collect()}
+    assert 8 in closed, "deadline strictly below the watermark must fire"
+    assert 7 in closed, (
+        "deadline == watermark did NOT fire: Spark uses strict < — flip "
+        "the s10b oracle in streaming/driver_entries.py back to "
+        "last_ms + gap < wm"
+    )
+
+
 def _tws_ready(spark):
     pytest.importorskip("pyspark.sql.streaming.stateful_processor")
     from fanstats_producer_spark.compat import ensure_protobuf

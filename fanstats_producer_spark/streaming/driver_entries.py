@@ -338,11 +338,15 @@ def s10_tws_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s10_mem_{uuid.uuid4().hex[:8]}"
     stream = _read_events_stream(spark, sf_dir)
     totals = jobs.user_value_stats_tws(stream)
-    # TWS requires the RocksDB provider; n=2 per the s15 measurement
-    # (native DB setup per partition per batch only amortizes over real
-    # state).  timeMode="None" → no timer path depends on the trailing
-    # no-data tick, so the skip is output-safe.
-    with _few_partitions(spark, 2), _skip_nodata_batch(spark), _rocksdb_state(
+    # TWS requires the RocksDB provider.  n=8, NOT the s15 n=2: unlike
+    # the JVM-side stateful operators, every TWS state call is a
+    # synchronous per-key proto round-trip through that partition's
+    # state-server socket, so partitions parallelize the PROTOCOL, not
+    # just the rows (measured at sf0.1: n=2 5.5s / n=4 4.5s / n=8 3.7s
+    # / n=16 3.8s — RocksDB per-store setup wins below 8, socket
+    # parallelism above).  timeMode="None" → no timer path depends on
+    # the trailing no-data tick, so the skip is output-safe.
+    with _few_partitions(spark, 8), _skip_nodata_batch(spark), _rocksdb_state(
         spark
     ):
         q = (
@@ -402,7 +406,8 @@ def s10b_tws_timers(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed = jobs.user_session_close_tws(
         stream, gap_seconds=1800, watermark="10 minutes"
     )
-    with _few_partitions(spark, 2), _rocksdb_state(spark):
+    # n=8: socket-parallel TWS protocol (see s10's measurement note).
+    with _few_partitions(spark, 8), _rocksdb_state(spark):
         q = (
             closed.writeStream.format("memory")
             .queryName(name)

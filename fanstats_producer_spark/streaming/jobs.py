@@ -371,12 +371,19 @@ def user_session_close_tws(
     gap_ms = gap_seconds * 1000
 
     class SessionCloser(StatefulProcessor):
+        # Protocol-cost note (every state/timer call is one synchronous
+        # proto round-trip to the JVM state server — the dominant drain
+        # cost at bench SFs, measured in BASELINE.md): instead of the
+        # naive get-deadline / deleteTimer / registerTimer / update /
+        # append (5 RTs per key per batch), we accumulate timers and
+        # detect staleness at EXPIRY from the ListState itself — 2 RTs
+        # per key per data batch (appendList + registerTimer), and a
+        # stale timer costs exactly the listState.get() that a genuine
+        # close needs anyway.
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._handle = handle
             self._evts = handle.getListState("evts", "ts_ms long")
-            # one armed timer per key (registerTimer accumulates, so the
-            # previous deadline must be explicitly deleted on re-arm)
-            self._deadline = handle.getValueState("deadline", "ts_ms long")
 
         def handleInputRows(self, key, rows, timerValues):
             last_ms = None
@@ -386,25 +393,24 @@ def user_session_close_tws(
                 m = int(ts_ms.max())
                 last_ms = m if last_ms is None else max(last_ms, m)
             if last_ms is not None:
-                prev = self._deadline.get()
-                new_deadline = last_ms + gap_ms
-                if prev is None or prev[0] != new_deadline:
-                    if prev is not None:
-                        self._handle.deleteTimer(prev[0])
-                    self._handle.registerTimer(new_deadline)
-                    self._deadline.update((new_deadline,))
+                # Re-arm at this batch's deadline; earlier-armed timers
+                # are NOT deleted — they fire and are recognized as
+                # stale in handleExpiredTimer (cheaper than a
+                # deleteTimer round-trip per batch).
+                self._handle.registerTimer(last_ms + gap_ms)
             return iter([])  # sessions emit on timer expiry only
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             ts = sorted(v[0] for v in self._evts.get())
             if not ts:
-                # stale timer for an already-cleared key (e.g. a
-                # deleteTimer that didn't take effect) — emit nothing
-                # rather than IndexError-ing the whole drain
-                self._deadline.clear()
+                # stale timer for an already-closed key — emit nothing
+                return
+            if expiredTimerInfo.getExpiryTimeInMs() < ts[-1] + gap_ms:
+                # stale timer from a superseded deadline: newer events
+                # arrived after it was armed, so the session is still
+                # open; the newest timer carries the true deadline
                 return
             self._evts.clear()
-            self._deadline.clear()
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],

@@ -5,11 +5,14 @@ Arrow-batched mapInPandas.
 Design: image/audio/video are opaque `binary` columns plus a metadata
 struct (format, n_bytes, ...).  Decode / feature-extraction runs inside
 mapInPandas so each Arrow batch of blobs is handled by one Python worker
-pass — the same shape a real CV/audio stage would use.  The actual codec
-call is stubbed (no media libs in this container): `decode_image` raises
-NotImplementedError and the pipeline substitutes a deterministic fake
-feature set, keeping the Spark-side plumbing (schema, batching,
-partitioning) fully real and testable.
+pass — the same shape a real CV/audio stage would use.  IMAGE decode is
+REAL: `decode_image` is a stdlib-only PNG decoder (chunk walk with CRC
+verification, zlib inflate, all five reverse filters) with a matching
+`encode_png`, exercised end-to-end by the oracle-checked x58 round trip.
+Only VIDEO decode remains stubbed (no ffmpeg in this container):
+`decode_video`/`sample_frames` raise NotImplementedError and their
+pipelines substitute deterministic fakes, keeping the Spark-side
+plumbing (schema, batching, partitioning) fully real and testable.
 
 The fixture has no binary column, so x07 manufactures payloads from
 `documents.text` (UTF-8 bytes) — byte-identical on both engines, which
@@ -31,24 +34,197 @@ from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
 
 
-def decode_image(payload: bytes) -> object:
-    """Real codec goes here (PIL/libvips). Not available in this
-    container — callers must catch and use deterministic fallbacks."""
-    raise NotImplementedError("image codecs not available in this environment")
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (bit depth 8 only; type 3 resolves via PLTE)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels) -> bytes:
+    """Minimal REAL PNG encoder (stdlib only): 8-bit grayscale (H,W) or
+    RGB (H,W,3) numpy array -> non-interlaced PNG.  Row r uses filter
+    r % 5, so a full encode/decode round trip exercises every PNG
+    filter type (None/Sub/Up/Average/Paeth); all filters are computed
+    vectorized (the Paeth predictor is an elementwise min-of-three)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        color_type, h, w = 0, px.shape[0], px.shape[1]
+        rows = px.reshape(h, w)
+    elif px.ndim == 3 and px.shape[2] == 3:
+        color_type, h, w = 2, px.shape[0], px.shape[1]
+        rows = px.reshape(h, w * 3)
+    else:
+        raise ValueError("encode_png supports (H,W) gray or (H,W,3) RGB")
+    bpp = _PNG_CHANNELS[color_type]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(rows.shape[1], dtype=np.int16)
+    for r in range(h):
+        row = rows[r].astype(np.int16)
+        left = np.concatenate((np.zeros(bpp, np.int16), row[:-bpp]))
+        upleft = np.concatenate((np.zeros(bpp, np.int16), prev[:-bpp]))
+        f = r % 5
+        if f == 0:
+            filt = row
+        elif f == 1:
+            filt = row - left
+        elif f == 2:
+            filt = row - prev
+        elif f == 3:
+            filt = row - (left + prev) // 2
+        else:
+            p = left + prev - upleft
+            pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = row - pred
+        raw.append(f)
+        raw.extend((filt % 256).astype(np.uint8).tobytes())
+        prev = row
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_image(payload: bytes):
+    """REAL stdlib-only PNG decoder: signature + chunk walk with CRC
+    verification, zlib inflate of the concatenated IDAT stream, and
+    per-row reverse filtering (all five PNG filter types, correct bpp
+    offsets).  Returns a numpy uint8 array — (H,W) for grayscale,
+    (H,W,C) otherwise; palette (type 3) images resolve through PLTE to
+    RGB.  Supports bit depth 8, color types 0/2/3/4/6, non-interlaced.
+    Adam7-interlaced PNGs and every non-PNG format (JPEG/WebP/...)
+    raise NotImplementedError — callers fall back to deterministic
+    byte-level features, same as before this decoder existed."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(payload)
+    if not b.startswith(_PNG_SIG):
+        raise NotImplementedError("not a PNG; other image codecs unavailable")
+    pos, ihdr, palette, idat = len(_PNG_SIG), None, None, bytearray()
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.extend(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    if depth != 8 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {color_type} not supported"
+        )
+    bpp = _PNG_CHANNELS[color_type]
+    stride = w * bpp
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG IDAT length mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f = raw[r * (stride + 1)]
+        filt = np.frombuffer(
+            raw, np.uint8, stride, r * (stride + 1) + 1
+        ).astype(np.int64)
+        if f == 0:
+            recon = filt
+        elif f == 1:
+            # recon[x] = filt[x] + recon[x-bpp]: per-lane cumulative sum
+            recon = filt.copy()
+            for lane in range(bpp):
+                recon[lane::bpp] = np.cumsum(recon[lane::bpp]) % 256
+        elif f == 2:
+            recon = (filt + prev) % 256
+        elif f == 3:
+            recon = filt.copy()
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                recon[x] = (recon[x] + (a + prev[x]) // 2) % 256
+        elif f == 4:
+            recon = filt.copy()
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + prev[x] - c
+                pa, pb, pc = abs(p - a), abs(p - prev[x]), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = prev[x]
+                else:
+                    pred = c
+                recon[x] = (recon[x] + pred) % 256
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        out[r] = recon.astype(np.uint8)
+        prev = recon
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        return palette[out.reshape(h, w)]
+    if bpp == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, bpp)
 
 
 def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: per-blob features. Tries the real decoder,
-    falls back to deterministic byte-level features (size, digest,
-    leading byte) so the batch shape and schema stay production-real."""
+    """mapInPandas worker: per-blob features.  PNG payloads go through
+    the REAL stdlib decoder and report features of the decoded pixel
+    array (count, digest, first pixel); every other format falls back
+    to deterministic byte-level features — same schema, so the batch
+    shape stays production-real either way."""
     for pdf in batches:
         payloads = pdf["payload"]
         feats = []
         for doc_id, blob in zip(pdf["doc_id"], payloads):
             b = bytes(blob)
             try:
-                decode_image(b)  # pragma: no cover - always raises here
-                raise AssertionError("unreachable in this container")
+                px = decode_image(b)
+                flat = px.reshape(-1)
+                feats.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": int(px.size),
+                        "payload_sha": hashlib.sha256(px.tobytes()).hexdigest(),
+                        "head_byte": int(flat[0]) if px.size else None,
+                    }
+                )
             except NotImplementedError:
                 feats.append(
                     {
@@ -89,6 +265,80 @@ def x07_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         extract_features,
         schema="doc_id long, n_bytes long, payload_sha string, head_byte int",
+    )
+
+
+_PNG_W = 32  # x58 image width: each document renders as a 32-px-wide strip
+
+
+def png_roundtrip_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for x58: render each document's UTF-8 bytes
+    as an 8-bit grayscale image (width _PNG_W, space-padded final row),
+    ENCODE it to a real PNG (encode_png — filters rotate through all
+    five types), then DECODE it back with the real decoder and emit
+    features of the decoded pixels.  The pixel digest equals the digest
+    of the padded source bytes iff inflate + unfiltering reconstructed
+    every row exactly — which is what the DuckDB oracle asserts from
+    the text side."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(blob)
+            h = max(1, -(-len(b) // _PNG_W))
+            padded = b + b" " * (h * _PNG_W - len(b))
+            img = np.frombuffer(padded, np.uint8).reshape(h, _PNG_W)
+            px = decode_image(encode_png(img))
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "width": int(px.shape[1]),
+                    "height": int(px.shape[0]),
+                    "n_px": int(px.size),
+                    "pixel_sha": hashlib.sha256(px.tobytes()).hexdigest(),
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "n_px", "pixel_sha"]
+        )
+
+
+@query(
+    "x58_png_decode",
+    oracle=f"""
+    SELECT doc_id,
+           {_PNG_W} AS width,
+           CAST(greatest(1, ceil(octet_length(encode(text)) / {_PNG_W}.0))
+                AS INT) AS height,
+           CAST({_PNG_W} * greatest(1, ceil(octet_length(encode(text))
+                / {_PNG_W}.0)) AS BIGINT) AS n_px,
+           sha256(rpad(text,
+                       CAST({_PNG_W} * greatest(1,
+                            ceil(octet_length(encode(text)) / {_PNG_W}.0))
+                            AS INT), ' ')) AS pixel_sha
+    FROM documents
+    """,
+)
+def x58_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x58: REAL image decode in the multimodal path — documents render
+    to genuine PNGs (stdlib encoder, all five filter types) and the
+    stdlib decoder (CRC walk + inflate + reverse filtering) recovers
+    the pixel matrix; the oracle recomputes the pixel digest straight
+    from the text (fixture text is ASCII, so rpad's char padding is
+    byte padding).  Decode runs inside mapInPandas, so at 100 TB the
+    codec work distributes across executors with zero shuffle — the
+    fallback-only video stub remains the one fake left in the repo."""
+    from fanstats_producer_spark.io import spread
+
+    payloads = with_payload(
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+    ).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        png_roundtrip_features,
+        schema="doc_id long, width int, height int, n_px long, pixel_sha string",
     )
 
 

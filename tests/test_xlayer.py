@@ -165,6 +165,85 @@ def test_multimodal_payload_roundtrip(spark):
     assert out.head_byte == ord("h")
 
 
+def test_png_codec_roundtrip_all_filters():
+    """The stdlib PNG codec is real: every filter type (encode_png uses
+    r % 5) reverses exactly for gray and RGB; palette images resolve
+    through PLTE; CRC corruption and Adam7 are rejected."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fanstats_producer_spark.operators.multimodal import (
+        _png_chunk,
+        decode_image,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (12, 11)).astype(np.uint8)  # >=5 rows: all filters
+    assert (decode_image(encode_png(gray)) == gray).all()
+    rgb = rng.randint(0, 256, (9, 13, 3)).astype(np.uint8)
+    assert (decode_image(encode_png(rgb)) == rgb).all()
+    # palette (color type 3): hand-built, filter 0 rows
+    plte = bytes(range(30))  # 10 RGB entries
+    idx = np.array([[0, 9, 3], [7, 1, 2]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + r.tobytes() for r in idx)
+    ihdr = struct.pack(">IIBBBBB", 3, 2, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", plte)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    px = decode_image(png)
+    assert px.shape == (2, 3, 3)
+    assert (px == np.frombuffer(plte, np.uint8).reshape(10, 3)[idx]).all()
+    # CRC corruption -> ValueError
+    bad = bytearray(encode_png(gray))
+    bad[40] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_image(bytes(bad))
+    # Adam7 -> NotImplementedError
+    ihdr_i = struct.pack(">IIBBBBB", 3, 2, 8, 0, 0, 0, 1)
+    png_i = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr_i)
+        + _png_chunk(b"IDAT", zlib.compress(b"\x00abc\x00def"))
+        + _png_chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_image(png_i)
+    # non-PNG -> NotImplementedError (the fallback contract)
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xffjpeg")
+
+
+def test_extract_features_decodes_real_png(spark):
+    """x07's worker reports DECODED-PIXEL features for PNG payloads
+    (count/digest/first pixel of the pixel array, not the file bytes)."""
+    import hashlib
+
+    import numpy as np
+
+    from fanstats_producer_spark.operators.multimodal import encode_png
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    png = encode_png(img)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    out = df.mapInPandas(
+        extract_features,
+        schema="doc_id long, n_bytes long, payload_sha string, head_byte int",
+    ).collect()[0]
+    assert out.n_bytes == 64  # pixels, not PNG file size
+    assert out.payload_sha == hashlib.sha256(img.tobytes()).hexdigest()
+    assert out.head_byte == 0
+
+
 def test_binary_metadata_struct(spark):
     docs = spark.createDataFrame([(1, "abc", "en")], "doc_id long, text string, lang string")
     row = with_payload(docs).collect()[0]

@@ -924,7 +924,10 @@ def _x47_oracle() -> str:
 
 
 def edit_verified_pairs(
-    docs: DataFrame, rel_num: int = 2, rel_den: int = 5
+    docs: DataFrame,
+    rel_num: int = 2,
+    rel_den: int = 5,
+    cands: DataFrame | None = None,
 ) -> DataFrame:
     """Confirmed near-dups: x04d's banded-MinHash candidates whose exact
     relative edit distance is <= rel_num/rel_den (integer-compare filter
@@ -940,7 +943,12 @@ def edit_verified_pairs(
     sank the O(len²) DP into ONE task (measured 11-19 s vs ~2 s)."""
     from fanstats_producer_spark.io import spread
 
-    cands = spread(minhash_native_pairs(docs), "id_a")
+    # cands: pass an already-materialized candidate list to avoid
+    # re-running the banding (x60 measures banded AND verified sets —
+    # one banding pass, checkpointed, feeds both).
+    cands = spread(
+        minhash_native_pairs(docs) if cands is None else cands, "id_a"
+    )
     texts = docs.select("doc_id", "text")
     a = texts.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("text_a")
@@ -1017,18 +1025,14 @@ def _x52_oracle() -> str:
     """
 
 
-@query("x52_dedup_keep_best", oracle=_x52_oracle())
-def x52_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per duplicate cluster: the highest-quality member (by
-    integer ttr score, doc_id tie-break), its score, and the cluster
-    size.  Plan: the cluster map is tiny next to the corpus, so the
-    quality join broadcasts it; the per-cluster argmax is a window over
-    the already-clustered rows."""
+def keep_best(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """The keep policy, factored: one row per duplicate cluster with the
+    highest-quality member (integer ttr score, doc_id tie-break), its
+    score, and the cluster size.  Plan: the cluster map is tiny next to
+    the corpus, so the quality join broadcasts it; the per-cluster
+    argmax is a window over the already-clustered rows."""
     from pyspark.sql import Window
 
-    docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3)
-    clusters = connected_components(pairs)
     toks = F.split("text", " ")
     quality = docs.select(
         "doc_id",
@@ -1048,6 +1052,160 @@ def x52_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rn") == 1, F.col("ttr_e6"))).alias("kept_ttr_e6"),
             F.count("*").alias("n_members"),
         )
+    )
+
+
+@query("x52_dedup_keep_best", oracle=_x52_oracle())
+def x52_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3)
+    return keep_best(docs, connected_components(pairs))
+
+
+# --- x59: the PRODUCTION dedup pipeline with the precision gate wired in --------
+# x04e/x52 cluster on similarity pairs directly; x47 existed as a
+# monitor.  This key is the production composition a 100 TB pipeline
+# actually runs before destructive dedup: banded MinHash proposes
+# (sub-quadratic, high recall) -> exact relative-edit-distance CONFIRMS
+# (the x47 gate, wide levenshtein over the bounded candidate list only)
+# -> connected components over the *verified* pairs -> keep-best-quality
+# representative per cluster.  A false-positive candidate pair that the
+# gate rejects can no longer glue two unrelated clusters together — the
+# failure mode that makes ungated LSH dedup destructive at scale.
+
+
+def _x59_oracle() -> str:
+    x47 = _registry.ORACLE["x47_edit_verify"]
+    return f"""
+    WITH RECURSIVE vp AS (SELECT id_a, id_b FROM ({x47})),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM vp
+      UNION SELECT id_b, id_a FROM vp),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+    cl AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id,
+             CAST(floor(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                        * 1e6 + 0.5) AS BIGINT) AS ttr_e6
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    ranked AS (
+      SELECT cl.cluster_id, cl.doc_id, q.ttr_e6,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY q.ttr_e6 DESC, cl.doc_id) AS rn
+      FROM cl JOIN q USING (doc_id))
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           MIN(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+           MIN(CASE WHEN rn = 1 THEN ttr_e6 END) AS kept_ttr_e6,
+           COUNT(*) AS n_members
+    FROM ranked
+    GROUP BY cluster_id
+    ORDER BY cluster_id
+    """
+
+
+@query("x59_verified_dedup", oracle=_x59_oracle())
+def x59_verified_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision-gated production dedup: banded-MinHash candidates ->
+    x47 edit-distance verify -> connected components over confirmed
+    pairs only -> keep-best representative per cluster.  Every stage is
+    the registered machinery (minhash_native_pairs via
+    edit_verified_pairs, connected_components, keep_best) — this key
+    pins their production composition end to end."""
+    docs = load(spark, sf_dir, "documents")
+    verified = edit_verified_pairs(docs).select("id_a", "id_b")
+    return keep_best(docs, connected_components(verified))
+
+
+# --- x60: what the gate buys (x45-style monitor over BOTH pair sets) ------------
+def _x60_oracle() -> str:
+    x04 = _registry.ORACLE["x04_neardup_jaccard"]
+    x04d = _registry.ORACLE["x04d_minhash_native"]
+    x47 = _registry.ORACLE["x47_edit_verify"]
+    return f"""
+    WITH exact_pairs AS (SELECT id_a, id_b FROM ({x04})),
+    banded AS (SELECT id_a, id_b FROM ({x04d})),
+    verified AS (SELECT id_a, id_b FROM ({x47})),
+    base AS (
+      SELECT COALESCE(e.id_a, b.id_a) AS id_a,
+             COALESCE(e.id_b, b.id_b) AS id_b,
+             (e.id_a IS NOT NULL) AS in_exact,
+             (b.id_a IS NOT NULL) AS in_banded
+      FROM exact_pairs e
+      FULL OUTER JOIN banded b ON e.id_a = b.id_a AND e.id_b = b.id_b),
+    j AS (
+      SELECT base.in_exact, base.in_banded,
+             (v.id_a IS NOT NULL) AS in_ver
+      FROM base LEFT JOIN verified v
+        ON base.id_a = v.id_a AND base.id_b = v.id_b)
+    SELECT COUNT(*) FILTER (WHERE in_banded) AS n_banded,
+           COUNT(*) FILTER (WHERE in_ver) AS n_verified,
+           CAST(floor(CAST(COUNT(*) FILTER (WHERE in_exact AND in_banded) AS DOUBLE)
+                / greatest(COUNT(*) FILTER (WHERE in_banded), 1) * 1e6 + 0.5)
+                AS BIGINT) AS banded_precision_e6,
+           CAST(floor(CAST(COUNT(*) FILTER (WHERE in_exact AND in_ver) AS DOUBLE)
+                / greatest(COUNT(*) FILTER (WHERE in_ver), 1) * 1e6 + 0.5)
+                AS BIGINT) AS verified_precision_e6,
+           CAST(floor(CAST(COUNT(*) FILTER (WHERE in_exact AND in_banded) AS DOUBLE)
+                / greatest(COUNT(*) FILTER (WHERE in_exact), 1) * 1e6 + 0.5)
+                AS BIGINT) AS banded_recall_e6,
+           CAST(floor(CAST(COUNT(*) FILTER (WHERE in_exact AND in_ver) AS DOUBLE)
+                / greatest(COUNT(*) FILTER (WHERE in_exact), 1) * 1e6 + 0.5)
+                AS BIGINT) AS verified_recall_e6
+    FROM j
+    """
+
+
+@query("x60_verify_gate_effect", oracle=_x60_oracle())
+def x60_verify_gate_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One monitoring row quantifying the x59 gate: precision/recall of
+    the RAW banded-MinHash pair set and of the edit-verified subset,
+    both against exact-Jaccard ground truth.  The gate can only remove
+    pairs, so verified precision >= banded precision and verified
+    recall <= banded recall — the monitor states the trade a production
+    owner tunes rel_num/rel_den against."""
+    docs = load(spark, sf_dir, "documents")
+    exact = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3).select(
+        "id_a", "id_b", F.lit(True).alias("in_exact")
+    )
+    # one banding pass: the candidate list is tiny (threshold output),
+    # so checkpoint it and feed both the raw-banded flags and the
+    # verify gate from the same materialization
+    cands = minhash_native_pairs(docs).localCheckpoint(eager=True)
+    banded = cands.select("id_a", "id_b", F.lit(True).alias("in_banded"))
+    verified = edit_verified_pairs(docs, cands=cands).select(
+        "id_a", "id_b", F.lit(True).alias("in_ver")
+    )
+    j = (
+        exact.join(banded, ["id_a", "id_b"], "full_outer")
+        .join(verified, ["id_a", "id_b"], "left")
+        .select(
+            F.coalesce("in_exact", F.lit(False)).alias("in_exact"),
+            F.coalesce("in_banded", F.lit(False)).alias("in_banded"),
+            F.coalesce("in_ver", F.lit(False)).alias("in_ver"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    tp_b, n_b = cnt(F.col("in_exact") & F.col("in_banded")), cnt(F.col("in_banded"))
+    tp_v, n_v = cnt(F.col("in_exact") & F.col("in_ver")), cnt(F.col("in_ver"))
+    n_e = cnt(F.col("in_exact"))
+    return j.agg(
+        n_b.alias("n_banded"),
+        n_v.alias("n_verified"),
+        qint(tp_b.cast("double") / F.greatest(n_b, F.lit(1))).alias(
+            "banded_precision_e6"
+        ),
+        qint(tp_v.cast("double") / F.greatest(n_v, F.lit(1))).alias(
+            "verified_precision_e6"
+        ),
+        qint(tp_b.cast("double") / F.greatest(n_e, F.lit(1))).alias(
+            "banded_recall_e6"
+        ),
+        qint(tp_v.cast("double") / F.greatest(n_e, F.lit(1))).alias(
+            "verified_recall_e6"
+        ),
     )
 
 

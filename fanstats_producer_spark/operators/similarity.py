@@ -97,6 +97,34 @@ def x05_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- x05b: IVF-style partition-pruned ANN (rows-only; recall tested in pytest) ---
+def label_centroids(emb: DataFrame) -> DataFrame:
+    """(label, centroid): per-inverted-list centroid as integer-exact
+    dim means.  Each value is floor-quantized to 2^-30 units (pure IEEE
+    ops, identical on every engine/version), summed as plain longs
+    (order-free, exact), and divided back — so any probe argmax over
+    these picks the same list on every engine/partitioning.
+    round(avg(double), 9) was only probabilistically stable: partial-sum
+    order could straddle a 9-dp rounding boundary (ADVICE.md r3)."""
+    dims = emb.select(
+        F.posexplode(_as_double(F.col("embedding"))).alias("i", "x"), "label"
+    )
+    _SC = float(1 << 30)
+    return (
+        dims.groupBy("label", "i")
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * F.lit(_SC) + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / F.count("x")
+                / F.lit(_SC)
+            ).alias("cx")
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
+        .select("label", F.transform("pairs", lambda p: p.cx).alias("centroid"))
+    )
+
+
 def ivf_topk(
     spark: SparkSession,
     emb: DataFrame,
@@ -111,28 +139,7 @@ def ivf_topk(
     Probing = join queries to their `n_probe` nearest centroids, then a
     co-partitioned equi-join on list id — partition pruning, not a scan.
     """
-    dims = emb.select(F.posexplode(_as_double(F.col("embedding"))).alias("i", "x"), "label")
-    # Centroid dims via exact integer sums: each value is floor-quantized
-    # to 2^-30 units (pure IEEE ops, identical on every engine/version),
-    # summed as plain longs (order-free, exact), and divided back — so
-    # the probe argmax picks the same list on every engine/partitioning.
-    # round(avg(double), 9) was only probabilistically stable: partial-sum
-    # order could straddle a 9-dp rounding boundary (ADVICE.md r3).
-    _SC = float(1 << 30)
-    centroids = (
-        dims.groupBy("label", "i")
-        .agg(
-            (
-                F.sum(F.floor(F.col("x") * F.lit(_SC) + F.lit(0.5)).cast("long"))
-                .cast("double")
-                / F.count("x")
-                / F.lit(_SC)
-            ).alias("cx")
-        )
-        .groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("i", "cx"))).alias("pairs"))
-        .select("label", F.transform("pairs", lambda p: p.cx).alias("centroid"))
-    )
+    centroids = label_centroids(emb)
     q2c = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("csim", cosine(F.col("qv"), F.col("centroid")))
@@ -408,23 +415,33 @@ _PQ_QUERIES = 3    # probe queries: vec_id in [_PQ_K, _PQ_K + _PQ_QUERIES)
 _PQ_TOPK = 5
 
 
-def _chain_dist2(a: str, b: str, base_a: int, base_b: int) -> str:
-    """Explicit left-associated 8-term squared-L2 chain (Spark SQL,
+def _chain_dist2(
+    a: str, b: str, base_a: int, base_b: int, n: int = _PQ_DSUB
+) -> str:
+    """Explicit left-associated n-term squared-L2 chain (Spark SQL,
     0-indexed arrays): identical evaluation order on any engine."""
     terms = [
         f"(({a}[{base_a + i}]-{b}[{base_b + i}])*({a}[{base_a + i}]-{b}[{base_b + i}]))"
-        for i in range(_PQ_DSUB)
+        for i in range(n)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
-def pq_encode(emb: DataFrame) -> DataFrame:
+def pq_encode(
+    emb: DataFrame,
+    m: int = _PQ_M,
+    dsub: int = _PQ_DSUB,
+    k: int = _PQ_K,
+    base: int = 0,
+) -> DataFrame:
     """(vec_id, j, code): per-subspace nearest-codebook-entry codes.
-    Codebook rows ride in via broadcast; argmin is over integer-
-    quantized distances with centroid-id tie-break."""
+    Codebook = the k corpus vectors with vec_id in [base, base+k),
+    sliced per subspace (the deterministic simplified trainer — see
+    the x56 block comment); rows ride in via broadcast; argmin is over
+    integer-quantized distances with centroid-id tie-break."""
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     seeds = (
-        v.filter(F.col("vec_id") < _PQ_K)
+        v.filter((F.col("vec_id") >= base) & (F.col("vec_id") < base + k))
         .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
     )
     sub = v.crossJoin(F.broadcast(seeds))
@@ -433,10 +450,10 @@ def pq_encode(emb: DataFrame) -> DataFrame:
         "cid",
         *[
             F.expr(
-                f"CAST(floor({_chain_dist2('v', 'cv', j * _PQ_DSUB, j * _PQ_DSUB)}"
+                f"CAST(floor({_chain_dist2('v', 'cv', j * dsub, j * dsub, dsub)}"
                 f" * 1e9 + 0.5) AS BIGINT)"
             ).alias(f"d{j}")
-            for j in range(_PQ_M)
+            for j in range(m)
         ],
     )
     per_sub = dists.select(
@@ -449,7 +466,7 @@ def pq_encode(emb: DataFrame) -> DataFrame:
                         F.col(f"d{j}").alias("d"),
                         F.col("cid").alias("cid"),
                     )
-                    for j in range(_PQ_M)
+                    for j in range(m)
                 ]
             )
         ).alias("e"),
@@ -550,3 +567,322 @@ def x56_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc.select(
         "query_id", "neighbor_id", "adc_e9", F.row_number().over(w).alias("rnk")
     ).filter(F.col("rnk") <= _PQ_TOPK)
+
+
+# --- x57: the COMPOSED production ANN (IVF routing -> ADC scan -> exact rerank) -
+# x05b (IVF probes) and x56 (PQ/ADC) are the two halves measured alone;
+# a production ANN stack runs them in sequence: the coarse quantizer
+# routes each query to its n_probe nearest inverted lists, the ADC scan
+# ranks ONLY those lists' members by compressed-code distance, and the
+# top `shortlist` survivors get an exact-cosine re-rank over their raw
+# vectors.  At 100 TB: the scan touches n_probe/n_lists of the code
+# table (8 B/vector), raw floats are fetched for `shortlist` ids per
+# query only, and every broadcast here (seeds, probes, LUTs,
+# shortlist) is bounded by query count — the corpus never shuffles.
+#
+# Unlike x05b (which demos routing over the FIXTURE label — measured
+# essentially uncorrelated with cosine geometry: true top-5 neighbors
+# of the probe queries spread across all 10 labels), the composed arm
+# builds a GEOMETRY-FAITHFUL coarse quantizer: every vector is assigned
+# to its nearest routing seed by quantized cosine (deterministic
+# one-assignment-step k-means with fixed-id seed init — the same
+# simplified-trainer contract as the PQ codebook).  Routing quality is
+# what x57b then measures.
+# Parameters tuned against the fixture's measured geometry (numpy
+# study, BASELINE.md): true top-5 cosine sims sit at 0.34-0.45 against
+# a ~0.29 p99 bulk — barely-separated neighbors, the hard regime for
+# any ANN.  The x56 defaults (m=8 subspaces, 16-entry codebook,
+# shortlist 20) recall only ~0.07 here; m=16 4-dim subspaces with a
+# 32-entry codebook, 5 probed lists of 10, and a 100-deep ADC
+# shortlist reach recall@5 = 0.80 with the ADC stage losing NOTHING
+# beyond routing (shortlist recall == route recall).  On real
+# clustered embeddings the same composition runs with far smaller
+# n_probe/shortlist; x57b is the dial.
+_X57_NPROBE = 5
+_X57_SHORTLIST = 100
+_X57_LISTS = 10
+_X57_SEED0 = _PQ_K + _PQ_QUERIES   # routing seeds: vec_id in [19, 29)
+_X57_M = 16                        # finer subspaces than x56 (4 dims each)
+_X57_DSUB = 4
+_X57_K = 32                        # codebook entries per subspace
+_X57_CB0 = _X57_SEED0 + _X57_LISTS  # codebook: vec_id in [29, 61)
+
+_X57_ORACLE = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v
+          WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + _PQ_QUERIES}),
+    rseeds AS (SELECT vec_id AS list_id, v AS sv FROM v
+               WHERE vec_id >= {_X57_SEED0}
+                 AND vec_id < {_X57_SEED0 + _X57_LISTS}),
+    assign AS (
+      SELECT v.vec_id,
+             arg_min(r.list_id,
+                     (1000000 - CAST(floor(list_cosine_similarity(v.v, r.sv)
+                                           * 1e6 + 0.5) AS BIGINT)) * 32
+                     + (r.list_id - {_X57_SEED0})) AS list_id
+      FROM v CROSS JOIN rseeds r
+      GROUP BY 1),
+    probe AS (
+      SELECT query_id, list_id FROM (
+        SELECT q.query_id, r.list_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY CAST(floor(
+                                    list_cosine_similarity(q.qv, r.sv) * 1e6
+                                    + 0.5) AS BIGINT) DESC, r.list_id) AS pr
+        FROM q CROSS JOIN rseeds r)
+      WHERE pr <= {_X57_NPROBE}),
+    seeds AS (SELECT vec_id AS cid, v AS cv FROM v
+              WHERE vec_id >= {_X57_CB0} AND vec_id < {_X57_CB0 + _X57_K}),
+    dists AS (
+      SELECT v.vec_id, s.cid, t.j,
+             CAST(floor((
+               {" + ".join("((v.v[1 + t.j * %d + %d] - s.cv[1 + t.j * %d + %d]) * (v.v[1 + t.j * %d + %d] - s.cv[1 + t.j * %d + %d]))" % (_X57_DSUB, i, _X57_DSUB, i, _X57_DSUB, i, _X57_DSUB, i) for i in range(_X57_DSUB))}
+             ) * 1e9 + 0.5) AS BIGINT) AS d
+      FROM v CROSS JOIN seeds s CROSS JOIN range({_X57_M}) AS t(j)),
+    codes AS (
+      SELECT vec_id, j,
+             arg_min(cid, d * {_X57_K} + (cid - {_X57_CB0})) AS code
+      FROM dists GROUP BY 1, 2),
+    luts AS (
+      SELECT vec_id AS query_id, cid, j, d
+      FROM dists
+      WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + _PQ_QUERIES}),
+    adc AS (
+      SELECT l.query_id, c.vec_id AS neighbor_id, SUM(l.d) AS adc_e9
+      FROM codes c
+      JOIN assign a ON a.vec_id = c.vec_id
+      JOIN probe p ON p.list_id = a.list_id
+      JOIN luts l ON l.query_id = p.query_id AND l.j = c.j AND l.cid = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2),
+    short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_e9, neighbor_id) AS rs
+        FROM adc)
+      WHERE rs <= {_X57_SHORTLIST}),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             CAST(floor(list_cosine_similarity(q.qv, nv.v) * 1e6 + 0.5)
+                  AS BIGINT) AS cos_sim_e6
+      FROM short s
+      JOIN q ON q.query_id = s.query_id
+      JOIN v nv ON nv.vec_id = s.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim_e6,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim_e6 DESC, neighbor_id) AS rnk
+      FROM rer)
+    SELECT query_id, neighbor_id, cos_sim_e6, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= {_PQ_TOPK}
+    """
+
+
+@query("x57_ivfpq_ann", oracle=_X57_ORACLE)
+def x57_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF+PQ ANN: assign every vector to its nearest routing
+    seed (quantized-cosine argmax — a geometry-faithful coarse
+    quantizer, see the block comment), route each probe query to its 3
+    nearest seed lists, ADC-scan only those lists' PQ codes, keep the
+    20 best by compressed distance, then exact-cosine re-rank the
+    shortlist over raw vectors for the final top-5.  Every argmax /
+    ranking stage breaks ties on id over INTEGER-quantized distances,
+    so the composition is value-hash deterministic end to end."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    queries = v.filter(
+        (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + _PQ_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    # 1) route: nearest-seed list assignment for the corpus, then the
+    # top-n_probe seed lists per query — same quantized-cosine metric,
+    # composite-integer argmin so ties break on list id on both engines
+    rseeds = v.filter(
+        (F.col("vec_id") >= _X57_SEED0)
+        & (F.col("vec_id") < _X57_SEED0 + _X57_LISTS)
+    ).select(F.col("vec_id").alias("list_id"), F.col("v").alias("sv"))
+    sim = v.crossJoin(F.broadcast(rseeds)).withColumn(
+        "sim_e6", qint(cosine(F.col("v"), F.col("sv")))
+    )
+    assign = (
+        sim.groupBy("vec_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (
+                        (F.lit(1_000_000) - F.col("sim_e6")) * 32
+                        + (F.col("list_id") - _X57_SEED0)
+                    ).alias("s"),
+                    F.col("list_id").alias("l"),
+                )
+            ).alias("best")
+        )
+        .select("vec_id", F.col("best.l").alias("list_id"))
+    )
+    q2s = queries.crossJoin(F.broadcast(rseeds)).withColumn(
+        "sim_e6", qint(cosine(F.col("qv"), F.col("sv")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("sim_e6").desc(), F.col("list_id")
+    )
+    probes = (
+        q2s.select("query_id", "list_id", F.row_number().over(wq).alias("pr"))
+        .filter(F.col("pr") <= _X57_NPROBE)
+        .select("query_id", "list_id")
+    )
+    # 2) ADC over probed lists only: per-query LUT of (subspace, cid)
+    # integer partials, summed via each candidate's codes (x57's finer
+    # m=16/k=32 codebook — see the parameter block comment)
+    seeds = v.filter(
+        (F.col("vec_id") >= _X57_CB0) & (F.col("vec_id") < _X57_CB0 + _X57_K)
+    ).select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    lut = queries.crossJoin(F.broadcast(seeds)).select(
+        "query_id",
+        "cid",
+        *[
+            F.expr(
+                f"CAST(floor({_chain_dist2('qv', 'cv', j * _X57_DSUB, j * _X57_DSUB, _X57_DSUB)}"
+                f" * 1e9 + 0.5) AS BIGINT)"
+            ).alias(f"d{j}")
+            for j in range(_X57_M)
+        ],
+    )
+    lut_long = lut.select(
+        "query_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"d{j}").alias("d"),
+                        F.col("cid").alias("cid"),
+                    )
+                    for j in range(_X57_M)
+                ]
+            )
+        ).alias("e"),
+    ).select("query_id", "e.j", "e.d", "e.cid")
+    codes = pq_encode(emb, m=_X57_M, dsub=_X57_DSUB, k=_X57_K, base=_X57_CB0)
+    probed = assign.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = (
+        probed.join(codes, "vec_id")
+        .join(
+            F.broadcast(lut_long).withColumnRenamed("query_id", "lq"),
+            (F.col("lq") == F.col("query_id"))
+            & (lut_long.j == codes.j)
+            & (F.col("cid") == F.col("code")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d").cast("long").alias("adc_e9"))
+    )
+    ws = Window.partitionBy("query_id").orderBy("adc_e9", "neighbor_id")
+    short = (
+        adc.select(
+            "query_id", "neighbor_id", F.row_number().over(ws).alias("rs")
+        )
+        .filter(F.col("rs") <= _X57_SHORTLIST)
+        .select("query_id", "neighbor_id")
+    )
+    # 3) exact re-rank of the shortlist over raw vectors
+    nv = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("nv"))
+    rer = (
+        short.join(nv, "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn("cos_sim_e6", qint(cosine(F.col("qv"), F.col("nv"))))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_e6").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.select(
+            "query_id",
+            "neighbor_id",
+            "cos_sim_e6",
+            F.row_number().over(wr).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _PQ_TOPK)
+    )
+
+
+def _x57b_oracle() -> str:
+    composed = _registry.ORACLE["x57_ivfpq_ann"]
+    return f"""
+    WITH composed AS (SELECT query_id, neighbor_id FROM ({composed})),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM v
+          WHERE vec_id >= {_PQ_K} AND vec_id < {_PQ_K + _PQ_QUERIES}),
+    exact_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY CAST(floor(
+                                    list_cosine_similarity(q.qv, c.v) * 1e6
+                                    + 0.5) AS BIGINT) DESC, c.vec_id) AS rnk
+        FROM q JOIN v c ON c.vec_id <> q.query_id)
+      WHERE rnk <= {_PQ_TOPK}),
+    hits AS (
+      SELECT e.query_id,
+             COUNT(*) FILTER (WHERE cm.neighbor_id IS NOT NULL) AS n_hit,
+             COUNT(*) AS n_exact
+      FROM exact_k e
+      LEFT JOIN composed cm
+        ON e.query_id = cm.query_id AND e.neighbor_id = cm.neighbor_id
+      GROUP BY 1)
+    SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(floor(CAST(n_hit AS DOUBLE) / n_exact * 1e6 + 0.5) AS BIGINT)
+             AS recall_e6
+    FROM hits ORDER BY query_id
+    """
+
+
+@query("x57b_ivfpq_recall", oracle=_x57b_oracle())
+def x57b_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x50 extended to the composed arm: per-query recall@k of the
+    IVF->ADC->rerank pipeline vs brute-force exact cosine over the SAME
+    probe queries — the number a production owner tunes n_probe and
+    shortlist against.  Exact ground truth ranks over the quantized
+    similarity (integer, neighbor_id tie-break) so both engines pick
+    identical top-k sets."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    queries = v.filter(
+        (F.col("vec_id") >= _PQ_K) & (F.col("vec_id") < _PQ_K + _PQ_QUERIES)
+    ).select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    cands = v.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"))
+    scored = cands.join(
+        F.broadcast(queries), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("sim_e6", qint(cosine(F.col("qv"), F.col("cv"))))
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("sim_e6").desc(), F.col("neighbor_id")
+    )
+    exact = (
+        scored.select(
+            "query_id", "neighbor_id", F.row_number().over(we).alias("rnk")
+        )
+        .filter(F.col("rnk") <= _PQ_TOPK)
+        .select("query_id", "neighbor_id")
+    )
+    composed = x57_ivfpq_ann(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("c_neighbor")
+    )
+    j = exact.join(
+        composed,
+        (exact.query_id == composed.query_id)
+        & (exact.neighbor_id == composed.c_neighbor),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "c_neighbor")
+    hits = j.groupBy("query_id").agg(
+        F.sum(F.when(F.col("c_neighbor").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.count("*").cast("long").alias("n_exact"),
+    )
+    return hits.select(
+        "query_id",
+        "n_hit",
+        "n_exact",
+        qint(F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall_e6"),
+    )

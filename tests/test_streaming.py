@@ -509,6 +509,87 @@ def test_tws_event_time_timers_close_sessions(spark, landing):
     assert 9 not in rows  # session still open at drain end
 
 
+def test_stateful_crash_recovery_parity(spark, landing, tmp_path):
+    """Exactly-once under failure for a STATEFUL query (SURVEY §2B's
+    recovery row): an append-mode windowed aggregation is stopped after
+    its first micro-batch, restarted from the same checkpoint, and the
+    final landed table must be IDENTICAL to an uninterrupted run —
+    window partials, the watermark position, and the file-sink
+    transaction log all recover from the checkpoint.  The batch read of
+    the sink honors _spark_metadata, so any orphan files from the
+    interrupted attempt are invisible (the exactly-once claim)."""
+    import time as _time
+
+    rows = {
+        "b1.json": [
+            _event(1, "2024-01-01T10:05:00Z", etype="click", value=1.0),
+            _event(2, "2024-01-01T10:20:00Z", etype="click", value=2.0),
+        ],
+        "b2.json": [
+            _event(3, "2024-01-01T11:10:00Z", etype="view", value=4.0),
+        ],
+        # advances watermark to 12:40 -> 10:00 and 11:00 windows close
+        "b3.json": [
+            _event(4, "2024-01-01T13:10:00Z", etype="view", value=8.0),
+        ],
+    }
+    import os as _os
+
+    for i, (name, rs) in enumerate(rows.items()):
+        _write_batch(landing, name, rs)
+        # the file source orders batches by modification time; same-
+        # second writes would let b3 lead and turn b2 into late data
+        t = _time.time() - 100 + i * 10
+        _os.utime(landing / name, (t, t))
+
+    def start(out, ckpt):
+        df = jobs.windowed_counts(
+            jobs.read_event_stream(spark, str(landing), max_files_per_trigger=1),
+            window="1 hour",
+            watermark="30 minutes",
+        )
+        return (
+            df.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def landed(out):
+        back = spark.read.schema(
+            "start timestamp, end timestamp, event_type string, "
+            "n long, sum_value double"
+        ).parquet(out)
+        return sorted(map(tuple, back.collect()))
+
+    # reference: uninterrupted drain
+    out_a, ck_a = str(tmp_path / "outA"), str(tmp_path / "ckA")
+    q = start(out_a, ck_a)
+    q.awaitTermination(120)
+    ref = landed(out_a)
+    assert len(ref) == 2  # 10:00/click and 11:00/view closed; 13:00 open
+
+    # interrupted: stop as soon as the first data batch has committed
+    out_b, ck_b = str(tmp_path / "outB"), str(tmp_path / "ckB")
+    q = start(out_b, ck_b)
+    deadline = _time.time() + 60
+    while _time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        _time.sleep(0.05)
+    else:
+        raise AssertionError("no data batch committed within 60s")
+    q.stop()
+    q.awaitTermination(60)
+
+    # restart from the SAME checkpoint: must converge to the reference
+    q = start(out_b, ck_b)
+    q.awaitTermination(120)
+    assert landed(out_b) == ref
+
+
 def test_tws_timer_boundary_at_exact_watermark(spark, landing):
     """Pins Spark's timer-expiry boundary for the s10b oracle: a timer
     whose deadline equals the watermark EXACTLY *does* fire (inclusive

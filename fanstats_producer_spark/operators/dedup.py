@@ -380,6 +380,8 @@ def minhash_native_pairs(
     bands: int = 16,
     k: int = 3,
     max_bucket: int | None = None,
+    bucket_join: bool = False,
+    salt: int = 1,
 ) -> DataFrame:
     """MinHash signatures and LSH banding as pure DataFrame expressions.
 
@@ -455,32 +457,90 @@ def minhash_native_pairs(
         ]
     )
     banded = sig.select("doc_id", "sig", F.explode(band_vals).alias("band_hash"))
-    buckets = (
-        banded.groupBy("band_hash")
-        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    if max_bucket is not None:
-        buckets = buckets.filter(F.size("ids") <= max_bucket)
-    combos = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", (i + F.lit(2)).cast("int"), F.size("ids")),
-                lambda y: F.struct(
-                    x["doc_id"].alias("id_a"),
-                    y["doc_id"].alias("id_b"),
-                    x["sig"].alias("sig_a"),
-                    y["sig"].alias("sig_b"),
-                ),
-            ),
+    if bucket_join:
+        # Skew-robust pair expansion: a SELF-JOIN on band_hash instead
+        # of collect_list + in-row combos.  The combos path folds each
+        # bucket into ONE row and expands |bucket|² pairs inside ONE
+        # task — a straggler (and an OOM-sized row: a 10M-doc hot
+        # bucket at 520 B/sig is a ~5 GB single row) the moment a
+        # Zipfian crawl plants a hot near-dup cluster, since every
+        # cluster member shares every band hash.  The join shape gives
+        # the pair explosion to the join machinery instead.
+        #
+        # AQE alone does NOT fix the hot key here — measured: a
+        # self-join is skewed on BOTH sides of the same partition, the
+        # one case OptimizeSkewedJoin skips (no `skew=true` marker even
+        # with skewedPartitionThresholdInBytes floored to 16 KB on the
+        # skewed fixture).  Hence `salt`: the probe side replicates
+        # across `salt` sub-keys (explode) while the build side hashes
+        # into one, splitting each hot band bucket into `salt`
+        # co-sized join groups deterministically — the quadratic work
+        # for the hot cluster runs WIDE.  Identical output for any
+        # salt (asserted in tests); total shuffle volume scales with
+        # salt, so enable it for skewed corpora, not by default.
+        if max_bucket is not None:
+            ok = (
+                banded.groupBy("band_hash")
+                .agg(F.count("*").alias("bn"))
+                .filter(F.col("bn") <= max_bucket)
+                .select("band_hash")
+            )
+            banded = banded.join(ok, "band_hash", "left_semi")
+        left = banded.select(
+            "band_hash",
+            F.col("doc_id").alias("id_a"),
+            F.col("sig").alias("sig_a"),
         )
-    )
-    cands = (
-        buckets.select(F.explode(combos).alias("p"))
-        .groupBy("p.id_a", "p.id_b")
-        .agg(F.first("p.sig_a").alias("sig_a"), F.first("p.sig_b").alias("sig_b"))
-    )
+        right = banded.select(
+            "band_hash",
+            F.col("doc_id").alias("id_b"),
+            F.col("sig").alias("sig_b"),
+        )
+        join_keys = ["band_hash"]
+        if salt > 1:
+            left = left.withColumn(
+                "salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+            )
+            right = right.withColumn(
+                "salt", F.pmod(F.xxhash64("id_b"), F.lit(salt)).cast("int")
+            )
+            join_keys = ["band_hash", "salt"]
+        cands = (
+            left.join(right, join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+        )
+    else:
+        buckets = (
+            banded.groupBy("band_hash")
+            .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ids"))
+            .filter(F.size("ids") > 1)
+        )
+        if max_bucket is not None:
+            buckets = buckets.filter(F.size("ids") <= max_bucket)
+        combos = F.flatten(
+            F.transform(
+                "ids",
+                lambda x, i: F.transform(
+                    F.slice("ids", (i + F.lit(2)).cast("int"), F.size("ids")),
+                    lambda y: F.struct(
+                        x["doc_id"].alias("id_a"),
+                        y["doc_id"].alias("id_b"),
+                        x["sig"].alias("sig_a"),
+                        y["sig"].alias("sig_b"),
+                    ),
+                ),
+            )
+        )
+        cands = (
+            buckets.select(F.explode(combos).alias("p"))
+            .groupBy("p.id_a", "p.id_b")
+            .agg(
+                F.first("p.sig_a").alias("sig_a"),
+                F.first("p.sig_b").alias("sig_b"),
+            )
+        )
     est = (
         cands.withColumn(
             "est_jaccard_e6",

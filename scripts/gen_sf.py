@@ -53,7 +53,14 @@ def _write(out, name, cols: dict, schema: pa.Schema) -> None:
     print(f"{name}: {t.num_rows} rows")
 
 
-def generate(sf: float, out: str, seed: int = 42) -> None:
+def generate(
+    sf: float, out: str, seed: int = 42, hot_frac: float = 0.0
+) -> None:
+    """hot_frac > 0 plants ONE Zipfian hot near-dup cluster in
+    `documents`: that fraction of docs become near-copies of a single
+    template (one token swapped per copy) — the skewed-crawl shape that
+    stresses the dedup path's band buckets (every copy shares most band
+    hashes, so one bucket holds the whole cluster)."""
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -266,6 +273,19 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
     )
     for i in exact_ids:
         texts[int(i)] = texts[int(rng.integers(0, i))]
+    if hot_frac > 0:
+        # one hot cluster: hot_frac of docs are near-copies of doc 0
+        n_hot = max(int(round(ndoc * hot_frac)), 2)
+        hot_ids = rng.choice(
+            np.setdiff1d(np.arange(1, ndoc), np.concatenate([near_ids, exact_ids])),
+            size=n_hot - 1,
+            replace=False,
+        )
+        template = texts[0].split(" ")
+        for i in hot_ids:
+            toks = list(template)
+            toks[int(rng.integers(0, len(toks)))] = f"hot{int(i)}"
+            texts[int(i)] = " ".join(toks)
     _write(
         out,
         "documents",
@@ -318,4 +338,5 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
 if __name__ == "__main__":
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/localdata/sf{sys.argv[1] if len(sys.argv) > 1 else '1'}"
-    generate(sf, out)
+    hot = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
+    generate(sf, out, hot_frac=hot)

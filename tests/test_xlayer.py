@@ -347,6 +347,56 @@ def test_minhash_native_precision(spark):
 
 
 
+def test_minhash_skew_arms_identical_and_wide(spark):
+    """Zipfian-skew robustness of the banded pair expansion: on a
+    corpus with one hot near-dup cluster (20% of docs near-copies of a
+    single template — every member shares every band hash), the three
+    pair-generation arms (in-row combos, band-hash self-join, salted
+    self-join) must produce IDENTICAL (id_a, id_b, est) sets, and the
+    plans must witness the scale story: combos folds each bucket into
+    one collect_list row (the single-task bottleneck), the join arms
+    have no collect_list, and the salted arm's join keys include the
+    salt column (the hot bucket splits into `salt` co-sized groups —
+    required because AQE's OptimizeSkewedJoin skips a self-join skewed
+    on both sides of the same partition)."""
+    import random
+
+    from fanstats_producer_spark.operators.dedup import minhash_native_pairs
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(200)]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(30)) for _ in range(200)
+    ]
+    template = texts[0].split(" ")
+    for i in range(1, 41):  # 20% hot cluster: near-copies of doc 0
+        t = list(template)
+        t[rng.randrange(len(t))] = f"hot{i}"
+        texts[i] = " ".join(t)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    arms = {
+        "combos": minhash_native_pairs(docs),
+        "join": minhash_native_pairs(docs, bucket_join=True),
+        "salt": minhash_native_pairs(docs, bucket_join=True, salt=4),
+    }
+    got = {
+        k: {(r.id_a, r.id_b, r.est_jaccard_e6) for r in df.collect()}
+        for k, df in arms.items()
+    }
+    assert got["combos"], "hot cluster must produce pairs"
+    assert got["combos"] == got["join"] == got["salt"]
+    # the hot cluster is actually in there (quadratic pair mass)
+    hot = [p for p in got["combos"] if p[0] <= 40 and p[1] <= 40]
+    assert len(hot) > 400
+    plans = {k: df._jdf.queryExecution().toString() for k, df in arms.items()}
+    assert "collect_list" in plans["combos"]
+    assert "collect_list" not in plans["join"]
+    assert "collect_list" not in plans["salt"]
+    assert "salt" in plans["salt"] and "salt" not in plans["join"]
+
+
 def test_connected_components_chain_and_clique(spark):
     """A chain a-b-c-d collapses to one cluster even though a-d never
     paired directly (transitive near-dup), separate clique separate."""

@@ -130,6 +130,65 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # ... and the transformWithStateInPandas path: the FIRST TWS drain
+    # in a JVM additionally pays state-server classloading and the
+    # Python-side proto stack import (measured ~2.5 s on top of the
+    # steady-state drain — s10, first alphabetically, absorbed it).
+    # Same steady-state treatment as the RocksDB warmup above.
+    try:
+        from fanstats_producer_spark.compat import ensure_protobuf
+
+        if ensure_protobuf(spark):
+            import pandas as _pd
+            from pyspark.sql.streaming.stateful_processor import (
+                StatefulProcessor as _SP,
+            )
+
+            class _WarmP(_SP):
+                def init(self, handle):
+                    self._s = handle.getValueState("n", "n long")
+
+                def handleInputRows(self, key, rows, timerValues):
+                    n = sum(len(p) for p in rows)
+                    cur = self._s.get()
+                    self._s.update((n + (cur[0] if cur else 0),))
+                    yield _pd.DataFrame({"k": [key[0]], "n": [n]})
+
+                def close(self):
+                    pass
+
+            _twdir = _tf.mkdtemp(prefix="bench_tws_warm_")
+            spark.range(100).selectExpr("id % 8 AS k", "id AS v").write.mode(
+                "overwrite"
+            ).parquet(f"{_twdir}/in")
+            _ts = (
+                spark.readStream.schema("k long, v long")
+                .parquet(f"{_twdir}/in")
+                .groupBy("k")
+                .transformWithStateInPandas(
+                    statefulProcessor=_WarmP(),
+                    outputStructType="k long, n long",
+                    outputMode="Update",
+                    timeMode="None",
+                )
+            )
+            with _few_partitions(spark, 2), _skip_nodata_batch(
+                spark
+            ), _rocksdb_state(spark):
+                _tq = (
+                    _ts.writeStream.format("memory")
+                    .queryName("bench_tws_warm")
+                    .outputMode("update")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                _tq.awaitTermination()
+    except Exception as e:
+        print(
+            f"WARN bench: TWS warmup skipped ({type(e).__name__}: {e})",
+            file=sys.stderr,
+        )
+
     # Real streaming drains (checkpointed AvailableNow runs): their cost
     # is dominated by fixed stream-query startup, so a second run would
     # double honest work, not shed a spike.

@@ -229,6 +229,82 @@ def test_platform_dispatch_unsupported(spark):
         reg.collect_all(spark, ["Facebook"])
 
 
+def _fake_reddit(posts_per_sub: int):
+    """Deterministic Reddit listing fake: pages of `kind: t3` envelopes
+    with an `after` fullname cursor, plus one non-t3 child per page
+    that must be skipped."""
+
+    def fetch(subreddit, after, limit):
+        start = int(after.split("_")[1]) + 1 if after else 0
+        ids = range(start, min(start + limit, posts_per_sub))
+        children = [
+            {
+                "kind": "t3",
+                "data": {
+                    "id": f"{subreddit}_{i}",
+                    "subreddit": subreddit,
+                    "title": f"post {i}",
+                    "selftext": "body" if i % 2 else "",
+                    "author": f"u{i % 7}",
+                    "created_utc": 1700000000.0 + i,
+                    "score": i,
+                    "num_comments": i % 3,
+                },
+            }
+            for i in ids
+        ]
+        children.append({"kind": "t1", "data": {"id": "comment-noise"}})
+        last = max(ids, default=None)
+        nxt = f"t3_{last}" if last is not None and last + 1 < posts_per_sub else None
+        return children, nxt
+
+    return fetch
+
+
+def test_reddit_listing_pagination_and_envelope(spark):
+    """P9 second platform: `after`-cursor pagination, per-request limit
+    clamp, t3-envelope unwrap, epoch-seconds timestamps, result cap."""
+    from fanstats_producer_spark.sources.reddit import RedditListingSource
+
+    src = RedditListingSource(spark, _fake_reddit(250), limit=500, max_posts=220)
+    assert src.limit == 100  # clamped to Reddit's per-request max
+    out = src.scan(["nba"]).collect()
+    assert len(out) == 220  # cap enforced mid-listing (3 pages fetched)
+    ids = [r.post_id for r in out]
+    assert ids[0] == "nba_0" and ids[-1] == "nba_219"  # cursor chain in order
+    assert all(r.created_utc == 1700000000.0 + i for i, r in enumerate(out))
+    assert not any("comment" in r.post_id for r in out)  # non-t3 skipped
+
+
+def test_reddit_collector_unions_with_twitter(spark):
+    """The normalized Reddit collector dispatches through
+    PlatformRegistry next to a Twitter-shaped collector: column names
+    align on id/text/created_at/author_id, platform-specific columns
+    null-fill across, and created_at is RFC-3339 like the Twitter arm."""
+    from fanstats_producer_spark.sources.dispatch import PlatformRegistry
+    from fanstats_producer_spark.sources.reddit import (
+        RedditListingSource,
+        collector,
+    )
+
+    reg = PlatformRegistry()
+    reg.register("Twitter", lambda s: s.createDataFrame(
+        [("t1", "hello", "2024-01-01T00:00:00.000Z", "a9")],
+        "id string, text string, created_at string, author_id string"))
+    src = RedditListingSource(spark, _fake_reddit(3))
+    reg.register("Reddit", collector(src, ["nba"]))
+    out = reg.collect_all(spark, ["Twitter", "Reddit"])
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 4
+    assert rows["t1"].platform == "Twitter" and rows["t1"].subreddit is None
+    r1 = rows["nba_1"]
+    assert r1.platform == "Reddit" and r1.subreddit == "nba"
+    assert r1.text == "post 1\n\nbody"  # title+selftext merge
+    assert rows["nba_2"].text == "post 2"  # empty selftext -> title only
+    assert r1.created_at.startswith("2023-11-14T") and r1.created_at.endswith("Z")
+    assert r1.author_id == "u1"
+
+
 def test_corrupt_records_tolerated(spark, tmp_path):
     """PERMISSIVE ingest: malformed NDJSON lines land in _corrupt_record
     instead of failing the job (the reference appends API responses

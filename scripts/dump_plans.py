@@ -154,6 +154,30 @@ HEADLINERS = {
         "facts is eliminated; the qualifying-order frame broadcasts; "
         "top-100 is TakeOrderedAndProject."
     ),
+    "x57_ivfpq_ann": (
+        "Composed IVF+PQ ANN: routing seeds, probe assignments, "
+        "per-query LUTs, and the shortlist all BROADCAST (every one is "
+        "bounded by query count or list count); the corpus-sized "
+        "tables — nearest-seed assignment and PQ codes — each shuffle "
+        "once on vec_id for their joins, and raw vectors are fetched "
+        "only for the 100-deep shortlist re-rank.  At 100 TB the code "
+        "table (8 B/vector) is what the ADC stage scans; the raw "
+        "embedding scan is shortlist-sized."
+    ),
+    "x58_png_decode": (
+        "Real PNG decode in the pipeline: documents spread across "
+        "partitions, then ONE mapInPandas stage does encode+decode per "
+        "Arrow batch — zero shuffles, zero collect; codec work scales "
+        "with executors exactly like a production CV stage."
+    ),
+    "x59_verified_dedup": (
+        "Precision-gated dedup composition: banded-MinHash candidates "
+        "(one band-key shuffle), levenshtein verify over the SPREAD "
+        "candidate list with texts broadcast onto it (the x47 wide-"
+        "stage shape), size-gated connected components over confirmed "
+        "pairs, and a broadcast cluster map into the keep-best window "
+        "— the corpus text itself is never shuffled at any stage."
+    ),
 }
 
 

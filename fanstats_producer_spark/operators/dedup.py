@@ -1329,3 +1329,133 @@ def x55_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_in_batch"
         ),
     )
+
+
+# --- x61: SemDeDup — scalable semantic dedup via cluster-then-prune -------------
+# x04f's exact cosine self-join is quadratic, which is why it runs on a
+# 200-vector slice; SemDeDup (Abbas et al., 2023) is the scale path: a
+# cheap k-means partitions the embedding space, candidate pairs are
+# generated ONLY within a cluster (pair space ~N²/k instead of N²), and
+# per duplicate group the member FARTHEST from its cluster centroid is
+# kept (the paper's diversity-preserving criterion — near-centroid
+# copies are the redundant ones).  This key runs over the WHOLE
+# embeddings table — no LIMIT — precisely because the clustering prunes
+# the pair space.  Every stage is existing machinery: x24's bit-exact
+# k-means (deterministic seeds + one decimal-exact refit), x04f's
+# within-group cosine pairs, connected components, and an argmax keep
+# window — so the whole composition is value-hash oracle-checked.
+_X61_THRESHOLD = 0.35
+
+
+def _x61_oracle() -> str:
+    x24 = _registry.ORACLE["x24_kmeans"]
+    return f"""
+    WITH RECURSIVE asg AS (
+      SELECT vec_id, cluster_id AS cid, dist2_e6 FROM ({x24})),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      JOIN v va ON va.vec_id = a.vec_id
+      JOIN v vb ON vb.vec_id = b.vec_id
+      WHERE list_cosine_similarity(va.v, vb.v) >= {_X61_THRESHOLD}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.node),
+    cl AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    merged AS (
+      SELECT asg.vec_id,
+             COALESCE(cl.cluster_id, asg.vec_id) AS sem_cluster,
+             asg.dist2_e6
+      FROM asg LEFT JOIN cl ON cl.node = asg.vec_id),
+    ranked AS (
+      SELECT vec_id, sem_cluster, dist2_e6,
+             row_number() OVER (PARTITION BY sem_cluster
+                                ORDER BY dist2_e6 DESC, vec_id) AS rn
+      FROM merged)
+    SELECT vec_id, CAST(sem_cluster AS BIGINT) AS sem_cluster, dist2_e6,
+           (rn = 1) AS is_kept
+    FROM ranked ORDER BY vec_id
+    """
+
+
+@query("x61_semdedup", oracle=_x61_oracle())
+def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the full embeddings table: k-means prunes the pair
+    space to within-cluster joins, cosine >= {t} pairs form semantic
+    duplicate groups (connected components), and each group keeps its
+    farthest-from-centroid member (dist2_e6 DESC, vec_id tie-break);
+    unpaired vectors keep themselves.
+
+    Plan shape at 100 TB: the k centroids broadcast into assignment
+    (vectors never shuffle for it), the pair join shuffles on cid — k
+    times narrower than x04f's full cross pair space — and the keep
+    decision is one window over |corpus| rows keyed by component.
+    """.format(t=_X61_THRESHOLD)
+    from fanstats_producer_spark.operators.clustering import kmeans_assignments
+
+    emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
+    asg = kmeans_assignments(emb).select(
+        "vec_id", "cid", qint("dist2").alias("dist2_e6")
+    )
+    # within-cluster candidate pairs with precomputed norms (the x04f
+    # lesson: inlined cosine() re-evaluates three array aggregates per
+    # pair; one norm per vector instead)
+    dv = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("v"), F.col("v"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+        ),
+    )
+    side = asg.select("vec_id", "cid").join(dv, "vec_id")
+    a = side.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nrm").alias("na"),
+    )
+    b = side.select(
+        "cid",
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, val: acc + val,
+    )
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dot_ab / (F.col("na") * F.col("nb")) >= _X61_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    cl = connected_components(pairs).select(
+        F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("sem")
+    )
+    merged = asg.join(cl, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("sem", F.col("vec_id")).alias("sem_cluster"),
+        "dist2_e6",
+    )
+    w = Window.partitionBy("sem_cluster").orderBy(
+        F.col("dist2_e6").desc(), F.col("vec_id")
+    )
+    return merged.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id",
+        "sem_cluster",
+        "dist2_e6",
+        (F.col("rn") == 1).alias("is_kept"),
+    )

@@ -347,6 +347,56 @@ def test_minhash_native_precision(spark):
 
 
 
+def test_semdedup_keeps_farthest_from_centroid(spark):
+    """x61 keep criterion (SemDeDup): within a semantic duplicate
+    group, the member FARTHEST from its k-means centroid is kept and
+    near-centroid copies drop; unpaired vectors keep themselves."""
+    from fanstats_producer_spark.operators.clustering import kmeans_assignments
+    from fanstats_producer_spark.operators.dedup import (
+        _X61_THRESHOLD,
+        connected_components,
+    )
+    from fanstats_producer_spark.operators.dedup import x61_semdedup  # noqa: F401
+    from fanstats_producer_spark import registry
+
+    import numpy as np
+
+    # build a tiny embeddings table in the fixture layout and run the
+    # registered key against it via a temp sf_dir
+    import tempfile, os
+    rng = np.random.RandomState(3)
+    # ids 0-19: random unit vectors (k-means seeds come from the first
+    # 10 ids, so the planted group must live ABOVE the seed range or
+    # each copy seeds its own cluster)
+    vecs = list(rng.normal(size=(20, 8)))
+    base = rng.normal(size=8)
+    for eps in (0.0, 0.01, 0.3):  # ids 20-22: a duplicate group of 3
+        vecs.append(base + rng.normal(size=8) * eps)
+    vecs = [v / np.linalg.norm(v) for v in vecs]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    d = tempfile.mkdtemp()
+    emb.write.parquet(os.path.join(d, "embeddings.parquet"))
+    out = {r.vec_id: r for r in registry.QUERIES["x61_semdedup"](spark, d).collect()}
+    grp = [r for r in out.values() if r.sem_cluster == min(
+        out[i].sem_cluster for i in (20, 21, 22))]
+    dup_ids = {r.vec_id for r in grp}
+    assert {20, 21, 22} <= dup_ids, f"planted group not found: {out}"
+    kept = [r for r in grp if r.is_kept]
+    assert len(kept) == 1
+    far = max(grp, key=lambda r: (r.dist2_e6, -r.vec_id))
+    assert kept[0].vec_id == far.vec_id  # farthest from centroid wins
+    # global invariant: every semantic cluster keeps exactly one member
+    # (incidental duplicate groups among the random fill vectors are
+    # fine — low-dim random cosines do cross 0.35)
+    from collections import Counter
+    per_cluster = Counter(r.sem_cluster for r in out.values() if r.is_kept)
+    all_clusters = {r.sem_cluster for r in out.values()}
+    assert per_cluster == {c: 1 for c in all_clusters}
+
+
 def test_minhash_skew_arms_identical_and_wide(spark):
     """Zipfian-skew robustness of the banded pair expansion: on a
     corpus with one hot near-dup cluster (20% of docs near-copies of a

@@ -921,3 +921,92 @@ def x54_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pad_waste_e6"),
         )
     )
+
+
+# --- x62: DSIR-style domain-targeted importance selection ----------------------
+# Data Selection via Importance Resampling (Xie et al., 2023): score raw
+# documents by how target-like they look under hashed n-gram feature
+# distributions, and keep the ones whose importance weight says "more
+# probable under the target than under the raw pool".  Feature space is
+# B hashed token buckets (the paper's hashed n-grams; unigrams here);
+# the target here is the English slice of the corpus, standing in for
+# "a trusted domain sample" — in production, swap the target frame for
+# Wikipedia/books/etc.
+#
+# Determinism: bucket counts are exact integers, the per-bucket
+# Laplace-smoothed log2 ratio is quantized to an e6 integer ONCE at the
+# 64-row bucket table (log2 over an IEEE division of exact integers —
+# the x30 contract), and every per-doc score is then an exact INTEGER
+# sum of bucket contributions over the doc's token occurrences.
+# Scale: one (doc_id, bucket) explode is the only corpus shuffle; the
+# 64-row log-ratio table broadcasts; totals are one scalar aggregate.
+_X62_B = 64
+
+
+@query(
+    "x62_dsir_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    tb AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(tok), 1, 8)) AS BIGINT) % {_X62_B} AS b
+      FROM toks),
+    bs AS (
+      SELECT b, COUNT(*) AS cr,
+             COUNT(*) FILTER (WHERE lang = 'en') AS ct
+      FROM tb GROUP BY 1),
+    tot AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt FROM bs),
+    lr AS (
+      SELECT b,
+             CAST(floor(log2(
+               CAST((ct + 1) * (tr + {_X62_B}) AS DOUBLE)
+               / CAST((cr + 1) * (tt + {_X62_B}) AS DOUBLE)) * 1e6 + 0.5)
+               AS BIGINT) AS lr_e6
+      FROM bs, tot),
+    sc AS (
+      SELECT tb.doc_id, SUM(lr.lr_e6) AS score_e6, COUNT(*) AS n_tok
+      FROM tb JOIN lr USING (b) GROUP BY 1)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(score_e6 AS BIGINT) AS score_e6,
+           score_e6 >= 0 AS selected
+    FROM sc ORDER BY doc_id
+    """,
+)
+def x62_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc DSIR importance score (integer sum of per-bucket
+    smoothed log2(p_target/p_raw) contributions over the doc's token
+    occurrences) and the keep decision score >= 0 — "reads more like
+    the target distribution than the pool average"."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    tb = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select("doc_id", "lang", hash_bucket(F.col("tok"), _X62_B).alias("b"))
+    bs = tb.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    )
+    tot = bs.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    lr = bs.crossJoin(F.broadcast(tot)).select(
+        "b",
+        qint(
+            F.log2(
+                ((F.col("ct") + 1) * (F.col("tr") + _X62_B)).cast("double")
+                / ((F.col("cr") + 1) * (F.col("tt") + _X62_B)).cast("double")
+            )
+        ).alias("lr_e6"),
+    )
+    sc = (
+        tb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr_e6").cast("long").alias("score_e6"),
+            F.count("*").cast("long").alias("n_tok"),
+        )
+    )
+    return sc.select(
+        "doc_id", "n_tok", "score_e6", (F.col("score_e6") >= 0).alias("selected")
+    )

@@ -190,3 +190,69 @@ def q27b_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+# --- q68: LATERAL correlated derived table --------------------------------------
+@query(
+    "q68_lateral",
+    oracle="""
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+    WHERE c.c_custkey < 50
+    """,
+)
+def q68_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL derived table (SQL:99 lateral join, supported
+    natively since Spark 3.2): per customer, the top-3 orders by price
+    — the row-generating correlated-subquery shape that LATERAL VIEW
+    (explode) cannot express.  Catalyst rewrites the correlation into a
+    join + per-key limit; the DuckDB oracle runs the IDENTICAL SQL, so
+    the surface itself (not a hand-rewritten equivalent) is what's
+    checked.  Output keeps raw parquet doubles (bit-identical on both
+    engines); ordering ties break on o_orderkey so the LIMIT is
+    deterministic."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_custkey < 50
+        """
+    )
+
+
+# --- q69: null-safe equality join ----------------------------------------------
+@query(
+    "q69_nullsafe_join",
+    oracle="""
+    WITH a AS (SELECT NULLIF(l_returnflag, 'N') AS k, COUNT(*) AS n_a
+               FROM lineitem GROUP BY 1),
+         b AS (SELECT NULLIF(l_returnflag, 'N') AS k,
+                      CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_b
+               FROM lineitem GROUP BY 1)
+    SELECT a.k, a.n_a, b.qty_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q69_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other instead of vanishing — its own join semantics (a
+    plain equi-join silently drops the NULL group; the null-safe
+    operator keeps it hash-joinable, which is exactly how Spark plans
+    EqualNullSafe keys).  Keys are manufactured with NULLIF so the
+    fixture actually exercises the NULL row."""
+    li = load(spark, sf_dir, "lineitem")
+    k = F.nullif(F.col("l_returnflag"), F.lit("N")).alias("k")
+    a = li.select(k).groupBy("k").agg(F.count("*").alias("n_a"))
+    b = (
+        li.select(k, "l_quantity")
+        .groupBy("k")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_b"))
+    )
+    return a.join(b, a.k.eqNullSafe(b.k)).select(a.k, "n_a", "qty_b")

@@ -274,6 +274,68 @@ def s08_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s17_stream_outer_join",
+    oracle="""
+    WITH wm AS (
+      -- Spark's query watermark is the MIN across the two watermark
+      -- operators, each fed only its own filtered side: the clicks
+      -- watermark tracks max(click ts), not the global max(ts)
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        - INTERVAL 2 HOUR AS w),
+    j AS (
+      SELECT p.event_id AS purchase_id, p.ts AS p_ts, c.event_id AS click_id
+      FROM events p LEFT JOIN events c
+        ON p.user_id = c.user_id AND c.event_type = 'click'
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      WHERE p.event_type = 'purchase')
+    SELECT CAST(CAST(p_ts AS DATE) AS VARCHAR) AS purchase_date,
+           COUNT(click_id) AS n_pairs,
+           COUNT(*) FILTER (WHERE click_id IS NULL
+                            AND p_ts < (SELECT w FROM wm)) AS n_null_emitted
+    FROM j GROUP BY 1
+    HAVING COUNT(click_id) > 0
+        OR COUNT(*) FILTER (WHERE click_id IS NULL
+                            AND p_ts < (SELECT w FROM wm)) > 0
+    """,
+)
+def s17_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s17: LEFT OUTER stream-stream join run for real — the capability
+    s08's inner join doesn't cover: an unmatched purchase emits its
+    null-click row only when the WATERMARK proves no qualifying click
+    can still arrive (state eviction, on the trailing no-data tick —
+    so this drain, like s16, must NOT skip it).  Purchases inside the
+    final 2-hour watermark delay stay in state and are deliberately
+    absent from the null counts, which the oracle states exactly;
+    matched pairs emit regardless (the inner part)."""
+    name = f"s17_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir)
+    joined = jobs.clicks_to_purchases_join(stream, horizon="1 hour", how="leftOuter")
+    with _few_partitions(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    return (
+        spark.table(name)
+        .groupBy(
+            F.col("purchase_ts").cast("date").cast("string").alias("purchase_date")
+        )
+        .agg(
+            F.count("click_id").alias("n_pairs"),
+            F.count(F.when(F.col("click_id").isNull(), 1)).alias(
+                "n_null_emitted"
+            ),
+        )
+    )
+
+
+@query(
     "s09_upsert_state",
     oracle="""
     SELECT user_id, event_id AS last_event_id,

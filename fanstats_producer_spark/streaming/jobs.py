@@ -153,14 +153,20 @@ def write_partitioned_stream(
     return writer.start()
 
 
-def clicks_to_purchases_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
-    """s08: stream-stream inner join with watermarks — purchases matched
+def clicks_to_purchases_join(
+    events: DataFrame, horizon: str = "1 hour", how: str = "inner"
+) -> DataFrame:
+    """s08/s17: stream-stream join with watermarks — purchases matched
     to clicks by the same user within `horizon` before the purchase.
 
     Both sides are watermarked and the join condition carries the time
     bound, so state on each side is evictable (bounded memory at 100 TB —
     an unbounded-state stream join is a production outage, not a query).
-    """
+
+    how="leftOuter" (s17): purchases with no qualifying click emit with
+    null click columns — but only once the WATERMARK proves no future
+    click can match (state eviction drives the null emission, so those
+    rows arrive on the trailing no-data tick, the s16 rule)."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -189,6 +195,7 @@ def clicks_to_purchases_join(events: DataFrame, horizon: str = "1 hour") -> Data
             AND click_ts >= purchase_ts - INTERVAL {horizon}
             """
         ),
+        how,
     )
 
 

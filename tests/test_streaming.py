@@ -509,6 +509,43 @@ def test_tws_event_time_timers_close_sessions(spark, landing):
     assert 9 not in rows  # session still open at drain end
 
 
+def test_stream_outer_join_nulls_on_watermark(spark, landing):
+    """s17: LEFT OUTER stream-stream join — an unmatched purchase emits
+    its null-click row only after the watermark (MIN across both sides'
+    watermark operators) proves no qualifying click can arrive; a
+    purchase still inside the delay stays withheld."""
+    import os as _os
+    import time as _time
+
+    rows_b1 = [
+        _event(1, "2024-01-01T10:00:00Z", user=7, etype="click"),
+        _event(2, "2024-01-01T10:30:00Z", user=7, etype="purchase"),  # matched
+        _event(3, "2024-01-01T10:40:00Z", user=8, etype="purchase"),  # no click
+    ]
+    # b2 pushes BOTH sides' watermarks to 16:00 - 2h = 14:00 > 10:40:
+    # user 8's null row must emit; user 9's purchase (15:55) stays open
+    rows_b2 = [
+        _event(4, "2024-01-01T16:00:00Z", user=1, etype="click"),
+        _event(5, "2024-01-01T16:00:00Z", user=1, etype="purchase"),
+        _event(6, "2024-01-01T15:55:00Z", user=9, etype="purchase"),
+    ]
+    for i, (name, rs) in enumerate([("b1.json", rows_b1), ("b2.json", rows_b2)]):
+        _write_batch(landing, name, rs)
+        t = _time.time() - 100 + i * 10
+        _os.utime(landing / name, (t, t))
+    stream = jobs.read_event_stream(spark, str(landing), max_files_per_trigger=1)
+    got = _run_to_memory(
+        spark,
+        jobs.clicks_to_purchases_join(stream, horizon="1 hour", how="leftOuter"),
+        "s17_test",
+        "append",
+    )
+    rows = [(r.purchase_id, r.click_id) for r in got.collect()]
+    assert (2, 1) in rows          # matched pair emits
+    assert (3, None) in rows       # unmatched below watermark: null emitted
+    assert not any(p == 6 for p, _ in rows)  # still inside delay: withheld
+
+
 def test_stateful_crash_recovery_parity(spark, landing, tmp_path):
     """Exactly-once under failure for a STATEFUL query (SURVEY §2B's
     recovery row): an append-mode windowed aggregation is stopped after

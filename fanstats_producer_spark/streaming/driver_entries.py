@@ -336,6 +336,61 @@ def s17_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "s18_chained_stateful",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'click'),
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'))
+        - INTERVAL 2 HOUR AS w),
+    pairs AS (
+      SELECT p.ts AS p_ts
+      FROM events p JOIN events c
+        ON p.user_id = c.user_id AND c.event_type = 'click'
+       AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+      WHERE p.event_type = 'purchase')
+    SELECT strftime(to_timestamp(
+             CAST(floor(epoch(p_ts) / 21600) AS BIGINT) * 21600),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_pairs
+    FROM pairs, wm
+    WHERE to_timestamp(CAST(floor(epoch(p_ts) / 21600) AS BIGINT) * 21600)
+          + INTERVAL 6 HOUR <= wm.w
+    GROUP BY 1
+    """,
+)
+def s18_chained_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s18: TWO stateful operators chained in ONE streaming query —
+    the watermarked stream-stream join (s08's) feeding an append-mode
+    tumbling-window aggregation (s16's), a shape Spark only supports
+    since the multi-stateful-operator work in 3.4+.  The join emits
+    matched pairs; the 6-hour windows over purchase time close per the
+    s16 rule (window_end <= watermark) under the s17 watermark (MIN
+    across both join inputs' watermark operators); the trailing
+    windows stay in the aggregation's state and are absent.  Needs the
+    trailing no-data tick (no _skip_nodata_batch)."""
+    name = f"s18_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir)
+    joined = jobs.clicks_to_purchases_join(stream, horizon="1 hour")
+    counts = joined.groupBy(
+        F.window("purchase_ts", "6 hours").alias("w")
+    ).agg(F.count("*").alias("n_pairs"))
+    with _few_partitions(spark):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    return spark.table(name).select(
+        F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_pairs",
+    )
+
+
+@query(
     "s09_upsert_state",
     oracle="""
     SELECT user_id, event_id AS last_event_id,

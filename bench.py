@@ -197,6 +197,7 @@ def main() -> None:
         "s08_stream_join", "s09_upsert_state", "s11_content_dedup",
         "s04b_session_stream", "s12_stream_corpus", "s15_rocksdb_state",
         "s10_tws_stateful", "s10b_tws_timers", "s16_append_window",
+        "s17_stream_outer_join", "s18_chained_stateful",
     }
     timings: dict[str, float] = {}
     retimed: list[str] = []

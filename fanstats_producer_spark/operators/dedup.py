@@ -1348,6 +1348,12 @@ _X61_THRESHOLD = 0.35
 
 
 def _x61_oracle() -> str:
+    # x24 is registered by clustering.py; a Spark WORKER re-importing
+    # this module standalone (UDF deserialization) has not run
+    # registry.load_all(), so pull clustering in explicitly (no
+    # circularity: clustering imports nothing from dedup)
+    import fanstats_producer_spark.operators.clustering  # noqa: F401
+
     x24 = _registry.ORACLE["x24_kmeans"]
     return f"""
     WITH RECURSIVE asg AS (

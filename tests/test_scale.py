@@ -557,3 +557,39 @@ try:
         assert got == want
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_parquet_aggregate_pushdown_serves_from_footers(spark):
+    """Scale lever: whole-table COUNT/MIN/MAX are answered from parquet
+    FOOTER statistics when the V2 parquet source runs with
+    spark.sql.parquet.aggregatePushdown — the scan's output schema IS
+    the aggregate list (no row decode at all; at 100 TB this is the
+    difference between touching metadata and scanning every row
+    group).  Result equality vs the normal row-scan path is asserted
+    alongside the plan shape."""
+    path = f"{SF_DIR}/lineitem.parquet"
+    normal = spark.read.parquet(path).agg(
+        F.count("*").alias("n"),
+        F.min("l_quantity").alias("mn"),
+        F.max("l_quantity").alias("mx"),
+    ).collect()[0]
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    try:
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        pushed = spark.read.parquet(path).agg(
+            F.count("*").alias("n"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+        got = pushed.collect()[0]
+        plan = pushed._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+    assert tuple(got) == tuple(normal)
+    scan_lines = [l for l in plan.splitlines() if "BatchScan" in l]
+    assert scan_lines and "count(*)" in scan_lines[0] and "min(l_quantity)" in scan_lines[0], (
+        f"aggregates not pushed into the scan: {scan_lines[:1]}"
+    )

@@ -593,3 +593,23 @@ def test_parquet_aggregate_pushdown_serves_from_footers(spark):
     assert scan_lines and "count(*)" in scan_lines[0] and "min(l_quantity)" in scan_lines[0], (
         f"aggregates not pushed into the scan: {scan_lines[:1]}"
     )
+
+
+def test_cached_frame_reuses_inmemory_columnar_scan(spark):
+    """Scale lever: an explicitly cached hot frame serves later queries
+    from the in-memory columnar store (InMemoryTableScan) instead of
+    re-reading parquet — the iterative-workload lever (PageRank, CC,
+    k-means all re-read their base frame every round without it)."""
+    df = load(spark, SF_DIR, "orders").groupBy("o_orderstatus").count().cache()
+    try:
+        first = {r.o_orderstatus: r["count"] for r in df.collect()}  # populate
+        again = df.filter(F.col("count") > 0)
+        got = {r.o_orderstatus: r["count"] for r in again.collect()}
+        plan = again._jdf.queryExecution().executedPlan().toString()
+        # the executed plan reads the cache; the parquet lineage only
+        # appears in the cached relation's own (already-materialized)
+        # plan text below it
+        assert "InMemoryTableScan" in plan.split("== Initial Plan ==")[0]
+        assert got == {k: v for k, v in first.items() if v > 0}
+    finally:
+        df.unpersist()

@@ -1392,16 +1392,16 @@ def _x61_oracle() -> str:
 @query("x61_semdedup", oracle=_x61_oracle())
 def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the full embeddings table: k-means prunes the pair
-    space to within-cluster joins, cosine >= {t} pairs form semantic
-    duplicate groups (connected components), and each group keeps its
-    farthest-from-centroid member (dist2_e6 DESC, vec_id tie-break);
-    unpaired vectors keep themselves.
+    space to within-cluster joins, cosine pairs at or above
+    _X61_THRESHOLD (0.35) form semantic duplicate groups (connected
+    components), and each group keeps its farthest-from-centroid
+    member (dist2_e6 DESC, vec_id tie-break); unpaired vectors keep
+    themselves.
 
     Plan shape at 100 TB: the k centroids broadcast into assignment
     (vectors never shuffle for it), the pair join shuffles on cid — k
     times narrower than x04f's full cross pair space — and the keep
-    decision is one window over |corpus| rows keyed by component.
-    """.format(t=_X61_THRESHOLD)
+    decision is one window over |corpus| rows keyed by component."""
     from fanstats_producer_spark.operators.clustering import kmeans_assignments
 
     emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")

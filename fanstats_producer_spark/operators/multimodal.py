@@ -115,7 +115,11 @@ def decode_image(payload: bytes):
     RGB.  Supports bit depth 8, color types 0/2/3/4/6, non-interlaced.
     Adam7-interlaced PNGs and every non-PNG format (JPEG/WebP/...)
     raise NotImplementedError — callers fall back to deterministic
-    byte-level features, same as before this decoder existed."""
+    byte-level features, same as before this decoder existed.
+    Corrupt PNG-signed payloads raise ValueError (CRC/length mismatch),
+    struct.error (truncated header), or zlib.error (damaged deflate) —
+    batch callers must treat those as fallback-able too (a bad blob in
+    a 100 TB asset scan must not fail the job)."""
     import struct
     import zlib
 
@@ -209,6 +213,9 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     array (count, digest, first pixel); every other format falls back
     to deterministic byte-level features — same schema, so the batch
     shape stays production-real either way."""
+    import struct
+    import zlib
+
     for pdf in batches:
         payloads = pdf["payload"]
         feats = []
@@ -225,7 +232,11 @@ def extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "head_byte": int(flat[0]) if px.size else None,
                     }
                 )
-            except NotImplementedError:
+            except (NotImplementedError, ValueError, struct.error, zlib.error):
+                # non-PNG formats AND corrupt PNGs (truncated header ->
+                # struct.error, bit-flip -> CRC ValueError, damaged
+                # deflate -> zlib.error) all take the byte-level
+                # fallback — a bad blob must never fail the whole job
                 feats.append(
                     {
                         "doc_id": int(doc_id),

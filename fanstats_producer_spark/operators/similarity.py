@@ -683,12 +683,13 @@ _X57_ORACLE = f"""
 def x57_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed IVF+PQ ANN: assign every vector to its nearest routing
     seed (quantized-cosine argmax — a geometry-faithful coarse
-    quantizer, see the block comment), route each probe query to its 3
-    nearest seed lists, ADC-scan only those lists' PQ codes, keep the
-    20 best by compressed distance, then exact-cosine re-rank the
-    shortlist over raw vectors for the final top-5.  Every argmax /
-    ranking stage breaks ties on id over INTEGER-quantized distances,
-    so the composition is value-hash deterministic end to end."""
+    quantizer, see the block comment), route each probe query to its
+    _X57_NPROBE (5) nearest seed lists, ADC-scan only those lists' PQ
+    codes, keep the _X57_SHORTLIST (100) best by compressed distance,
+    then exact-cosine re-rank the shortlist over raw vectors for the
+    final top-5.  Every argmax / ranking stage breaks ties on id over
+    INTEGER-quantized distances, so the composition is value-hash
+    deterministic end to end."""
     emb = spread(load(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     queries = v.filter(

@@ -80,7 +80,14 @@ class RedditListingSource:
             for child in children:
                 if child.get("kind") != "t3":  # only link/self posts
                     continue
-                d = child["data"]
+                d = child.get("data") or {}
+                if not d.get("id"):
+                    # removed/deleted posts can arrive field-stripped;
+                    # a row without an id is unusable — skip it rather
+                    # than kill the whole scan (the rest.py tolerance
+                    # contract: land what's landable)
+                    continue
+                cu = d.get("created_utc")
                 rows.append(
                     {
                         "post_id": d["id"],
@@ -88,9 +95,9 @@ class RedditListingSource:
                         "title": d.get("title", ""),
                         "selftext": d.get("selftext", ""),
                         "author": d.get("author"),
-                        "created_utc": float(d["created_utc"]),
-                        "score": int(d.get("score", 0)),
-                        "num_comments": int(d.get("num_comments", 0)),
+                        "created_utc": float(cu) if cu is not None else None,
+                        "score": int(d.get("score") or 0),
+                        "num_comments": int(d.get("num_comments") or 0),
                     }
                 )
             if not after:  # listing exhausted
@@ -121,8 +128,17 @@ def normalize_posts(posts: DataFrame) -> DataFrame:
         )
         .otherwise(F.col("title"))
         .alias("text"),
+        # render the instant in UTC regardless of the session timezone
+        # (a bare date_format renders in spark.sql.session.timeZone, so
+        # the literal 'Z' would lie on any non-UTC session — measured:
+        # Europe/Berlin shifts the instant one hour); to_utc_timestamp
+        # re-expresses the session-zone wall clock back to UTC, making
+        # the composition timezone-invariant
         F.date_format(
-            F.timestamp_seconds("created_utc"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"
+            F.to_utc_timestamp(
+                F.timestamp_seconds("created_utc"), F.expr("current_timezone()")
+            ),
+            "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'",
         ).alias("created_at"),
         F.col("author").alias("author_id"),
         "subreddit",

@@ -262,8 +262,10 @@ def generate(
         texts.append(" ".join(toks))
     n_near = int(round(ndoc * 0.051))
     near_ids = rng.choice(np.arange(1, ndoc), size=n_near, replace=False)
+    dup_srcs: set[int] = set()
     for i in near_ids:
         src = int(rng.integers(0, i))
+        dup_srcs.add(src)
         toks = texts[src].split(" ")
         toks[int(rng.integers(0, len(toks)))] = "dup"
         texts[int(i)] = " ".join(toks)
@@ -272,12 +274,22 @@ def generate(
         np.setdiff1d(np.arange(1, ndoc), near_ids), size=n_exact, replace=False
     )
     for i in exact_ids:
-        texts[int(i)] = texts[int(rng.integers(0, i))]
+        src = int(rng.integers(0, i))
+        dup_srcs.add(src)
+        texts[int(i)] = texts[src]
     if hot_frac > 0:
-        # one hot cluster: hot_frac of docs are near-copies of doc 0
+        # one hot cluster: hot_frac of docs are near-copies of doc 0.
+        # Exclude the planted near/exact COPIES *and their sources* —
+        # overwriting a source would silently break the planted pairs
+        # the dedup keys measure against.
+        reserved = np.unique(
+            np.concatenate(
+                [near_ids, exact_ids, np.fromiter(dup_srcs, dtype="int64")]
+            )
+        )
         n_hot = max(int(round(ndoc * hot_frac)), 2)
         hot_ids = rng.choice(
-            np.setdiff1d(np.arange(1, ndoc), np.concatenate([near_ids, exact_ids])),
+            np.setdiff1d(np.arange(1, ndoc), reserved),
             size=n_hot - 1,
             replace=False,
         )

@@ -221,6 +221,37 @@ def test_png_codec_roundtrip_all_filters():
         decode_image(b"\xff\xd8\xffjpeg")
 
 
+def test_png_codec_roundtrip_property():
+    """Property-based: encode_png/decode_image round-trips ANY uint8
+    array — arbitrary shapes (including 1-pixel rows and widths below
+    bpp), gray and RGB — exercising every filter type against
+    arbitrary content."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fanstats_producer_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        rgb=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, rgb, seed):
+        rng = np.random.RandomState(seed)
+        shape = (h, w, 3) if rgb else (h, w)
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        out = decode_image(encode_png(img))
+        assert out.shape == img.shape and (out == img).all()
+
+    check()
+
+
 def test_extract_features_decodes_real_png(spark):
     """x07's worker reports DECODED-PIXEL features for PNG payloads
     (count/digest/first pixel of the pixel array, not the file bytes)."""

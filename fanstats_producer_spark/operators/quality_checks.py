@@ -336,3 +336,91 @@ def x49_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return z.filter(F.col("robust_z_e4") > _X49_Z).select(
         "event_id", "event_type", "value", "robust_z_e4"
     )
+
+
+# --- x63: PSI distribution-drift monitor ----------------------------------------
+# Population Stability Index — the standard production gate for "has
+# the incoming data's distribution drifted from the reference sample"
+# (PSI < 0.1 stable / 0.1-0.25 moderate / > 0.25 act).  Feature here:
+# power-of-2 document-length buckets (x54's binning); reference vs live
+# populations are the deterministic doc_id-parity halves (in production:
+# yesterday's accepted table vs today's batch).  Laplace-smoothed
+# per-bucket probabilities over each source's observed bucket set, the
+# ln contribution quantized to an e9 integer per bucket BEFORE the sum
+# (the x30 contract), so the per-source PSI is an exact integer sum.
+# Scale: one (source, bucket, half) aggregate, then |sources × buckets|
+# rows — corpus-size-independent after the first aggregate.
+@query(
+    "x63_psi_drift",
+    oracle="""
+    WITH b AS (
+      SELECT source, doc_id % 2 AS half,
+             CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS bucket
+      FROM documents),
+    counts AS (
+      SELECT source, bucket,
+             COUNT(*) FILTER (WHERE half = 0) AS n_ref,
+             COUNT(*) FILTER (WHERE half = 1) AS n_live
+      FROM b GROUP BY 1, 2),
+    tot AS (
+      SELECT source, SUM(n_ref) AS t_ref, SUM(n_live) AS t_live,
+             COUNT(*) AS n_buckets
+      FROM counts GROUP BY 1),
+    contrib AS (
+      SELECT c.source,
+             CAST(floor((
+               (CAST(c.n_live + 1 AS DOUBLE) / (t.t_live + t.n_buckets))
+               - (CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + t.n_buckets))
+             ) * ln(
+               (CAST(c.n_live + 1 AS DOUBLE) / (t.t_live + t.n_buckets))
+               / (CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + t.n_buckets))
+             ) * 1e9 + 0.5) AS BIGINT) AS psi_term_e9
+      FROM counts c JOIN tot t USING (source))
+    SELECT c.source,
+           CAST(SUM(c.psi_term_e9) AS BIGINT) AS psi_e9,
+           CAST(MIN(t.t_ref) AS BIGINT) AS n_ref,
+           CAST(MIN(t.t_live) AS BIGINT) AS n_live
+    FROM contrib c JOIN tot t USING (source)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x63_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source PSI between the reference and live halves over
+    power-of-2 length buckets — every term is derived from exact
+    integer counts and quantized before summation, so the monitor
+    value-hash-matches across engines."""
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).alias("bucket"),
+    )
+    counts = b.groupBy("source", "bucket").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("n_live"),
+    )
+    tot = counts.groupBy("source").agg(
+        F.sum("n_ref").alias("t_ref"),
+        F.sum("n_live").alias("t_live"),
+        F.count("*").alias("n_buckets"),
+    )
+    j = counts.join(F.broadcast(tot), "source")
+    p_live = (F.col("n_live") + 1).cast("double") / (
+        F.col("t_live") + F.col("n_buckets")
+    )
+    p_ref = (F.col("n_ref") + 1).cast("double") / (
+        F.col("t_ref") + F.col("n_buckets")
+    )
+    contrib = j.select(
+        "source",
+        "t_ref",
+        "t_live",
+        F.floor((p_live - p_ref) * F.log(p_live / p_ref) * 1e9 + 0.5)
+        .cast("long")
+        .alias("psi_term_e9"),
+    )
+    return contrib.groupBy("source").agg(
+        F.sum("psi_term_e9").cast("long").alias("psi_e9"),
+        F.min("t_ref").cast("long").alias("n_ref"),
+        F.min("t_live").cast("long").alias("n_live"),
+    )

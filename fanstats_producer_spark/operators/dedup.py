@@ -1401,7 +1401,14 @@ def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape at 100 TB: the k centroids broadcast into assignment
     (vectors never shuffle for it), the pair join shuffles on cid — k
     times narrower than x04f's full cross pair space — and the keep
-    decision is one window over |corpus| rows keyed by component."""
+    decision is one window over |corpus| rows keyed by component.  Two
+    levers the fixture pins but production turns: k scales with corpus
+    size so cluster cardinality stays bounded (the within-cluster pair
+    count is Σ|cluster|², so k ∝ N holds per-cluster work constant);
+    and the within-cluster scorer can swap the fold-exact JVM cosine
+    for an applyInPandas per-cluster BLAS matmul (~10x at sf1's
+    measured 85 s) at the cost of reassociated float sums — kept
+    fold-exact here because the oracle contract is bit-parity."""
     from fanstats_producer_spark.operators.clustering import kmeans_assignments
 
     emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")

@@ -9,6 +9,10 @@ pass — the same shape a real CV/audio stage would use.  IMAGE decode is
 REAL: `decode_image` is a stdlib-only PNG decoder (chunk walk with CRC
 verification, zlib inflate, all five reverse filters) with a matching
 `encode_png`, exercised end-to-end by the oracle-checked x58 round trip.
+AUDIO decode is REAL too: `encode_wav`/`decode_wav` are a stdlib-only
+RIFF/WAVE codec pair (chunk walk, fmt validation, 16-bit PCM),
+exercised end-to-end by the oracle-checked x64 round trip and
+cross-validated against the stdlib `wave` module in tests.
 Only VIDEO decode remains stubbed (no ffmpeg in this container):
 `decode_video`/`sample_frames` raise NotImplementedError and their
 pipelines substitute deterministic fakes, keeping the Spark-side
@@ -597,9 +601,9 @@ def x42_sample_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
 )
 def x42_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sample the manufactured video payloads: every
-    {stride}th fixed-size frame, fingerprinted — the oracle re-derives
-    frame boundaries and the sampled-bytes md5 from the same ASCII
-    payloads.""".format(stride=_FRAME_STRIDE)
+    `_FRAME_STRIDE`th fixed-size frame, fingerprinted — the oracle
+    re-derives frame boundaries and the sampled-bytes md5 from the same
+    ASCII payloads."""
     from fanstats_producer_spark.io import spread
 
     payloads = with_payload(
@@ -608,4 +612,174 @@ def x42_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         x42_sample_worker,
         schema="doc_id long, n_frames long, n_sampled long, sample_fp string",
+    )
+
+
+# --- x64: REAL audio decode (stdlib WAV codec + framed features) -----------------
+#
+# Same posture as the PNG pair above: a hand-rolled RIFF/WAVE writer and
+# a hand-rolled chunk-walk parser (both stdlib-only), cross-validated
+# against the stdlib `wave` module in tests, so the audio arm of the
+# multimodal mandate decodes a genuine container format rather than a
+# fake.  Reference anchor: none (the reference has no multimodal at
+# all) — this is the X-layer audio mandate.
+
+_WAV_RATE = 16000
+_WAV_FRAME = 256  # samples per analysis frame (non-overlapping)
+
+
+def encode_wav(samples, rate: int = _WAV_RATE) -> bytes:
+    """Minimal REAL WAV encoder (stdlib only): mono 16-bit signed PCM
+    numpy array -> canonical RIFF/WAVE bytes (fmt + data chunks, even
+    chunk padding per the RIFF spec).  Output opens cleanly in the
+    stdlib `wave` module (asserted in tests)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = (
+        b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+        + (b"\x00" if len(pcm) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav(payload: bytes):
+    """REAL stdlib-only WAV parser: RIFF signature + chunk walk (skips
+    unknown chunks, honors even-byte chunk padding), fmt validation
+    (PCM tag 1, mono/stereo, 16-bit), data extraction.  Returns
+    (rate, channels, sampwidth_bytes, samples) with samples a
+    little-endian int16 numpy array (interleaved when stereo).
+    Non-RIFF payloads and non-PCM encodings raise NotImplementedError;
+    structurally broken WAVs (missing/truncated fmt or data chunks)
+    raise ValueError — callers fall back exactly as for PNG."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    fmt = None
+    data = None
+    off = 12
+    while off + 8 <= len(b):
+        cid = b[off : off + 4]
+        (clen,) = struct.unpack("<I", b[off + 4 : off + 8])
+        chunk = b[off + 8 : off + 8 + clen]
+        if len(chunk) < clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = chunk
+        elif cid == b"data":
+            data = chunk
+        off += 8 + clen + (clen % 2)  # chunks are even-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, channels, rate, _brate, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag != 1:
+        raise NotImplementedError(f"non-PCM WAV (format tag {tag})")
+    if bits != 16 or channels not in (1, 2):
+        raise NotImplementedError("only 16-bit mono/stereo PCM supported")
+    samples = np.frombuffer(data[: len(data) - len(data) % 2], dtype="<i2")
+    return rate, channels, 2, samples
+
+
+def wav_roundtrip_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize 16-bit PCM from the payload bytes
+    ((byte-128)<<8 per sample — byte-deterministic, so the oracle can
+    re-derive it), encode to a genuine WAV container, decode it back
+    with the chunk-walk parser, then compute per-frame energy/peak over
+    the DECODED samples.  The container header fields (rate, channels)
+    flow through to the output, so a header-parse regression is
+    value-hash visible."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            raw = np.frombuffer(bytes(blob), dtype=np.uint8)
+            pcm = ((raw.astype(np.int16) - 128) * 256).astype("<i2")
+            rate, channels, _width, dec = decode_wav(encode_wav(pcm))
+            s = dec.astype(np.int64)
+            for f in range(0, len(s), _WAV_FRAME):
+                chunk = s[f : f + _WAV_FRAME]
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_id": f // _WAV_FRAME,
+                        "n_samples": int(chunk.size),
+                        "energy": int((chunk * chunk).sum()),
+                        "peak": int(np.abs(chunk).max()),
+                        "rate": int(rate),
+                        "channels": int(channels),
+                    }
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id",
+                "frame_id",
+                "n_samples",
+                "energy",
+                "peak",
+                "rate",
+                "channels",
+            ],
+        )
+
+
+@query(
+    "x64_wav_decode",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS l
+      FROM documents),
+    pos AS (
+      SELECT doc_id, hx, unnest(range(l)) AS p FROM t),
+    smp AS (
+      SELECT doc_id, p,
+             CAST((CAST(('0x' || substring(hx, CAST(2 * p + 1 AS INT), 2))
+                        AS INT) - 128) * 256 AS BIGINT) AS s
+      FROM pos)
+    SELECT doc_id,
+           CAST(p // {_WAV_FRAME} AS INT) AS frame_id,
+           CAST(COUNT(*) AS INT) AS n_samples,
+           CAST(SUM(s * s) AS BIGINT) AS energy,
+           CAST(MAX(abs(s)) AS INT) AS peak,
+           {_WAV_RATE} AS rate,
+           1 AS channels
+    FROM smp GROUP BY 1, 2
+    """,
+)
+def x64_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x64: REAL audio decode in the multimodal path — payload bytes
+    become 16-bit PCM, encoded into a genuine RIFF/WAVE container and
+    decoded back through the stdlib chunk-walk parser (cross-validated
+    against the `wave` module in tests), then framed into 256-sample
+    windows with integer energy/peak features; the oracle re-derives
+    every sample value and frame boundary from the text bytes.  Decode
+    runs inside mapInPandas, so at 100 TB the codec work distributes
+    across executors with zero shuffle, same as the PNG arm."""
+    from fanstats_producer_spark.io import spread
+
+    payloads = with_payload(
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+    ).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        wav_roundtrip_features,
+        schema=(
+            "doc_id long, frame_id int, n_samples int, energy long, "
+            "peak int, rate int, channels int"
+        ),
     )

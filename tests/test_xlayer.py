@@ -1025,3 +1025,69 @@ def test_mad_outliers_are_extreme(spark):
     n_events = load(spark, SF_DIR, "events").count()
     assert 0 < len(rows) < n_events * 0.05
     assert all(r.robust_z_e4 > 35000 for r in rows)
+
+
+def test_wav_codec_roundtrip_and_wave_module_interop():
+    """The stdlib WAV codec is real: encode_wav's bytes open cleanly in
+    the stdlib `wave` module with identical header fields and frames;
+    wave-module-written bytes decode through decode_wav (interop both
+    ways); stereo round-trips; non-RIFF / non-PCM / truncated payloads
+    raise the documented fallback exceptions."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fanstats_producer_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(11)
+    pcm = rng.randint(-32768, 32768, 999).astype("<i2")  # odd byte count path
+    wav = encode_wav(pcm, rate=8000)
+    # our encoder -> stdlib wave reader
+    with wave.open(io.BytesIO(wav)) as r:
+        assert r.getframerate() == 8000
+        assert r.getnchannels() == 1
+        assert r.getsampwidth() == 2
+        assert r.getnframes() == 999
+        frames = np.frombuffer(r.readframes(999), dtype="<i2")
+    assert (frames == pcm).all()
+    # our encoder -> our decoder
+    rate, channels, width, dec = decode_wav(wav)
+    assert (rate, channels, width) == (8000, 1, 2)
+    assert (dec == pcm).all()
+    # stdlib wave writer -> our decoder (stereo)
+    buf = io.BytesIO()
+    stereo = rng.randint(-32768, 32768, 64).astype("<i2")
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(stereo.tobytes())
+    rate, channels, width, dec = decode_wav(buf.getvalue())
+    assert (rate, channels) == (44100, 2)
+    assert (dec == stereo).all()
+    # fallback contract: non-RIFF -> NotImplementedError
+    with _pytest.raises(NotImplementedError):
+        decode_wav(b"OggS not a wav")
+    # non-PCM format tag -> NotImplementedError
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)  # IEEE float tag
+    blob = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt) + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_wav(blob)
+    # truncated data chunk -> ValueError
+    trunc = wav[:-10]
+    with _pytest.raises(ValueError):
+        decode_wav(trunc)
+    # missing data chunk -> ValueError
+    nodata = wav[: 12 + 8 + 16]
+    with _pytest.raises(ValueError):
+        decode_wav(nodata)

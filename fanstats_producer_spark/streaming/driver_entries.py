@@ -817,3 +817,62 @@ def s15_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("n").alias("n"), F.max("sum_value").alias("sum_value"))
     )
+
+
+@query(
+    "s19_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           n.n_name AS nation,
+           COUNT(*) AS n_events,
+           {sum_value} AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY 1, 2
+    """.format(sum_value=sql_dsum_pos("e.value")),
+)
+def s19_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s19: stream-static broadcast join run for real — purchase events
+    stream through a stateless join against the static customer x
+    nation dimension (re-planned per micro-batch, broadcast so the
+    stream side never shuffles), then an UNWINDOWED update-mode
+    aggregation by (segment, nation) — the one streaming-agg flavor the
+    other drains don't cover (no watermark: grouping keys are a bounded
+    dimension domain, so state is bounded by the dimension, not by
+    time).  The drained table's final emission per key equals the batch
+    three-way join aggregate the oracle states."""
+    from fanstats_producer_spark.functions.num import dsum_pos
+    from fanstats_producer_spark.io import load
+
+    name = f"s19_mem_{uuid.uuid4().hex[:8]}"
+    stream = _read_events_stream(spark, sf_dir).where(
+        F.col("event_type") == "purchase"
+    )
+    enriched = jobs.enrich_with_dims(
+        stream, load(spark, sf_dir, "customer"), load(spark, sf_dir, "nation")
+    )
+    agg = enriched.groupBy("segment", "nation").agg(
+        F.count("*").alias("n_events"),
+        dsum_pos("value").alias("sum_value"),
+    )
+    with _few_partitions(spark), _skip_nodata_batch(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    # update mode re-emits a key each batch it changes in; both
+    # aggregates are monotone over positive inputs, so max = final.
+    return (
+        spark.table(name)
+        .groupBy("segment", "nation")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+    )

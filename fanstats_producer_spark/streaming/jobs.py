@@ -199,6 +199,32 @@ def clicks_to_purchases_join(
     )
 
 
+def enrich_with_dims(
+    events: DataFrame, customer: DataFrame, nation: DataFrame
+) -> DataFrame:
+    """s19: stream-static broadcast enrichment — the event stream joins
+    a STATIC dimension (customer x nation) on every micro-batch.
+
+    Stream-static inner joins are STATELESS: no watermark, no state
+    store — the static side is re-planned each micro-batch (so a dim
+    table refreshed between batches is picked up), and the explicit
+    broadcast hint keeps the unbounded stream side un-shuffled.  At
+    100 TB/day of events this is the canonical enrichment shape: the
+    dimension rides the broadcast (or, past broadcast size, a
+    storage-partitioned/bucketed join), and the stream never exchanges.
+    """
+    dims = customer.join(
+        nation, customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("c_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+    )
+    return events.join(
+        F.broadcast(dims), events.user_id == dims.c_custkey, "inner"
+    )
+
+
 def upsert_latest_per_key(
     df: DataFrame,
     state_dir: str,

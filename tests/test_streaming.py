@@ -837,3 +837,58 @@ def test_tws_initial_state_warm_start(spark, landing):
     rows = {r.user_id: r.n for r in got.collect()}
     assert rows[7] == 101  # seeded 100 + 1 arriving event
     assert rows[8] == 1    # unseeded key starts at 0
+
+
+def test_stream_static_broadcast_enrichment(spark, landing):
+    """s19: the static dimension joins onto EVERY micro-batch with no
+    streaming state (stateless stream-static join), unmatched stream
+    rows drop (inner), and the executed plan broadcasts the dim side."""
+    import contextlib
+    import io as _io
+    import os as _os
+
+    customer = spark.createDataFrame(
+        [(1, 10, "AUTO"), (2, 20, "BIKE")],
+        "c_custkey long, c_nationkey long, c_mktsegment string",
+    )
+    nation = spark.createDataFrame(
+        [(10, "US"), (20, "JP")], "n_nationkey long, n_name string"
+    )
+    _write_batch(
+        landing,
+        "b1.json",
+        [
+            _event(1, "2024-01-01T00:00:00Z", user=1),
+            _event(2, "2024-01-01T01:00:00Z", user=99),  # no dim match
+        ],
+    )
+    _write_batch(
+        landing, "b2.json", [_event(3, "2024-01-02T00:00:00Z", user=2)]
+    )
+    # distinct mtimes pin file-stream batch order (same-second writes race)
+    _os.utime(landing / "b1.json", (1000000000, 1000000000))
+    _os.utime(landing / "b2.json", (1000000100, 1000000100))
+    stream = jobs.read_event_stream(spark, str(landing), max_files_per_trigger=1)
+    enriched = jobs.enrich_with_dims(stream, customer, nation).select(
+        "event_id", "segment", "nation"
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("s19t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    progresses = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain()
+    plan = buf.getvalue()
+    rows = {tuple(r) for r in spark.sql("SELECT * FROM s19t").collect()}
+    # both micro-batches enriched; the unmatched row dropped
+    assert rows == {(1, "AUTO", "US"), (3, "BIKE", "JP")}
+    assert len(progresses) >= 2  # maxFilesPerTrigger=1 -> one batch per file
+    # stateless: no stateful operators ran in any progress event
+    assert all(not p.get("stateOperators") for p in progresses)
+    assert "BroadcastHashJoin" in plan

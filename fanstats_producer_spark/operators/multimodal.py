@@ -13,10 +13,14 @@ AUDIO decode is REAL too: `encode_wav`/`decode_wav` are a stdlib-only
 RIFF/WAVE codec pair (chunk walk, fmt validation, 16-bit PCM),
 exercised end-to-end by the oracle-checked x64 round trip and
 cross-validated against the stdlib `wave` module in tests.
-Only VIDEO decode remains stubbed (no ffmpeg in this container):
-`decode_video`/`sample_frames` raise NotImplementedError and their
-pipelines substitute deterministic fakes, keeping the Spark-side
-plumbing (schema, batching, partitioning) fully real and testable.
+ANIMATION decode is REAL as well: `encode_gif`/`decode_gif` are a
+stdlib-only animated-GIF89a codec (block walk, real variable-width LZW,
+per-frame delays), exercised end-to-end by the oracle-checked x65
+round trip.  Only ffmpeg-class VIDEO codecs (H.264/VP9/...) remain
+stubbed (no ffmpeg in this container): `decode_video`/`sample_frames`
+raise NotImplementedError and their pipelines substitute deterministic
+fakes, keeping the Spark-side plumbing (schema, batching, partitioning)
+fully real and testable.
 
 The fixture has no binary column, so x07 manufactures payloads from
 `documents.text` (UTF-8 bytes) — byte-identical on both engines, which
@@ -345,7 +349,8 @@ def x58_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the text (fixture text is ASCII, so rpad's char padding is
     byte padding).  Decode runs inside mapInPandas, so at 100 TB the
     codec work distributes across executors with zero shuffle — the
-    fallback-only video stub remains the one fake left in the repo."""
+    fallback-only ffmpeg-class video stub is the one fake left in the
+    repo (audio and animation decode are real too: x64, x65)."""
     from fanstats_producer_spark.io import spread
 
     payloads = with_payload(
@@ -394,7 +399,8 @@ def tensor_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 # The oracle reproduces np.array_split's boundaries (i*(l//8)+min(i,l%8))
 # byte-for-byte over the UTF-8 blob, so the numpy pooling is value-hash
-# checked — the decode stub is the only fake in the multimodal path.
+# checked — the ffmpeg-class video stub is the only fake in the
+# multimodal path.
 @query(
     "x07b_tensor_features",
     oracle="""
@@ -781,5 +787,314 @@ def x64_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, frame_id int, n_samples int, energy long, "
             "peak int, rate int, channels int"
+        ),
+    )
+
+
+# --- x65: REAL animation decode (stdlib GIF89a codec + frame sampling) -----------
+#
+# The video arm's last fake: x42 samples frames from a byte-sliced
+# pseudo-container.  This section adds a genuine multi-frame container:
+# a stdlib-only animated-GIF89a writer (real variable-width LZW
+# compressor, sub-block framing, per-frame graphic-control delays) and
+# a matching parser (block walk, LZW decompressor with clear/EOI and
+# code-width growth), so frame extraction + per-frame timing decode a
+# real animation format end-to-end.  ffmpeg-class codecs (H.264/VP9)
+# remain the one documented stub (`decode_video`).
+
+_GIF_W, _GIF_H = 16, 8  # frame geometry: 128 payload bytes per frame
+
+
+def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-flavor LZW: variable code width (grows at 2^n+1 entries,
+    caps at 12 bits, emits CLEAR and resets on table overflow),
+    LSB-first bit packing, CLEAR prologue + EOI epilogue."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for byte in data:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # the decoder learns this entry one code later, so it widens at
+        # next==2^n while the encoder widens at next==2^n+1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == (1 << 12) + 1:  # table full: reset both sides
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, min_code_size + 1
+        w = wc[-1:]
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of :func:`_lzw_encode` (the general GIF decoder: handles
+    the KwKwK self-reference case and mid-stream CLEAR resets)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    bitbuf = nbits = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal bitbuf, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated LZW stream")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        return code
+
+    table: list[bytes] = []
+    next_free = width = 0
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, next_free, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        next_free, width, prev = eoi + 1, min_code_size + 1, None
+
+    reset()
+    while True:
+        code = read(width)
+        if code == clear:
+            reset()
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < next_free and code not in (clear, eoi):
+            entry = table[code]
+        elif code == next_free and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+            next_free += 1
+            if next_free == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    """Wrap raw bytes into GIF <=255-byte sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(frames, delays_cs, w: int = _GIF_W, h: int = _GIF_H) -> bytes:
+    """Minimal REAL animated-GIF89a encoder (stdlib only): frames are
+    (h, w) uint8 index arrays over a 256-entry grayscale global color
+    table; each frame carries a graphic-control delay (centiseconds).
+    Includes the Netscape looping extension, so the output is the exact
+    grammar browsers animate."""
+    import struct
+
+    import numpy as np
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT: 256 entries
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+    for px, delay in zip(frames, delays_cs):
+        arr = np.asarray(px, dtype=np.uint8).reshape(h, w)
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([8]) + _gif_subblocks(_lzw_encode(arr.tobytes(), 8))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """REAL stdlib-only animated-GIF parser: header + logical screen
+    descriptor, global color table, block walk (graphic-control and
+    application extensions, image descriptors), sub-block reassembly,
+    and full LZW decompression per frame.  Returns (width, height,
+    frames) where frames is a list of (delay_cs, pixels) with pixels a
+    (h, w) uint8 numpy array of color-table indices.  Non-GIF payloads
+    raise NotImplementedError (the fallback contract); interlaced or
+    local-color-table frames and structurally broken files raise
+    ValueError."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise NotImplementedError("not a GIF payload")
+    w, h, packed, _bg, _aspect = struct.unpack("<HHBBB", b[6:13])
+    off = 13
+    if packed & 0x80:
+        off += 3 * (2 << (packed & 0x07))  # skip global color table
+    frames = []
+    delay = 0
+    while off < len(b):
+        block = b[off]
+        off += 1
+        if block == 0x3B:  # trailer
+            return w, h, frames
+        if block == 0x21:  # extension: label + sub-blocks
+            if off >= len(b):
+                raise ValueError("truncated extension")
+            label = b[off]
+            off += 1
+            blocks = []
+            while True:
+                if off >= len(b):
+                    raise ValueError("truncated extension sub-blocks")
+                n = b[off]
+                off += 1
+                if n == 0:
+                    break
+                blocks.append(b[off : off + n])
+                off += n
+            if label == 0xF9 and blocks:  # graphic control: frame delay
+                delay = struct.unpack("<H", blocks[0][1:3])[0]
+            continue
+        if block == 0x2C:  # image descriptor
+            left, top, fw, fh, fpacked = struct.unpack(
+                "<HHHHB", b[off : off + 9]
+            )
+            off += 9
+            if fpacked & 0xC0:
+                raise ValueError("local color table / interlace unsupported")
+            min_code = b[off]
+            off += 1
+            lzw = bytearray()
+            while True:
+                n = b[off]
+                off += 1
+                if n == 0:
+                    break
+                lzw.extend(b[off : off + n])
+                off += n
+            raw = _lzw_decode(bytes(lzw), min_code)
+            if len(raw) != fw * fh:
+                raise ValueError("frame pixel count mismatch")
+            frames.append(
+                (delay, np.frombuffer(raw, np.uint8).reshape(fh, fw))
+            )
+            delay = 0
+            continue
+        raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("missing GIF trailer")
+
+
+def gif_roundtrip_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload bytes become an animated GIF (one
+    16x8 frame per 128 bytes, space-padded tail, delay = frame index
+    centiseconds), encoded and decoded through the stdlib codec; the
+    emitted per-frame digest/delay come from the DECODED frames."""
+    import numpy as np
+
+    n_bytes = _GIF_W * _GIF_H
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(blob)
+            n_frames = max(1, -(-len(b) // n_bytes))
+            padded = b + b" " * (n_frames * n_bytes - len(b))
+            frames = [
+                np.frombuffer(
+                    padded[i * n_bytes : (i + 1) * n_bytes], np.uint8
+                ).reshape(_GIF_H, _GIF_W)
+                for i in range(n_frames)
+            ]
+            decoded = decode_gif(encode_gif(frames, range(n_frames)))
+            _w, _h, out_frames = decoded
+            for fid, (delay, px) in enumerate(out_frames):
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_id": fid,
+                        "delay_cs": int(delay),
+                        "n_px": int(px.size),
+                        "frame_sha": hashlib.sha256(px.tobytes()).hexdigest(),
+                    }
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "frame_id", "delay_cs", "n_px", "frame_sha"],
+        )
+
+
+@query(
+    "x65_gif_decode",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             rpad(text,
+                  CAST({_GIF_W * _GIF_H} * greatest(1,
+                       ceil(octet_length(encode(text))
+                            / {_GIF_W * _GIF_H}.0)) AS INT),
+                  ' ') AS padded,
+             CAST(greatest(1, ceil(octet_length(encode(text))
+                                   / {_GIF_W * _GIF_H}.0)) AS INT) AS nf
+      FROM documents)
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_id,
+           CAST(f AS INT) AS delay_cs,
+           {_GIF_W * _GIF_H} AS n_px,
+           sha256(substring(padded,
+                            CAST(f * {_GIF_W * _GIF_H} + 1 AS INT),
+                            {_GIF_W * _GIF_H})) AS frame_sha
+    FROM t, unnest(range(nf)) AS r(f)
+    """,
+)
+def x65_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x65: REAL animation decode in the multimodal path — documents
+    render to genuine animated GIF89a files (stdlib encoder with a real
+    variable-width LZW compressor and per-frame timing) and the stdlib
+    parser (block walk + LZW decompressor) recovers every frame and its
+    delay; the oracle recomputes each frame digest straight from the
+    text (ASCII fixture, so rpad/substring are byte-exact).  With x58
+    (PNG) and x64 (WAV), all three multimodal arms now decode real
+    container formats inside mapInPandas — distributed, zero-shuffle;
+    only ffmpeg-class video codecs remain stubbed."""
+    from fanstats_producer_spark.io import spread
+
+    payloads = with_payload(
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+    ).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        gif_roundtrip_features,
+        schema=(
+            "doc_id long, frame_id int, delay_cs int, n_px int, "
+            "frame_sha string"
         ),
     )

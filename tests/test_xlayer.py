@@ -1091,3 +1091,41 @@ def test_wav_codec_roundtrip_and_wave_module_interop():
     nodata = wav[: 12 + 8 + 16]
     with _pytest.raises(ValueError):
         decode_wav(nodata)
+
+
+def test_gif_codec_roundtrip_and_rejects():
+    """The stdlib animated-GIF codec is real: multi-frame round trip
+    with per-frame delays; LZW survives width growth, table-reset, and
+    the KwKwK case; non-GIF and structurally broken payloads raise the
+    documented fallback exceptions."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fanstats_producer_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.RandomState(5)
+    # table reset: >4096 dict entries needs low-entropy data long enough
+    long_rep = bytes(rng.randint(0, 4, 60000).astype(np.uint8))
+    assert _lzw_decode(_lzw_encode(long_rep)) == long_rep
+    # KwKwK self-reference: aaa... emits a code equal to next_free
+    assert _lzw_decode(_lzw_encode(b"aaaaaaaaaa")) == b"aaaaaaaaaa"
+    frames = [rng.randint(0, 256, (8, 16)).astype(np.uint8) for _ in range(7)]
+    w, h, out = decode_gif(encode_gif(frames, [3 * i for i in range(7)]))
+    assert (w, h) == (16, 8) and len(out) == 7
+    for i, (delay, px) in enumerate(out):
+        assert delay == 3 * i
+        assert (px == frames[i]).all()
+    with _pytest.raises(NotImplementedError):
+        decode_gif(b"RIFF this is not a gif")
+    gif = encode_gif(frames[:1], [0])
+    with _pytest.raises(ValueError):
+        decode_gif(gif[:-1])  # trailer stripped
+    bad = bytearray(gif)
+    bad[-20] ^= 0xFF  # corrupt LZW body
+    with _pytest.raises(ValueError):
+        decode_gif(bytes(bad))

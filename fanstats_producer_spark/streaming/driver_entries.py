@@ -876,3 +876,73 @@ def s19_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sum_value").alias("sum_value"),
         )
     )
+
+
+@query(
+    "s20_union_streams",
+    oracle="""
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           event_type,
+           COUNT(*) AS n,
+           {sum_value} AS sum_value
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY 1, 2
+    """.format(sum_value=sql_dsum_pos("value")),
+)
+def s20_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s20: UNION of two independent streaming sources — clicks and
+    purchases land in separate directories (two distinct file-stream
+    sources, the multi-topic/multi-landing-zone shape), are unioned
+    into ONE streaming plan, and feed a shared watermarked daily
+    aggregation.  Spark tracks per-source offsets independently inside
+    one checkpoint and takes the MIN watermark across sources — the
+    semantics a multi-source production ingest relies on.  Drained in
+    update mode; the final emission per key equals the batch aggregate
+    over both event types."""
+    import os
+    import shutil
+
+    from fanstats_producer_spark.functions.num import dsum_pos
+    from fanstats_producer_spark.io import load
+
+    name = f"s20_mem_{uuid.uuid4().hex[:8]}"
+    events = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    stage = tempfile.mkdtemp(prefix="s20_split_")
+    clicks_dir = os.path.join(stage, "clicks")
+    purchases_dir = os.path.join(stage, "purchases")
+    # distributed split write (no driver materialization), one dir per
+    # "topic" — each becomes its own file-stream source
+    events.where(F.col("event_type") == "click").write.parquet(clicks_dir)
+    events.where(F.col("event_type") == "purchase").write.parquet(
+        purchases_dir
+    )
+    schema = spark.read.parquet(clicks_dir).schema
+    clicks = spark.readStream.schema(schema).parquet(clicks_dir)
+    purchases = spark.readStream.schema(schema).parquet(purchases_dir)
+    unioned = clicks.union(purchases).withWatermark("ts", "30 minutes")
+    agg = unioned.groupBy(
+        F.window("ts", "1 day").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"), dsum_pos("value").alias("sum_value"))
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
+        return (
+            spark.table(name)
+            .groupBy(
+                F.col("w.start").cast("date").cast("string").alias("day"),
+                "event_type",
+            )
+            .agg(F.max("n").alias("n"), F.max("sum_value").alias("sum_value"))
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -892,3 +892,90 @@ def test_stream_static_broadcast_enrichment(spark, landing):
     # stateless: no stateful operators ran in any progress event
     assert all(not p.get("stateOperators") for p in progresses)
     assert "BroadcastHashJoin" in plan
+
+
+def test_tws_crash_recovery_parity(spark, landing, tmp_path):
+    """Exactly-once under failure for TYPED state: a
+    transformWithStateInPandas sessionizer (ListState + event-time
+    timers in RocksDB) is stopped after its first micro-batch,
+    restarted from the same checkpoint, and the landed table must be
+    IDENTICAL to an uninterrupted run — ListState contents, the armed
+    timer queue, and the watermark all recover from the RocksDB
+    checkpoint."""
+    import os as _os
+    import time as _time
+
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    from fanstats_producer_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no google.protobuf and no vendored runtime to alias")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    rows = {
+        # user 7's session: two events, closes when the watermark passes
+        "b1.json": [
+            _event(1, "2024-01-01T10:00:00Z", user=7, value=1.0),
+            _event(2, "2024-01-01T10:10:00Z", user=7, value=2.0),
+        ],
+        # user 8 opens; watermark moves to 10:50, not past 7's deadline
+        "b2.json": [
+            _event(3, "2024-01-01T11:00:00Z", user=8, value=4.0),
+        ],
+        # watermark -> 13:50: closes 7 (10:10+30m) and 8 (11:00+30m)
+        "b3.json": [
+            _event(4, "2024-01-01T14:00:00Z", user=9, value=8.0),
+        ],
+    }
+    for i, (name, rs) in enumerate(rows.items()):
+        _write_batch(landing, name, rs)
+        t = _time.time() - 100 + i * 10
+        _os.utime(landing / name, (t, t))
+
+    def start(out, ckpt):
+        df = jobs.user_session_close_tws(
+            jobs.read_event_stream(
+                spark, str(landing), max_files_per_trigger=1
+            ),
+            gap_seconds=1800,
+            watermark="10 minutes",
+        )
+        return (
+            df.writeStream.format("parquet")
+            .option("checkpointLocation", ckpt)
+            .option("path", out)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    def landed(out):
+        back = spark.read.schema(
+            "user_id long, n_events long, first_ms long, last_ms long"
+        ).parquet(out)
+        return sorted(map(tuple, back.collect()))
+
+    out_a, ck_a = str(tmp_path / "outA"), str(tmp_path / "ckA")
+    q = start(out_a, ck_a)
+    q.awaitTermination(180)
+    ref = landed(out_a)
+    # sessions for users 7 and 8 closed; 9 still open (not emitted)
+    assert [r[0] for r in ref] == [7, 8]
+
+    out_b, ck_b = str(tmp_path / "outB"), str(tmp_path / "ckB")
+    q = start(out_b, ck_b)
+    deadline = _time.time() + 90
+    while _time.time() < deadline:
+        if any(p["numInputRows"] > 0 for p in q.recentProgress):
+            break
+        _time.sleep(0.05)
+    else:
+        raise AssertionError("no data batch committed within 90s")
+    q.stop()
+    q.awaitTermination(60)
+
+    q = start(out_b, ck_b)
+    q.awaitTermination(180)
+    assert landed(out_b) == ref

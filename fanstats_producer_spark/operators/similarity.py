@@ -887,3 +887,78 @@ def x57b_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         qint(F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall_e6"),
     )
+
+
+# --- x66: semantic decontamination (embedding-space eval-set removal) ------------
+#
+# The embedding-space sibling of x27's n-gram decontamination: instead
+# of shared shingles, a training document is contaminated when its
+# embedding lies too close (cosine) to any held-out eval vector — the
+# check that catches paraphrased or reformatted benchmark leakage that
+# exact n-grams miss.  Scale shape mirrors x27: the EVAL SET is the
+# small side and broadcasts; the corpus streams through one scan with a
+# per-row max over the broadcast vectors — the corpus never shuffles,
+# and the per-doc argmax is a partition-local window over the hash
+# partitioning `spread` already established.
+
+_X66_N_EVAL = 20
+_X66_THRESH_E6 = 350_000  # cosine >= 0.35 (e6-quantized -> integer-exact flag)
+
+
+@query(
+    "x66_semantic_decontam",
+    oracle=f"""
+    WITH e AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ev
+               FROM embeddings WHERE vec_id < {_X66_N_EVAL}),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id >= {_X66_N_EVAL}),
+         scored AS (
+           SELECT c.vec_id, e.eval_id,
+                  list_cosine_similarity(c.v, e.ev) AS sim
+           FROM c CROSS JOIN e),
+         ranked AS (
+           SELECT vec_id, eval_id, sim,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY sim DESC, eval_id) AS rnk
+           FROM scored)
+    SELECT vec_id,
+           eval_id AS nearest_eval_id,
+           CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS max_sim_e6,
+           CAST(CAST(floor(sim * 1e6 + 0.5) AS BIGINT)
+                >= {_X66_THRESH_E6} AS INT) AS contaminated
+    FROM ranked WHERE rnk = 1
+    """,
+)
+def x66_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x66: per-corpus-vector max cosine against the broadcast eval
+    set, nearest eval id (ties broken by id), and an integer-exact
+    contamination flag (the threshold compares the e6-QUANTIZED
+    similarity, so the keep/drop decision can never straddle a float
+    rounding boundary between engines).  Downstream, `contaminated = 0`
+    is the release filter — kept as a flag here so the monitor view
+    (how MUCH leaked, and near which eval items) rides the same scan."""
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    evals = emb.filter(F.col("vec_id") < _X66_N_EVAL).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("ev")
+    )
+    corpus = emb.filter(F.col("vec_id") >= _X66_N_EVAL).select(
+        "vec_id", F.col("embedding").alias("v")
+    )
+    scored = corpus.join(F.broadcast(evals)).withColumn(
+        "sim", cosine(F.col("v"), F.col("ev"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("eval_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "vec_id",
+            F.col("eval_id").alias("nearest_eval_id"),
+            qint("sim").alias("max_sim_e6"),
+            (qint("sim") >= F.lit(_X66_THRESH_E6))
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

@@ -178,6 +178,25 @@ HEADLINERS = {
         "pairs, and a broadcast cluster map into the keep-best window "
         "— the corpus text itself is never shuffled at any stage."
     ),
+    "x64_wav_decode": (
+        "Real audio decode: the WAV encode/decode round trip plus "
+        "frame-energy arithmetic all run inside ONE ArrowEvalPython "
+        "(mapInPandas) over the spread scan — no shuffle, no collect; "
+        "at 100 TB the codec work is embarrassingly parallel across "
+        "executors."
+    ),
+    "x65_gif_decode": (
+        "Real animation decode: animated-GIF89a encode (real LZW) and "
+        "block-walk parse ride the same single mapInPandas stage as "
+        "x64 — zero shuffles; per-frame rows are generated inside the "
+        "Arrow batch, never exchanged."
+    ),
+    "x66_semantic_decontam": (
+        "Semantic decontamination: the eval set broadcasts "
+        "(BroadcastNestedLoopJoin); the corpus is hash-partitioned once "
+        "by `spread` and the per-doc argmax window REUSES that "
+        "partitioning — no further exchange after the broadcast join."
+    ),
 }
 
 

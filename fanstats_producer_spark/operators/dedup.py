@@ -1472,3 +1472,56 @@ def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist2_e6",
         (F.col("rn") == 1).alias("is_kept"),
     )
+
+
+def streaming_band_keys(
+    docs: DataFrame, n_hashes: int = 64, bands: int = 16, k: int = 3
+) -> DataFrame:
+    """Per-ROW MinHash signature + LSH band keys — the streaming-safe
+    formulation of minhash_native_pairs' signature stage (s21).
+
+    The batch path computes each signature component as a groupBy MIN
+    over exploded shingle hashes; a stream can't re-aggregate a
+    document across micro-batches, so here the whole signature is a
+    single projection: the shingle array maps once through the md5
+    word (one digest per shingle), and each of the `n_hashes`
+    components is array_min over the per-component universal hash —
+    identical constants and bit-math to the batch/or oracle formula
+    (_mh_ab, mod P), so the two formulations produce byte-identical
+    signatures (asserted in tests).  Everything is JVM array kernels:
+    no UDF, no shuffle, no state — the stateless prefix of the online
+    dedup."""
+    r = n_hashes // bands
+    sh = with_shingles(docs, k=k).filter(F.size("shingles") > 0)
+    sh = sh.withColumn(
+        "__wms",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
+                "long"
+            )
+            % _MH_P,
+        ),
+    )
+    def _component(i: int):
+        a, b = _mh_ab(i)
+        # a closure factory, not default args: PySpark derives the HOF
+        # lambda's arity from the Python signature, so `lambda w, a=a`
+        # would wrongly build a 3-argument SQL lambda
+        return F.array_min(
+            F.transform(
+                F.col("__wms"), lambda w: (F.lit(a) * w + F.lit(b)) % _MH_P
+            )
+        )
+
+    sig_components = [_component(i) for i in range(n_hashes)]
+    sh = sh.withColumn("sig", F.array(*sig_components))
+    band_vals = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b2), *[F.col("sig")[b2 * r + j] for j in range(r)]
+            )
+            for b2 in range(bands)
+        ]
+    )
+    return sh.select("doc_id", F.explode(band_vals).alias("band_hash"))

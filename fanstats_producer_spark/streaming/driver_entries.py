@@ -946,3 +946,95 @@ def s20_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+@query(
+    "s21_stream_near_dup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3),
+    post AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647
+               AS wm
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)),
+    sig AS (
+      SELECT doc_id, i,
+             MIN(((i * 2654435761 + 1) % 2147483647 * wm
+                  + (i * 40503 + 12345) % 2147483647) % 2147483647) AS h
+      FROM post CROSS JOIN range(64) AS t(i)
+      GROUP BY doc_id, i),
+    sigl AS (
+      SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, sig[4 * b + 1] AS v1, sig[4 * b + 2] AS v2,
+             sig[4 * b + 3] AS v3, sig[4 * b + 4] AS v4
+      FROM sigl CROSS JOIN range(16) AS t(b)),
+    dup AS (
+      SELECT DISTINCT a.doc_id
+      FROM bands a JOIN bands c
+        ON a.b = c.b AND a.v1 = c.v1 AND a.v2 = c.v2
+           AND a.v3 = c.v3 AND a.v4 = c.v4
+           AND c.doc_id < a.doc_id)
+    SELECT s.doc_id,
+           CAST(CASE WHEN d.doc_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+    FROM sigl s LEFT JOIN dup d ON d.doc_id = s.doc_id
+    """,
+)
+def s21_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s21: ONLINE banded-MinHash near-dup detection drained for real —
+    per-row signatures/band keys (no aggregation, pure JVM kernels)
+    stream into a foreachBatch merge that maintains per-band-bucket
+    minimum ids as a compacted, crash-recoverable parquet state table;
+    a document is flagged near-dup iff any of its 16 band buckets holds
+    a smaller id (state from prior batches, or a co-arriving smaller id
+    — deterministic, id-ordered).  The oracle states the batch rule
+    (shares a band r-tuple with a smaller doc_id) via the same
+    bit-exact md5/universal-hash signature SQL as x04d.  State scales
+    with live band buckets (8 B each), not documents — the shape that
+    lets a 100 TB/day crawl dedup online instead of re-running batch
+    LSH over history; jobs.streaming_near_dup documents why the merge
+    is JVM-side foreachBatch rather than per-bucket Python state."""
+    import os
+    import shutil
+
+    from fanstats_producer_spark.io import load as _load
+
+    landing = tempfile.mkdtemp(prefix="s21_landing_")
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    (
+        docs.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_seconds(to_unix_timestamp("
+                "timestamp'2024-01-01 00:00:00') + (doc_id div 3600) % 24 * 3600"
+                " + (doc_id div 60) % 60 * 60 + doc_id % 60)"
+            ),
+        )
+        .select("doc_id", "ts", "text", "lang")
+        .write.mode("overwrite")
+        .json(landing)
+    )
+    work = tempfile.mkdtemp(prefix="s21_work_")
+    state_dir = os.path.join(work, "state")
+    verdict_dir = os.path.join(work, "verdicts")
+    ckpt = os.path.join(work, "ckpt")
+    stream = jobs.read_document_stream(spark, landing)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_near_dup(stream, state_dir, verdict_dir, ckpt)
+            _drain(q)
+        # one verdict row per doc (a doc's band keys ride one input row,
+        # so they never split across micro-batches); materialize before
+        # the temp dirs go away
+        out = spark.read.parquet(verdict_dir).select("doc_id", "is_dup")
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(landing, ignore_errors=True)

@@ -123,6 +123,108 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def streaming_near_dup(
+    docs: DataFrame,
+    state_dir: str,
+    verdict_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """s21: ONLINE near-duplicate detection — the streaming form of the
+    x04d banded-MinHash pipeline.
+
+    Stateless prefix: per-row MinHash signatures + LSH band keys
+    (operators/dedup.streaming_band_keys — byte-identical to the batch
+    formulation, no aggregation needed; pure JVM array kernels).
+    Stateful core: foreachBatch maintains a compacted parquet state
+    table of per-BAND-BUCKET minimum doc_id (8 bytes per live bucket —
+    state is proportional to distinct band buckets, not documents, and
+    each arriving doc touches exactly `bands` buckets).  Each batch:
+    combined per-bucket minima = min(state, batch), per-doc verdict =
+    near-dup iff ANY of the doc's buckets has combined_min < doc_id
+    (deterministic — ties inside a batch resolve by id, not arrival),
+    verdicts land batch-stamped (idempotent replay), state promotes via
+    the s09 staged/retired rename protocol (crash-recoverable).
+
+    Why not per-bucket typed state (applyInPandasWithState/TWS): a
+    bucket-keyed stateful op calls Python once per GROUP, and band
+    buckets are nearly distinct per doc — measured 76k groups at sf0.1
+    ≈ 10 s of pure per-group overhead vs ~1.5 s for this JVM merge
+    (the same per-key-protocol cost the s10 work quantified).  The
+    foreachBatch merge keeps every row JVM-side: one min-aggregate and
+    one join per batch, both on the band-bucket key.
+
+    With ids arriving in increasing order (the fixture's event-time
+    layout) the online verdicts equal the batch rule "shares a band
+    r-tuple with a smaller doc_id", which is what the s21 oracle
+    states; cross-batch accumulation is pytest-verified."""
+    import os
+    import shutil
+
+    from fanstats_producer_spark.operators.dedup import streaming_band_keys
+
+    staged = state_dir.rstrip("/") + ".staged"
+    retired = state_dir.rstrip("/") + ".retired"
+
+    def _recover() -> None:
+        # same two-rename promote protocol as upsert_latest_per_key
+        if os.path.isdir(state_dir):
+            return
+        if os.path.isdir(staged) and os.path.exists(
+            os.path.join(staged, "_SUCCESS")
+        ):
+            os.rename(staged, state_dir)
+        elif os.path.isdir(retired):
+            os.rename(retired, state_dir)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover()
+        batch = batch_df.localCheckpoint(eager=True)  # reused twice below
+        batch_min = batch.groupBy("band_hash").agg(
+            F.min("doc_id").alias("min_id")
+        )
+        if os.path.isdir(state_dir):
+            current = spark.read.parquet(state_dir)
+            combined = (
+                current.unionByName(batch_min)
+                .groupBy("band_hash")
+                .agg(F.min("min_id").alias("min_id"))
+            )
+        else:
+            combined = batch_min
+        combined = combined.localCheckpoint(eager=True)  # verdict + promote
+        verdicts = (
+            batch.join(combined, "band_hash")
+            .groupBy("doc_id")
+            .agg(
+                F.max(
+                    F.when(F.col("min_id") < F.col("doc_id"), 1).otherwise(0)
+                )
+                .cast("int")
+                .alias("is_dup")
+            )
+        )
+        # batch-stamped verdict partition: a checkpoint replay of this
+        # batch overwrites the same directory, never double-appends
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verdict_dir, f"batch={batch_id}")
+        )
+        combined.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, retired)
+        os.rename(staged, state_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+
+    return (
+        streaming_band_keys(docs)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_partitioned_stream(
     df: DataFrame,
     out_dir: str,

@@ -979,3 +979,70 @@ def test_tws_crash_recovery_parity(spark, landing, tmp_path):
     q = start(out_b, ck_b)
     q.awaitTermination(180)
     assert landed(out_b) == ref
+
+
+def test_streaming_near_dup_accumulates_state_across_batches(
+    spark, landing, tmp_path
+):
+    """s21: the per-bucket minima persist across micro-batches — a
+    document arriving in batch 2 whose text duplicates a batch-1
+    document is flagged from STATE (no batch-1 rows in batch 2); unique
+    documents stay unflagged; verdicts land batch-stamped."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest tonight"
+    )
+    other = (
+        "completely different sentence about spark structured streaming "
+        "state stores and watermark semantics for testing purposes only"
+    )
+
+    def _doc(i, text):
+        return {
+            "doc_id": i,
+            "ts": f"2024-01-01T10:{i:02d}:00Z",
+            "text": text,
+            "lang": "en",
+        }
+
+    def _write(name, docs):
+        with open(landing / name, "w") as f:
+            for d in docs:
+                f.write(_json.dumps(d) + "\n")
+
+    _write("b1.json", [_doc(1, base), _doc(2, other)])
+    _write("b2.json", [_doc(3, base)])  # exact dup of doc 1, next batch
+    _os.utime(landing / "b1.json", (1000000000, 1000000000))
+    _os.utime(landing / "b2.json", (1000000100, 1000000100))
+
+    # read with one file per trigger so b1/b2 are separate micro-batches
+    from fanstats_producer_spark.streaming.jobs import DOCUMENT_SCHEMA
+
+    src = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    state_dir = str(tmp_path / "state")
+    verdict_dir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    q = jobs.streaming_near_dup(src, state_dir, verdict_dir, ckpt)
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.is_dup
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1}
+    # batch-stamped layout: two data batches landed separately
+    batches = [d for d in _os.listdir(verdict_dir) if d.startswith("batch=")]
+    assert len(batches) >= 2
+    # state table holds per-bucket minima only (bounded by buckets)
+    state = spark.read.parquet(state_dir)
+    assert state.columns == ["band_hash", "min_id"]
+    assert state.groupBy("band_hash").count().agg(
+        F.max("count")
+    ).collect()[0][0] == 1

@@ -1129,3 +1129,52 @@ def test_gif_codec_roundtrip_and_rejects():
     bad[-20] ^= 0xFF  # corrupt LZW body
     with _pytest.raises(ValueError):
         decode_gif(bytes(bad))
+
+
+def test_streaming_band_keys_match_batch_formulation(spark):
+    """s21's per-row signature path (array_min over per-component
+    universal hashes) is byte-identical to the batch groupBy-MIN
+    formulation minhash_native_pairs uses — same md5 word, same
+    _mh_ab constants, same xxhash64 band keys."""
+    import pyspark.sql.functions as F
+
+    from fanstats_producer_spark.io import load
+    from fanstats_producer_spark.operators import dedup
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    streaming = dedup.streaming_band_keys(docs)
+    sh = dedup.with_shingles(docs, k=3).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    wm = sh.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long")
+            % dedup._MH_P
+        ).alias("wm"),
+    )
+    sig = wm.groupBy("doc_id").agg(
+        *[
+            F.min(
+                (
+                    F.lit(dedup._mh_ab(i)[0]) * F.col("wm")
+                    + F.lit(dedup._mh_ab(i)[1])
+                )
+                % dedup._MH_P
+            ).alias(f"h{i}")
+            for i in range(64)
+        ]
+    )
+    sig = sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(64)]).alias("sig")
+    )
+    bv = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col("sig")[b * 4 + j] for j in range(4)])
+            for b in range(16)
+        ]
+    )
+    batch = sig.select("doc_id", F.explode(bv).alias("band_hash"))
+    assert sorted(map(tuple, streaming.collect())) == sorted(
+        map(tuple, batch.collect())
+    )

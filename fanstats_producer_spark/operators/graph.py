@@ -181,3 +181,85 @@ def q65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_e9").desc(), "node")
         .limit(20)
     )
+
+
+# --- q70: triangle motif counting over the co-purchase graph ---------------------
+
+_TRI_MIN_SUPPORT = 2
+
+
+@query(
+    "q70_triangles",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+             COUNT(DISTINCT l1.l_orderkey) AS w
+      FROM lineitem l1 JOIN lineitem l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      GROUP BY 1, 2),
+    edges AS (SELECT a, b, w FROM pairs WHERE w >= {_TRI_MIN_SUPPORT})
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c,
+           CAST(least(e1.w, e2.w, e3.w) AS BIGINT) AS support
+    FROM edges e1
+    JOIN edges e2 ON e2.a = e1.b
+    JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    """,
+)
+def q70_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q70: triangle (3-clique) enumeration over the co-purchase part
+    graph — the graph-motif arm next to q65's PageRank and x04e's
+    connected components.  Scale shape: the ONE expensive stage is the
+    co-occurrence pair aggregation (a single shuffle on the (a,b) edge
+    key, map-side combined); the support threshold prunes the edge set
+    BEFORE the quadratic motif joins (the apriori trick — a triangle's
+    edges each need support >= {_TRI_MIN_SUPPORT}, so pruned edges can
+    never appear in a result), and the surviving edge list is small
+    enough to broadcast, making triangle enumeration two broadcast
+    joins with zero additional shuffles.  Node order a < b < c counts
+    each triangle exactly once."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # co-occurrence pairs via per-order posting lists, NOT a lineitem
+    # self-join: one groupBy collapses each order to its sorted distinct
+    # part set, combos expand MAP-SIDE (i<j slices), and the (a,b)
+    # aggregate is the only wide exchange over pair rows — the
+    # jaccard_pairs/q59 pattern (measured ~2x over the self-join here)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    combos = F.flatten(
+        F.transform(
+            "parts",
+            lambda p, i: F.transform(
+                F.slice("parts", (i + F.lit(2)).cast("int"), F.size("parts")),
+                lambda q: F.struct(p.alias("a"), q.alias("b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(combos).alias("pr"))
+        .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pairs.filter(F.col("w") >= _TRI_MIN_SUPPORT)
+    e1 = edges.select(
+        F.col("a").alias("a"), F.col("b").alias("b"), F.col("w").alias("w1")
+    )
+    e2 = edges.select(
+        F.col("a").alias("b2"), F.col("b").alias("c"), F.col("w").alias("w2")
+    )
+    e3 = edges.select(
+        F.col("a").alias("a3"), F.col("b").alias("c3"), F.col("w").alias("w3")
+    )
+    return (
+        e1.join(F.broadcast(e2), F.col("b2") == F.col("b"))
+        .join(
+            F.broadcast(e3),
+            (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")),
+        )
+        .select(
+            "a",
+            "b",
+            "c",
+            F.least("w1", "w2", "w3").cast("long").alias("support"),
+        )
+    )

@@ -197,6 +197,12 @@ HEADLINERS = {
         "by `spread` and the per-doc argmax window REUSES that "
         "partitioning — no further exchange after the broadcast join."
     ),
+    "q70_triangles": (
+        "Triangle motifs: per-order posting lists collapse the pair "
+        "aggregation to ONE wide exchange (combos expand map-side); the "
+        "support-pruned edge list broadcasts into both motif joins — "
+        "no shuffle touches the quadratic stage."
+    ),
 }
 
 

@@ -1178,3 +1178,69 @@ def test_streaming_band_keys_match_batch_formulation(spark):
     assert sorted(map(tuple, streaming.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_wav_gif_codec_roundtrip_property():
+    """Property-based: the WAV and GIF codecs round-trip ANY content —
+    arbitrary PCM (including empty and odd-length), arbitrary frame
+    counts/pixels/delays, and LZW over arbitrary alphabets (small
+    alphabets force dictionary growth + width changes; long
+    low-entropy inputs force table resets)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fanstats_producer_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        decode_wav,
+        encode_gif,
+        encode_wav,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 2000),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check_wav(n, rate, seed):
+        rng = np.random.RandomState(seed)
+        pcm = rng.randint(-32768, 32768, n).astype("<i2")
+        got_rate, ch, width, dec = decode_wav(encode_wav(pcm, rate=rate))
+        assert (got_rate, ch, width) == (rate, 1, 2)
+        assert dec.shape == pcm.shape and (dec == pcm).all()
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        nf=st.integers(1, 6),
+        alphabet=st.integers(2, 256),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check_gif(nf, alphabet, seed):
+        rng = np.random.RandomState(seed)
+        frames = [
+            (rng.randint(0, alphabet, (8, 16)) % 256).astype(np.uint8)
+            for _ in range(nf)
+        ]
+        delays = [int(rng.randint(0, 65536)) for _ in range(nf)]
+        w, h, out = decode_gif(encode_gif(frames, delays))
+        assert (w, h) == (16, 8) and len(out) == nf
+        for i, (d, px) in enumerate(out):
+            assert d == delays[i] and (px == frames[i]).all()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        n=st.integers(0, 30000),
+        alphabet=st.integers(1, 256),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check_lzw(n, alphabet, seed):
+        rng = np.random.RandomState(seed)
+        data = bytes(rng.randint(0, alphabet, n).astype(np.uint8))
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+    check_wav()
+    check_gif()
+    check_lzw()

@@ -1010,3 +1010,95 @@ def x62_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sc.select(
         "doc_id", "n_tok", "score_e6", (F.col("score_e6") >= 0).alias("selected")
     )
+
+
+# --- x67: vocabulary coverage / OOV curve ----------------------------------------
+# Tokenizer-design dashboard: for candidate vocabulary sizes, what
+# fraction of token OCCURRENCES falls outside the top-k vocabulary?
+# The curve that decides vocab size before training a tokenizer.  One
+# token aggregate + the x28 bucketed global rank; the three coverage
+# sums ride a single conditional aggregation (no per-k scan).
+
+_X67_SIZES = (4, 8, 16)
+
+
+@query(
+    "x67_vocab_coverage",
+    oracle="""
+    WITH freq AS (
+      SELECT token, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY 1),
+    ranked AS (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rnk
+      FROM freq),
+    agg AS (
+      SELECT CAST(SUM(freq) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN rnk <= 4 THEN freq ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN rnk <= 8 THEN freq ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN rnk <= 16 THEN freq ELSE 0 END) AS BIGINT) AS c2
+      FROM ranked)
+    SELECT 4 AS vocab_size, c0 AS covered, total,
+           CAST(floor(CAST(total - c0 AS DOUBLE) / total * 1e6 + 0.5)
+                AS BIGINT) AS oov_e6 FROM agg
+    UNION ALL
+    SELECT 8, c1, total,
+           CAST(floor(CAST(total - c1 AS DOUBLE) / total * 1e6 + 0.5)
+                AS BIGINT) FROM agg
+    UNION ALL
+    SELECT 16, c2, total,
+           CAST(floor(CAST(total - c2 AS DOUBLE) / total * 1e6 + 0.5)
+                AS BIGINT) FROM agg
+    """,
+)
+def x67_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x67: occurrence-weighted coverage of the top-{4,8,16} token
+    vocabularies (sizes sit inside the fixture's 31-token vocabulary so
+    the curve is non-degenerate; production sizes are 2^15..2^18) and the OOV rate each implies.  The global frequency
+    rank uses x28's bucketed two-phase (global_dense_rank — no one-task
+    Window.orderBy); coverage at all three sizes comes from ONE
+    conditional aggregation over the ranked vocab, so the corpus is
+    scanned once and the vocab table once regardless of how many curve
+    points are requested."""
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        spread(docs)
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    ranked = global_dense_rank(
+        freq,
+        [F.desc("freq"), F.asc("token")],
+        bucket=F.struct(
+            (-F.col("freq")).alias("nf"),
+            F.substring("token", 1, 1).alias("tp"),
+        ),
+        out_col="rnk",
+    )
+    agg = ranked.agg(
+        F.sum("freq").cast("long").alias("total"),
+        *[
+            F.sum(F.when(F.col("rnk") <= k, F.col("freq")).otherwise(0))
+            .cast("long")
+            .alias(f"c{j}")
+            for j, k in enumerate(_X67_SIZES)
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("vocab_size"),
+                F.col(f"c{j}").alias("covered"),
+                F.col("total").alias("total"),
+                qint(
+                    (F.col("total") - F.col(f"c{j}")).cast("double")
+                    / F.col("total")
+                ).alias("oov_e6"),
+            )
+            for j, k in enumerate(_X67_SIZES)
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select(
+        "r.vocab_size", "r.covered", "r.total", "r.oov_e6"
+    )

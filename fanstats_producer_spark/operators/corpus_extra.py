@@ -530,3 +530,83 @@ def q61_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         qint(_wma_terms("value", _WMA_K), 6).alias("wma_e6"),
     )
+
+
+# --- x68: position-level exact-substring duplication (suffix-array style) --------
+# The Lee et al. "Deduplicating Training Data" operation: find token
+# SPANS (not chunk-aligned blocks — every starting position) that recur
+# anywhere else in the corpus.  x39 approximates this with fixed
+# chunk boundaries, which misses duplicates that straddle a boundary;
+# here a window slides one token at a time, the rolling-window text is
+# hashed, and a window is "duplicated" when the same hash occurs in a
+# DIFFERENT document (same-doc internal repetition is x31's metric, so
+# it is deliberately excluded).  The hashed-window formulation is the
+# shuffle-friendly stand-in for the paper's suffix array: one exchange
+# on the window hash, one back on doc_id — no suffix structure ever
+# materializes, which is what makes it runnable over 100 TB.
+
+_X68_W = 8  # tokens per window
+
+
+@query(
+    "x68_substring_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    wins AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(a[i : i + {_X68_W} - 1], ' ')) AS h
+      FROM toks, unnest(range(1, len(a) - {_X68_W} + 2)) t(i)
+      WHERE len(a) >= {_X68_W}),
+    marked AS (
+      SELECT doc_id, h,
+             COUNT(DISTINCT doc_id) OVER (PARTITION BY h) > 1 AS dup
+      FROM wins)
+    SELECT doc_id,
+           COUNT(*) AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE dup) AS BIGINT) AS n_dup_windows,
+           CAST(floor(CAST(COUNT(*) FILTER (WHERE dup) AS DOUBLE)
+                      / COUNT(*) * 1e6 + 0.5) AS BIGINT) AS dup_frac_e6
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def x68_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x68: per-document count/fraction of 8-token sliding windows
+    whose exact text recurs in another document.  Plan: windows build
+    as per-row array slices (transform over sequence — no explode until
+    the 16-byte (hash, doc) pair), the cross-document test is one
+    aggregate per window hash joined back, and the per-doc rollup is
+    the second and last exchange.  DuckDB's a[i : i + 7] list slice is
+    INCLUSIVE of both ends, mirroring Spark's slice(a, i, 8)."""
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.split("text", " ").alias("a")).filter(
+        F.size("a") >= _X68_W
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - _X68_W + 1),
+                lambda i: F.md5(
+                    F.array_join(F.slice("a", i, _X68_W), " ")
+                ),
+            )
+        ).alias("h"),
+    )
+    per_hash = wins.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    marked = wins.join(per_hash, "h").withColumn(
+        "dup", F.col("nd") > 1
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+        qint(
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("dup_frac_e6"),
+    )

@@ -1046,3 +1046,50 @@ def test_streaming_near_dup_accumulates_state_across_batches(
     assert state.groupBy("band_hash").count().agg(
         F.max("count")
     ).collect()[0][0] == 1
+
+
+def test_dedup_within_watermark_readmits_after_eviction(spark, landing):
+    """s06/s11 semantics pin: dropDuplicatesWithinWatermark only
+    guarantees dedup of occurrences within the watermark delay — once
+    the watermark passes a key's expiry the state evicts, and a much
+    later duplicate of the same key is RE-ADMITTED (the bounded-state
+    trade every watermark-bounded dedup makes).  A near duplicate
+    inside the delay stays dropped."""
+    import os as _os
+    import time as _time
+
+    batches = {
+        # key 1 first seen; key 2 control
+        "b1.json": [
+            _event(1, "2024-01-01T10:00:00Z"),
+            _event(2, "2024-01-01T10:01:00Z"),
+        ],
+        # near-dup of key 1 inside the 10-min delay -> dropped; plus an
+        # advancing event (watermark -> 10:52)
+        "b2.json": [
+            _event(1, "2024-01-01T10:05:00Z"),
+            _event(3, "2024-01-01T11:02:00Z"),
+        ],
+        # watermark advance only (eviction applies a batch AFTER the
+        # watermark passes a key's expiry, so give it its own batch)
+        "b3.json": [
+            _event(4, "2024-01-01T12:00:00Z"),
+        ],
+        # far dup of key 1 after its state evicted -> re-admitted
+        "b4.json": [
+            _event(1, "2024-01-01T12:01:00Z"),
+        ],
+    }
+    for i, (name, rs) in enumerate(batches.items()):
+        _write_batch(landing, name, rs)
+        t = _time.time() - 100 + i * 10
+        _os.utime(landing / name, (t, t))
+    stream = jobs.read_event_stream(spark, str(landing), max_files_per_trigger=1)
+    deduped = jobs.deduped_stream(stream, watermark="10 minutes")
+    got = _run_to_memory(spark, deduped, "s06_readmit", "append")
+    per_key = sorted(
+        (r.event_id, str(r.ts)) for r in got.select("event_id", "ts").collect()
+    )
+    ids = [k for k, _ in per_key]
+    # key 1 appears TWICE (original + re-admitted far dup), near-dup gone
+    assert ids == [1, 1, 2, 3, 4]

@@ -137,3 +137,57 @@ def x13_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select("lang", "bigram", "n", F.row_number().over(w).alias("rn")).filter(
         F.col("rn") <= 5
     )
+
+
+# --- x69: k-anonymity release audit ----------------------------------------------
+# The privacy gate next to x12's PII redaction: before a data release,
+# every quasi-identifier combination must describe at least k
+# individuals, or those rows re-identify people by join.  One
+# aggregation over the quasi-identifier tuple; the audit output is a
+# per-group row (bounded by the QI domain, not the table), plus each
+# group's violation flag — the release pipeline drops or generalizes
+# the flagged groups.
+
+_X69_K = 5
+
+
+@query(
+    "x69_k_anonymity",
+    oracle=f"""
+    WITH grp AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             COUNT(*) AS group_size
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2)
+    SELECT nation, segment, group_size,
+           CAST(group_size < {_X69_K} AS INT) AS violates_k
+    FROM grp
+    """,
+)
+def x69_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x69: k-anonymity audit over the (nation, segment) quasi-
+    identifier — group sizes below k={_k} flag re-identification risk.
+    Plan: the dimension broadcasts onto the customer scan and the
+    single aggregation is map-side combinable; output is one row per
+    occupied QI cell, so the audit result stays tiny no matter how
+    large the table grows."""
+    from fanstats_producer_spark.io import load
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    grp = (
+        c.join(
+            F.broadcast(n), c.c_nationkey == n.n_nationkey
+        )
+        .groupBy(F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("group_size"))
+    )
+    return grp.select(
+        "nation",
+        "segment",
+        "group_size",
+        (F.col("group_size") < _X69_K).cast("int").alias("violates_k"),
+    )
+
+
+x69_k_anonymity.__doc__ = x69_k_anonymity.__doc__.format(_k=_X69_K)

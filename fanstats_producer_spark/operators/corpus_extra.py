@@ -594,6 +594,13 @@ def x68_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    # `wins` feeds both the per-hash aggregate and the verdict probe, so
+    # the tokenize+md5 projection evaluates twice (two scans in the
+    # executed plan).  Deliberate at this SF: a localCheckpoint
+    # materialization costs MORE than the recompute here (measured
+    # 1.4-2.1 s vs 1.2 s warm at sf0.1); past the point where the
+    # corpus scan dominates, persist(DISK_ONLY) on `wins` flips the
+    # trade and is the one-line scale lever.
     per_hash = wins.groupBy("h").agg(
         F.countDistinct("doc_id").alias("nd")
     )

@@ -16,11 +16,15 @@ cross-validated against the stdlib `wave` module in tests.
 ANIMATION decode is REAL as well: `encode_gif`/`decode_gif` are a
 stdlib-only animated-GIF89a codec (block walk, real variable-width LZW,
 per-frame delays), exercised end-to-end by the oracle-checked x65
-round trip.  Only ffmpeg-class VIDEO codecs (H.264/VP9/...) remain
-stubbed (no ffmpeg in this container): `decode_video`/`sample_frames`
-raise NotImplementedError and their pipelines substitute deterministic
-fakes, keeping the Spark-side plumbing (schema, batching, partitioning)
-fully real and testable.
+round trip.  VIDEO-container decode is REAL for uncompressed-DIB AVI:
+`encode_avi`/`decode_avi` implement the RIFF/AVI LIST grammar
+(avih/strh/strf headers, bottom-up padded DIB rows, idx1), exercised
+end-to-end by the oracle-checked x70 round trip, and `decode_video`
+dispatches to it.  The ONLY NotImplementedError paths left are
+COMPRESSED codecs (H.264/VP9/MJPEG/...), which genuinely require
+ffmpeg — absent here — so their pipelines substitute deterministic
+fakes, keeping the Spark-side plumbing (schema, batching,
+partitioning) fully real and testable.
 
 The fixture has no binary column, so x07 manufactures payloads from
 `documents.text` (UTF-8 bytes) — byte-identical on both engines, which
@@ -554,10 +558,18 @@ _FRAME_STRIDE = 4
 
 
 def decode_video(payload: bytes) -> object:
-    """Real demuxer/codec goes here (ffmpeg/pyav). Not available in
-    this container — callers must catch and use the fixed-size-frame
-    fallback."""
-    raise NotImplementedError("video codecs not available in this environment")
+    """Video demux/decode.  REAL for uncompressed-DIB AVI (the stdlib
+    decode_avi chunk-walk parser below — x70's oracle-checked round
+    trip); every COMPRESSED codec (H.264/VP9/MJPEG, non-AVI containers)
+    raises NotImplementedError because decoding them genuinely requires
+    ffmpeg/pyav, which this container lacks — callers catch and use the
+    fixed-size-frame fallback."""
+    b = bytes(payload)
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return decode_avi(b)
+    raise NotImplementedError(
+        "compressed video codecs not available in this environment"
+    )
 
 
 def x42_sample_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -570,8 +582,10 @@ def x42_sample_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(blob)
             try:
-                decode_video(b)  # pragma: no cover - always raises here
-                raise AssertionError("unreachable in this container")
+                # text payloads are not AVI, so this raises (real AVI
+                # decode lives in the x70 path)
+                decode_video(b)
+                raise AssertionError("unreachable for non-AVI payloads")
             except NotImplementedError:
                 n_frames = max(1, math.ceil(len(b) / _FRAME_BYTES))
                 picks = range(0, n_frames, _FRAME_STRIDE)
@@ -1097,4 +1111,230 @@ def x65_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id long, frame_id int, delay_cs int, n_px int, "
             "frame_sha string"
         ),
+    )
+
+
+# --- x70: REAL video decode (stdlib AVI codec, uncompressed DIB frames) ----------
+#
+# The last multimodal fake falls: a stdlib-only AVI writer/parser pair
+# for uncompressed 24-bit DIB video (RIFF grammar reused from the WAV
+# codec: LIST hdrl with avih/strh/strf headers, movi LIST of 00db frame
+# chunks with bottom-up 4-byte-aligned DIB rows, idx1 index).
+# `decode_video` below now parses this for real; only COMPRESSED codecs
+# (H.264/VP9/MJPEG...) remain behind NotImplementedError, because no
+# ffmpeg exists in this container.
+
+_AVI_W, _AVI_H = 16, 8  # same frame geometry as the GIF arm
+_AVI_FPS = 25
+
+
+def encode_avi(frames, fps: int = _AVI_FPS, w: int = _AVI_W, h: int = _AVI_H) -> bytes:
+    """Minimal REAL AVI encoder (stdlib only): frames are (h, w, 3)
+    uint8 BGR arrays written as uncompressed DIB ('DIB ' handler,
+    biCompression=0) — bottom-up rows, 4-byte-aligned stride — inside
+    the canonical RIFF/AVI LIST structure with an idx1 index."""
+    import struct
+
+    import numpy as np
+
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = []
+    for px in frames:
+        arr = np.asarray(px, dtype=np.uint8).reshape(h, w, 3)
+        rows = []
+        for r in range(h - 1, -1, -1):  # DIB rows store bottom-up
+            row = arr[r].tobytes()
+            rows.append(row + b"\x00" * (stride - len(row)))
+        frame_bytes.append(b"".join(rows))
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    n = len(frame_bytes)
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, stride * h * fps, 0, 0x10, n, 0, 1,
+        stride * h, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4h",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, n,
+        stride * h, -1, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = [chunk(b"00db", fb) for fb in frame_bytes]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx = bytearray()
+    off = 4  # offsets are relative to the start of 'movi' list data
+    for fb in frame_bytes:
+        idx += b"00db" + struct.pack("<III", 0x10, off, len(fb))
+        off += 8 + len(fb) + (len(fb) % 2)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes):
+    """REAL stdlib-only AVI parser: RIFF/AVI signature, recursive LIST
+    walk, strh/strf header decode (frame geometry, fps, bit depth),
+    00db/00dc frame chunk extraction, DIB row de-padding and
+    bottom-up flip.  Returns (width, height, fps, frames) with frames
+    a list of (h, w, 3) uint8 BGR arrays.  Non-AVI payloads raise
+    NotImplementedError; COMPRESSED streams (biCompression != 0 or a
+    non-DIB handler) raise NotImplementedError too (no ffmpeg here);
+    structurally broken files raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise NotImplementedError("not a RIFF/AVI payload")
+    w = h = fps = bits = None
+    compression = None
+    frames_raw: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal w, h, fps, bits, compression
+        off = start
+        while off + 8 <= end:
+            cid = b[off : off + 4]
+            (clen,) = struct.unpack("<I", b[off + 4 : off + 8])
+            data_start = off + 8
+            if data_start + clen > end:
+                raise ValueError(f"truncated {cid!r} chunk")
+            if cid == b"LIST":
+                walk(data_start + 4, data_start + clen)
+            elif cid == b"strh":
+                fcc_type, handler = b[data_start : data_start + 4], b[
+                    data_start + 4 : data_start + 8
+                ]
+                if fcc_type == b"vids":
+                    if handler not in (b"DIB ", b"\x00\x00\x00\x00"):
+                        raise NotImplementedError(
+                            f"compressed video handler {handler!r}"
+                        )
+                    scale, rate = struct.unpack(
+                        "<II", b[data_start + 20 : data_start + 28]
+                    )
+                    fps = rate // max(scale, 1)
+            elif cid == b"strf":
+                (_sz, bw, bh, _planes, bbits, comp) = struct.unpack(
+                    "<IiiHHI", b[data_start : data_start + 20]
+                )
+                w, h, bits, compression = bw, abs(bh), bbits, comp
+                if comp != 0:
+                    raise NotImplementedError(
+                        f"compressed DIB (biCompression={comp})"
+                    )
+            elif cid in (b"00db", b"00dc"):
+                frames_raw.append(b[data_start : data_start + clen])
+            off = data_start + clen + (clen % 2)
+
+    walk(12, len(b))
+    if w is None or h is None or bits is None:
+        raise ValueError("missing strf header")
+    if bits != 24:
+        raise NotImplementedError(f"{bits}-bit DIB not supported")
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for fb in frames_raw:
+        if len(fb) != stride * h:
+            raise ValueError("frame size mismatch")
+        rows = np.frombuffer(fb, np.uint8).reshape(h, stride)[:, : w * 3]
+        frames.append(rows.reshape(h, w, 3)[::-1].copy())  # un-flip
+    return w, h, fps, frames
+
+
+def avi_roundtrip_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: payload bytes become grayscale BGR frames
+    (one 16x8 frame per 128 bytes, space-padded tail, b=g=r=byte),
+    encoded into a genuine AVI and decoded back through the chunk-walk
+    parser; per-frame digests come from the DECODED gray channel, so
+    they equal a digest over the original bytes iff the whole container
+    round-trips."""
+    import numpy as np
+
+    n_bytes = _AVI_W * _AVI_H
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(blob)
+            nf = max(1, -(-len(raw) // n_bytes))
+            padded = raw + b" " * (nf * n_bytes - len(raw))
+            frames = []
+            for i in range(nf):
+                gray = np.frombuffer(
+                    padded[i * n_bytes : (i + 1) * n_bytes], np.uint8
+                ).reshape(_AVI_H, _AVI_W)
+                frames.append(np.repeat(gray[:, :, None], 3, axis=2))
+            w, h, fps, dec = decode_avi(encode_avi(frames))
+            for fid, px in enumerate(dec):
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "frame_id": fid,
+                        "n_px": int(px.shape[0] * px.shape[1]),
+                        "frame_sha": hashlib.sha256(
+                            px[:, :, 0].tobytes()
+                        ).hexdigest(),
+                        "fps": int(fps),
+                    }
+                )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "frame_id", "n_px", "frame_sha", "fps"]
+        )
+
+
+@query(
+    "x70_avi_decode",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             rpad(text,
+                  CAST({_AVI_W * _AVI_H} * greatest(1,
+                       ceil(octet_length(encode(text))
+                            / {_AVI_W * _AVI_H}.0)) AS INT),
+                  ' ') AS padded,
+             CAST(greatest(1, ceil(octet_length(encode(text))
+                                   / {_AVI_W * _AVI_H}.0)) AS INT) AS nf
+      FROM documents)
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_id,
+           {_AVI_W * _AVI_H} AS n_px,
+           sha256(substring(padded,
+                            CAST(f * {_AVI_W * _AVI_H} + 1 AS INT),
+                            {_AVI_W * _AVI_H})) AS frame_sha,
+           {_AVI_FPS} AS fps
+    FROM t, unnest(range(nf)) AS r(f)
+    """,
+)
+def x70_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x70: REAL video-container decode — documents render to genuine
+    uncompressed-DIB AVI files (RIFF LIST grammar, bottom-up padded
+    rows, idx1 index) and the stdlib parser recovers every frame and
+    the fps; the oracle recomputes each frame digest from the text.
+    With x58 (PNG), x64 (WAV), and x65 (GIF), every multimodal arm now
+    decodes a real container inside mapInPandas; the only remaining
+    NotImplementedError paths are COMPRESSED codecs, which genuinely
+    require ffmpeg."""
+    from fanstats_producer_spark.io import spread
+
+    payloads = with_payload(
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+    ).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        avi_roundtrip_features,
+        schema="doc_id long, frame_id int, n_px int, frame_sha string, fps int",
     )

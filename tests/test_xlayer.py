@@ -1244,3 +1244,76 @@ def test_wav_gif_codec_roundtrip_property():
     check_wav()
     check_gif()
     check_lzw()
+
+
+def test_avi_codec_roundtrip_and_dispatch():
+    """The stdlib AVI codec is real: multi-frame BGR round trip with
+    header-decoded geometry/fps; decode_video dispatches RIFF/AVI
+    payloads to it and still raises NotImplementedError for compressed
+    or non-AVI payloads (the fallback contract x42 relies on)."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fanstats_producer_spark.operators.multimodal import (
+        decode_avi,
+        decode_video,
+        encode_avi,
+    )
+
+    rng = np.random.RandomState(13)
+    frames = [rng.randint(0, 256, (8, 16, 3)).astype(np.uint8) for _ in range(5)]
+    avi = encode_avi(frames, fps=30)
+    w, h, fps, dec = decode_avi(avi)
+    assert (w, h, fps) == (16, 8, 30) and len(dec) == 5
+    for d, f in zip(dec, frames):
+        assert (d == f).all()
+    # decode_video dispatches AVI for real
+    w2, h2, fps2, dec2 = decode_video(avi)
+    assert (w2, h2, fps2) == (16, 8, 30)
+    assert all((a == b).all() for a, b in zip(dec2, dec))
+    # non-AVI -> NotImplementedError (x42's fallback contract)
+    with _pytest.raises(NotImplementedError):
+        decode_video(b"some plain text payload")
+    # compressed handler -> NotImplementedError
+    bad = bytearray(avi)
+    i = bad.index(b"DIB ")
+    bad[i : i + 4] = b"H264"
+    with _pytest.raises(NotImplementedError):
+        decode_avi(bytes(bad))
+    # truncated -> ValueError
+    with _pytest.raises(ValueError):
+        decode_avi(avi[:-4])
+
+
+def test_avi_codec_roundtrip_property():
+    """Property-based: encode_avi/decode_avi round-trips arbitrary
+    frame stacks, including widths whose DIB stride needs padding."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fanstats_producer_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        nf=st.integers(1, 5),
+        w=st.integers(1, 20),
+        h=st.integers(1, 12),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(nf, w, h, seed):
+        rng = np.random.RandomState(seed)
+        frames = [
+            rng.randint(0, 256, (h, w, 3)).astype(np.uint8) for _ in range(nf)
+        ]
+        gw, gh, fps, dec = decode_avi(encode_avi(frames, w=w, h=h))
+        assert (gw, gh) == (w, h) and len(dec) == nf
+        for d, f in zip(dec, frames):
+            assert (d == f).all()
+
+    check()

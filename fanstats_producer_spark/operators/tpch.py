@@ -220,3 +220,47 @@ def q67_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice_e2").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+# --- q71: TPC-H Q6 analog (forecasting revenue change) ---------------------------
+@query(
+    "q71_tpch_q6",
+    oracle="""
+    SELECT {rev} AS revenue_e2,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """.format(
+        rev=sql_qint("SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))", 2)
+    ),
+)
+def q71_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q71: TPC-H Q6 adapted to the fixture dates — the canonical
+    full-scan scalar aggregate.  Every predicate (date range, discount
+    band, quantity cap) pushes into the parquet scan (PushedFilters),
+    the projection prunes to three columns, and the single partial+
+    final aggregation returns one row — the query whose entire cost is
+    the scan, which is exactly what pushdown and column pruning are
+    for.  Revenue sums in decimal(18,6) (exact, order-free) quantized
+    to integer cents."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        qint(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(18,6)"
+                )
+            ),
+            2,
+        ).alias("revenue_e2"),
+        F.count("*").alias("n_items"),
+    )

@@ -203,6 +203,12 @@ HEADLINERS = {
         "support-pruned edge list broadcasts into both motif joins — "
         "no shuffle touches the quadratic stage."
     ),
+    "x68_substring_dup": (
+        "Position-level substring dedup: window hashes project per-row "
+        "(no explode before the 16-byte pair), the per-hash aggregate "
+        "broadcasts back onto the probe, and the doc rollup reuses the "
+        "spread partitioning — two exchanges total."
+    ),
 }
 
 

@@ -1093,3 +1093,67 @@ def test_dedup_within_watermark_readmits_after_eviction(spark, landing):
     ids = [k for k, _ in per_key]
     # key 1 appears TWICE (original + re-admitted far dup), near-dup gone
     assert ids == [1, 1, 2, 3, 4]
+
+
+def test_streaming_query_listener_lifecycle(spark, landing):
+    """P16 observability, listener arm: a registered
+    StreamingQueryListener receives started / progress (with per-batch
+    row counts and the observe()-attached metrics) / terminated events
+    for a real drain — the hook a metrics shipper (CloudWatch-style,
+    main.tf's alarm posture) attaches to in production."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from fanstats_producer_spark.observability import with_stream_metrics
+
+    events_seen = {"started": [], "progress": [], "terminated": []}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            events_seen["started"].append(event.id)
+
+        def onQueryProgress(self, event):
+            p = event.progress
+            events_seen["progress"].append(
+                (p.numInputRows, dict(p.observedMetrics))
+            )
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            events_seen["terminated"].append(event.id)
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        _write_batch(
+            landing,
+            "b1.json",
+            [_event(i, f"2024-01-01T10:0{i}:00Z") for i in range(4)],
+        )
+        stream = jobs.read_event_stream(spark, str(landing))
+        observed = with_stream_metrics(stream, "ingest")
+        q = (
+            observed.writeStream.format("memory")
+            .queryName("lst_test")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events deliver asynchronously; wait for terminated
+        import time as _time
+
+        deadline = _time.time() + 30
+        while _time.time() < deadline and (
+            not events_seen["terminated"] or not events_seen["progress"]
+        ):
+            _time.sleep(0.1)
+    finally:
+        spark.streams.removeListener(listener)
+    assert events_seen["started"]
+    data_batches = [p for p in events_seen["progress"] if p[0] > 0]
+    assert sum(p[0] for p in data_batches) == 4  # all rows observed
+    # the observe() metrics ride the progress events
+    assert any("ingest" in m for _, m in data_batches)
+    assert events_seen["terminated"]

@@ -162,7 +162,10 @@ def windowed_distinct_users(events: DataFrame) -> DataFrame:
     return (
         events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n_users")
+            F.hll_sketch_estimate(
+                # lgConfigK=18: exact-regime margin (see sketches.py)
+                F.hll_sketch_agg("user_id", F.lit(18))
+            ).alias("n_users")
         )
         .select(
             F.date_format("w.start", _FMT_SPARK).alias("window_start"),

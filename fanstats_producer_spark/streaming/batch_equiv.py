@@ -157,8 +157,14 @@ def windowed_distinct_users(events: DataFrame) -> DataFrame:
     """s13: distinct users per day per event type from HLL sketches —
     the x20 mergeable-sketch pattern inside a window aggregation.  On a
     stream this runs with a watermark and fixed per-window state (a KB
-    blob), where exact distinct would hold every key seen; exact at
-    fixture cardinality, so the batch arm oracle-checks."""
+    blob), where exact distinct would hold every key seen; exact
+    through sf0.1 cardinality at lgConfigK=18 (measured), so the batch
+    arm oracle-checks.  Measured boundary: at sf1 (~5.3k distinct per
+    window) 15 of 150 windows sit exactly -1 — a coupon-hash collision
+    pair, PRECISION-INDEPENDENT (identical at lg 18/20/21) — the
+    honest floor of any hashed sketch; past it, exactness needs the
+    countDistinct arm (q21), which is what the sketch deliberately
+    trades away."""
     return (
         events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(

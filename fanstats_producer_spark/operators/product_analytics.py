@@ -187,11 +187,17 @@ def q57_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same partitioning key), so Catalyst reuses the exchange."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_micros, NOT cast("long"): the cast truncates to whole
+    # seconds, so a gap of 1800.x s read as 1800 stayed in-session
+    # while the full-precision comparison breaks it — invisible below
+    # sf1 (zero boundary-straddling gaps), 15 lost sessions in 955k at
+    # sf1 (caught by the localdata sf1 sweep)
     flagged = ev.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-            <= _GAP_MIN * 60,
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts"))).over(w)
+            <= _GAP_MIN * 60 * 1_000_000,
             0,
         ).otherwise(1),
     )

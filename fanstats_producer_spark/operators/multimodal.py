@@ -572,21 +572,31 @@ def decode_video(payload: bytes) -> object:
     )
 
 
+class _FallBack(Exception):
+    """Control-flow marker: take x42's deterministic byte-slice path."""
+
+
 def x42_sample_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas worker: per-blob frame sampling.  Tries the real
     decoder, falls back to deterministic fixed-size frame slicing.
     (Named distinctly from the pre-existing sample_frames(payload,
     n_frames) codec stub used by frame_sample_batch.)"""
+    import struct as _struct
     for pdf in batches:
         out = []
         for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
             b = bytes(blob)
             try:
                 # text payloads are not AVI, so this raises (real AVI
-                # decode lives in the x70 path)
+                # decode lives in the x70 path); a payload that merely
+                # STARTS like RIFF/AVI raises ValueError/struct.error
+                # from the parser — every such shape must take the
+                # fallback, never fail the scan (the 100 TB bad-blob
+                # rule)
                 decode_video(b)
-                raise AssertionError("unreachable for non-AVI payloads")
-            except NotImplementedError:
+                raise _FallBack()  # parsed as real video: x42 still
+                # reports byte-slice features (its oracle's contract)
+            except (NotImplementedError, ValueError, _struct.error, _FallBack):
                 n_frames = max(1, math.ceil(len(b) / _FRAME_BYTES))
                 picks = range(0, n_frames, _FRAME_STRIDE)
                 sampled = b"".join(
@@ -703,6 +713,8 @@ def decode_wav(payload: bytes):
         off += 8 + clen + (clen % 2)  # chunks are even-aligned
     if fmt is None or data is None:
         raise ValueError("missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError(f"fmt chunk too short ({len(fmt)} bytes)")
     tag, channels, rate, _brate, _align, bits = struct.unpack("<HHIIHH", fmt[:16])
     if tag != 1:
         raise NotImplementedError(f"non-PCM WAV (format tag {tag})")
@@ -859,6 +871,14 @@ def _lzw_encode(data: bytes, min_code_size: int = 8) -> bytes:
         w = wc[-1:]
     if w:
         emit(table[w], width)
+        # the decoder appends an entry (and may widen) after processing
+        # this final code, THEN reads EOI — mirror that bookkeeping or
+        # EOI goes out one bit narrower than the decoder reads it
+        # (found by fuzzing at min_code_size=2: boundary-aligned final
+        # codes made decode of the encoder's own output fail)
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(bitbuf & 0xFF)
@@ -999,6 +1019,8 @@ def decode_gif(payload: bytes):
                 delay = struct.unpack("<H", blocks[0][1:3])[0]
             continue
         if block == 0x2C:  # image descriptor
+            if off + 10 > len(b):
+                raise ValueError("truncated image descriptor")
             left, top, fw, fh, fpacked = struct.unpack(
                 "<HHHHB", b[off : off + 9]
             )
@@ -1009,10 +1031,14 @@ def decode_gif(payload: bytes):
             off += 1
             lzw = bytearray()
             while True:
+                if off >= len(b):
+                    raise ValueError("truncated image sub-blocks")
                 n = b[off]
                 off += 1
                 if n == 0:
                     break
+                if off + n > len(b):
+                    raise ValueError("truncated image sub-block")
                 lzw.extend(b[off : off + n])
                 off += n
             raw = _lzw_decode(bytes(lzw), min_code)

@@ -153,10 +153,17 @@ def streaming_near_dup(
     foreachBatch merge keeps every row JVM-side: one min-aggregate and
     one join per batch, both on the band-bucket key.
 
-    With ids arriving in increasing order (the fixture's event-time
-    layout) the online verdicts equal the batch rule "shares a band
-    r-tuple with a smaller doc_id", which is what the s21 oracle
-    states; cross-batch accumulation is pytest-verified."""
+    Semantics are FIRST-ARRIVAL-WINS — the only semantics an online
+    filter can have, since a verdict once emitted cannot be revised
+    when a "better" (smaller-id) duplicate arrives in a later batch.
+    Within a batch, ties resolve by id (deterministic).  The s21
+    oracle states the batch rule "shares a band r-tuple with a smaller
+    doc_id", which equals first-arrival verdicts iff ids arrive in
+    nondecreasing order across batches — true for the registered drain
+    (AvailableNow over one staged landing = ONE batch) and for the
+    fixture's id-ordered event time; an out-of-order replay is the
+    same arrival-order dependence s11/s12 document for their dedup
+    drains.  Cross-batch accumulation is pytest-verified."""
     import os
     import shutil
 

@@ -205,9 +205,10 @@ HEADLINERS = {
     ),
     "x68_substring_dup": (
         "Position-level substring dedup: window hashes project per-row "
-        "(no explode before the 16-byte pair), the per-hash aggregate "
-        "broadcasts back onto the probe, and the doc rollup reuses the "
-        "spread partitioning — two exchanges total."
+        "(no explode before the 16-byte pair); the per-hash aggregate "
+        "joins back onto the probe by hash (AQE broadcasts it at this "
+        "SF; at corpus scale it is a shuffle join on h — the third "
+        "exchange), and the doc rollup reuses the spread partitioning."
     ),
 }
 

@@ -1317,3 +1317,52 @@ def test_avi_codec_roundtrip_property():
             assert (d == f).all()
 
     check()
+
+
+def test_codec_error_contracts_on_malformed_payloads(spark):
+    """Review fixes pinned: GIF truncated mid-image-data and WAV with a
+    short fmt chunk raise ValueError (the documented fallback class,
+    not IndexError/struct.error); an LZW stream whose final code lands
+    on the width-growth boundary round-trips; an x42 payload that
+    merely LOOKS like RIFF/AVI takes the byte-slice fallback instead of
+    failing the scan."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from fanstats_producer_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        decode_gif,
+        decode_wav,
+        encode_gif,
+        x42_sample_worker,
+    )
+
+    # GIF truncated inside frame sub-block data -> ValueError
+    rng = np.random.RandomState(21)
+    gif = encode_gif([rng.randint(0, 256, (8, 16)).astype(np.uint8)], [0])
+    with _pytest.raises(ValueError):
+        decode_gif(gif[: len(gif) // 2])
+    # WAV with an 8-byte fmt chunk -> ValueError
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + 8 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 8) + b"\x01\x00\x01\x00\x00\x1f\x00\x00"
+        + b"data" + struct.pack("<I", 0)
+    )
+    with _pytest.raises(ValueError):
+        decode_wav(short_fmt)
+    # boundary-aligned final LZW code (the fuzzer-found shape)
+    data = b"\x02\x00\x01\x02\x00\x01\x03\x02\x00\x01\x03\x01\x00\x02"
+    assert _lzw_decode(_lzw_encode(data, 2), 2) == data
+    # RIFF/AVI-prefixed garbage payload -> fallback row, not a crash
+    import pandas as pd
+
+    fake = b"RIFF\xff\xff\xff\xffAVI lots of text that is not chunks"
+    out = list(
+        x42_sample_worker(
+            iter([pd.DataFrame({"doc_id": [1], "payload": [fake]})])
+        )
+    )
+    assert len(out) == 1 and len(out[0]) == 1  # one fallback feature row

@@ -1157,3 +1157,33 @@ def test_streaming_query_listener_lifecycle(spark, landing):
     # the observe() metrics ride the progress events
     assert any("ingest" in m for _, m in data_batches)
     assert events_seen["terminated"]
+
+
+def test_tws_batch_mode_matches_stream_drain(spark, landing):
+    """Spark 4 runs transformWithStateInPandas in BATCH queries too —
+    the typed-state analogue of the windowed_counts one-transform-two-
+    modes contract: the same processor on a static DataFrame must equal
+    the drained streaming totals."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    from fanstats_producer_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf(spark):
+        pytest.skip("no google.protobuf and no vendored runtime to alias")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    rows = [
+        _event(1, "2024-01-01T10:00:00Z", user=7, value=1.5),
+        _event(2, "2024-01-01T10:01:00Z", user=7, value=2.5),
+        _event(3, "2024-01-01T10:02:00Z", user=8, value=10.0),
+    ]
+    _write_batch(landing, "b1.json", rows)
+    stream = jobs.read_event_stream(spark, str(landing))
+    streamed = _run_to_memory(
+        spark, jobs.user_value_stats_tws(stream), "s10_batch_cmp", "update"
+    )
+    want = sorted(map(tuple, streamed.collect()))
+    batch = spark.read.schema(jobs.EVENT_SCHEMA).json(str(landing))
+    got = sorted(map(tuple, jobs.user_value_stats_tws(batch).collect()))
+    assert got == want == [(7, 2, 4_000_000), (8, 1, 10_000_000)]

@@ -222,7 +222,7 @@ def minhash_lsh_pairs(
     )
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, jaccard_distance, distCol="dist")
-    return (
+    out = (
         pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
             F.col("datasetA.doc_id").alias("id_a"),
@@ -230,6 +230,11 @@ def minhash_lsh_pairs(
             qint(1 - F.col("dist")).alias("est_jaccard"),
         )
     )
+    # hand the persisted handle to the caller: once the pair list is
+    # materialized (x04b localCheckpoints it), unpersist releases the
+    # cached feature blocks instead of pinning them for the session
+    out._lsh_feats = feats
+    return out
 
 
 # Containment property check (the VERDICT-r2 suggestion): MLlib's LSH
@@ -257,7 +262,9 @@ def x04b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (small, LSH-bounded) pair list once: it is
     # referenced three times below, and each reference would otherwise
     # re-run the whole MLlib fit + approxSimilarityJoin.
-    lsh = minhash_lsh_pairs(spark, docs).localCheckpoint(eager=True)
+    raw = minhash_lsh_pairs(spark, docs)
+    lsh = raw.localCheckpoint(eager=True)
+    raw._lsh_feats.unpersist()  # pair list materialized; release the cache
     # Verify containment against per-doc shingle sets, shingling ONLY
     # the docs that appear in some pair (broadcast semi-join pushdown):
     # the pair list bounds the work, not the corpus size.
@@ -316,11 +323,17 @@ def _simhash64(tokens: list[str]) -> int:
 
 @F.pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: _simhash64(t.split(" ")))
+    # null-safe: one NULL text must not kill a 100 TB signature pass
+    return texts.map(lambda t: _simhash64(t.split(" ")) if t is not None else 0)
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", simhash_udf("text").alias("simhash"))
+    # NULL-text docs are excluded (mirrors the oracle, whose unnest over
+    # string_split(NULL) emits no rows for them); spread() unlocks N-way
+    # execution of the Python-heavy UDF over a single-split scan
+    return spread(docs.filter(F.col("text").isNotNull())).select(
+        "doc_id", simhash_udf("text").alias("simhash")
+    )
 
 
 # The md5-derived token hash makes the signature engine-independent:
@@ -764,8 +777,12 @@ def dedup_corpus(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> D
       FROM inter
       JOIN sizes sa ON sa.doc_id = id_a
       JOIN sizes sb ON sb.doc_id = id_b
-      WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)
-            >= {_X04_THRESHOLD}),
+      -- quantize-then-compare, exactly like the Spark side's qint and
+      -- x04's own oracle: a knife-edge ratio in [t - 5e-7, t) must land
+      -- on the same side in both engines
+      WHERE CAST(floor(CAST(n_inter AS DOUBLE)
+                       / (sa.n_sh + sb.n_sh - n_inter) * 1e6 + 0.5)
+                 AS BIGINT) >= {int(_X04_THRESHOLD * 1e6)}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION SELECT id_b, id_a FROM pairs),
@@ -1412,8 +1429,16 @@ def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from fanstats_producer_spark.operators.clustering import kmeans_assignments
 
     emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
-    asg = kmeans_assignments(emb).select(
-        "vec_id", "cid", qint("dist2").alias("dist2_e6")
+    # materialize the k-means assignment ONCE: both the pair pipeline
+    # and the keep-policy fold consume `asg`, and without a checkpoint
+    # the full seed/assign/refit/reassign pipeline re-executes per
+    # consumer.  Measured trade: +0.5 s at sf0.1 (2k vectors — the
+    # recompute is cheaper than the materialization) but -16 s at sf1
+    # (84.7 -> 68.4 warm); sized for scale, like the rest of the key
+    asg = (
+        kmeans_assignments(emb)
+        .select("vec_id", "cid", qint("dist2").alias("dist2_e6"))
+        .localCheckpoint(eager=True)
     )
     # within-cluster candidate pairs with precomputed norms (the x04f
     # lesson: inlined cosine() re-evaluates three array aggregates per

@@ -105,6 +105,12 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     _load(spark, sf_dir, "events")
     schema = spark.read.parquet(path).schema
     landing = tempfile.mkdtemp(prefix="s_landing_")
+    # the dir must outlive this call (the caller drains later), so defer
+    # removal to interpreter exit — bounds /tmp growth across a long
+    # bench/driver session without racing any in-flight stream
+    import atexit
+
+    atexit.register(shutil.rmtree, landing, ignore_errors=True)
     dst = os.path.join(landing, "events-000.parquet")
     try:
         os.link(path, dst)
@@ -575,15 +581,18 @@ def s11_content_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "s04b_session_stream",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     numbered AS (
+      -- (ts, event_id): same total order as the marking window, so tied
+      -- timestamps cannot misnumber a session boundary
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM marked)
     SELECT user_id,
@@ -922,7 +931,13 @@ def s20_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(clicks_dir).schema
     clicks = spark.readStream.schema(schema).parquet(clicks_dir)
     purchases = spark.readStream.schema(schema).parquet(purchases_dir)
-    unioned = clicks.union(purchases).withWatermark("ts", "30 minutes")
+    # watermark each source BEFORE the union: the query watermark is the
+    # MIN across the two operators, so a lagging source holds the line
+    # (a single post-union watermark would track the global max and drop
+    # the lagging source's rows as late once batches separate)
+    unioned = clicks.withWatermark("ts", "30 minutes").union(
+        purchases.withWatermark("ts", "30 minutes")
+    )
     agg = unioned.groupBy(
         F.window("ts", "1 day").alias("w"), "event_type"
     ).agg(F.count("*").alias("n"), dsum_pos("value").alias("sum_value"))

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.functions.num import qint, sql_qint
+from fanstats_producer_spark.functions.num import qint
 from fanstats_producer_spark.io import load, spread
 from fanstats_producer_spark.registry import query
 
@@ -172,7 +172,9 @@ def ivf_topk(
 
 # IVF with fixed probes is approximate vs brute force but fully
 # DETERMINISTIC and SQL-expressible: the coarse quantizer is a per-label
-# dim-mean (rounded to 9 dp so the probe argmax is engine-stable), the
+# integer-exact dim-mean (label_centroids' 2^-30 quantization, engine-
+# stable by construction — NOT the round-3 9-dp rounding, which was only
+# probabilistically stable), the
 # probe is the top-1 centroid by cosine, and the result is the exact
 # top-k WITHIN the probed list — so the whole operator gets a value-hash
 # oracle, not a rows-only check.  The fixture embedding width (64) is

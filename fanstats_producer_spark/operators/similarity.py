@@ -916,18 +916,18 @@ _X66_THRESH_E6 = 350_000  # cosine >= 0.35 (e6-quantized -> integer-exact flag)
                FROM embeddings WHERE vec_id >= {_X66_N_EVAL}),
          scored AS (
            SELECT c.vec_id, e.eval_id,
-                  list_cosine_similarity(c.v, e.ev) AS sim
+                  CAST(floor(list_cosine_similarity(c.v, e.ev) * 1e6 + 0.5)
+                       AS BIGINT) AS sim_e6
            FROM c CROSS JOIN e),
          ranked AS (
-           SELECT vec_id, eval_id, sim,
+           SELECT vec_id, eval_id, sim_e6,
                   row_number() OVER (PARTITION BY vec_id
-                                     ORDER BY sim DESC, eval_id) AS rnk
+                                     ORDER BY sim_e6 DESC, eval_id) AS rnk
            FROM scored)
     SELECT vec_id,
            eval_id AS nearest_eval_id,
-           CAST(floor(sim * 1e6 + 0.5) AS BIGINT) AS max_sim_e6,
-           CAST(CAST(floor(sim * 1e6 + 0.5) AS BIGINT)
-                >= {_X66_THRESH_E6} AS INT) AS contaminated
+           sim_e6 AS max_sim_e6,
+           CAST(sim_e6 >= {_X66_THRESH_E6} AS INT) AS contaminated
     FROM ranked WHERE rnk = 1
     """,
 )
@@ -947,10 +947,15 @@ def x66_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").alias("v")
     )
     scored = corpus.join(F.broadcast(evals)).withColumn(
-        "sim", cosine(F.col("v"), F.col("ev"))
+        # rank on the e6-QUANTIZED similarity (the x57 pattern): two
+        # eval vectors with near-equal raw cosine would otherwise pick
+        # engine-dependent winners; on the integer grid ties collapse
+        # deterministically to the eval_id tie-break in both engines.
+        "sim_e6",
+        qint(cosine(F.col("v"), F.col("ev"))),
     )
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("eval_id")
+        F.col("sim_e6").desc(), F.col("eval_id")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -958,8 +963,8 @@ def x66_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.col("eval_id").alias("nearest_eval_id"),
-            qint("sim").alias("max_sim_e6"),
-            (qint("sim") >= F.lit(_X66_THRESH_E6))
+            F.col("sim_e6").alias("max_sim_e6"),
+            (F.col("sim_e6") >= F.lit(_X66_THRESH_E6))
             .cast("int")
             .alias("contaminated"),
         )

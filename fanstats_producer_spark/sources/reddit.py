@@ -75,7 +75,9 @@ class RedditListingSource:
     def _collect_subreddit(self, subreddit: str) -> list[dict]:
         rows: list[dict] = []
         after: str | None = None
+        seen_cursors: set[str] = set()
         while len(rows) < self.max_posts:
+            before = len(rows)
             children, after = self.fetch_listing(subreddit, after, self.limit)
             for child in children:
                 if child.get("kind") != "t3":  # only link/self posts
@@ -87,7 +89,22 @@ class RedditListingSource:
                     # than kill the whole scan (the rest.py tolerance
                     # contract: land what's landable)
                     continue
+                # per-row tolerance: a malformed numeric field nulls /
+                # zeroes that field instead of killing the whole scan
+                # (the rest.py contract: land what's landable)
                 cu = d.get("created_utc")
+                try:
+                    cu = float(cu) if cu is not None else None
+                except (TypeError, ValueError):
+                    cu = None
+                try:
+                    score = int(d.get("score") or 0)
+                except (TypeError, ValueError):
+                    score = 0
+                try:
+                    num_comments = int(d.get("num_comments") or 0)
+                except (TypeError, ValueError):
+                    num_comments = 0
                 rows.append(
                     {
                         "post_id": d["id"],
@@ -95,13 +112,20 @@ class RedditListingSource:
                         "title": d.get("title", ""),
                         "selftext": d.get("selftext", ""),
                         "author": d.get("author"),
-                        "created_utc": float(cu) if cu is not None else None,
-                        "score": int(d.get("score") or 0),
-                        "num_comments": int(d.get("num_comments") or 0),
+                        "created_utc": cu,
+                        "score": score,
+                        "num_comments": num_comments,
                     }
                 )
             if not after:  # listing exhausted
                 break
+            # liveness guards: a server that keeps handing back a
+            # cursor while yielding pages with no usable rows (all
+            # filtered), or that repeats a cursor, must not spin the
+            # collector forever
+            if len(rows) == before or after in seen_cursors:
+                break
+            seen_cursors.add(after)
         return rows[: self.max_posts]
 
     def scan(self, subreddits: list[str]) -> DataFrame:

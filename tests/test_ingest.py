@@ -276,6 +276,51 @@ def test_reddit_listing_pagination_and_envelope(spark):
     assert not any("comment" in r.post_id for r in out)  # non-t3 skipped
 
 
+def test_reddit_listing_liveness_and_row_tolerance(spark):
+    """A server that keeps handing back a cursor over pages with no
+    usable rows (or a repeating cursor) must terminate the scan, and a
+    malformed numeric field nulls/zeroes that field instead of killing
+    the whole listing."""
+    from fanstats_producer_spark.sources.reddit import RedditListingSource
+
+    calls = {"n": 0}
+
+    def hostile(subreddit, after, limit):
+        calls["n"] += 1
+        # page 1: one good row + one row with garbage numerics;
+        # afterwards: endless non-t3 noise with a live cursor
+        if after is None:
+            return (
+                [
+                    {"kind": "t3", "data": {
+                        "id": "ok", "created_utc": 1700000000.0, "score": 3}},
+                    {"kind": "t3", "data": {
+                        "id": "bad", "created_utc": "not-a-number",
+                        "score": "NaNish", "num_comments": None}},
+                ],
+                "t3_cursor",
+            )
+        return [{"kind": "t1", "data": {"id": "noise"}}], "t3_cursor"
+
+    src = RedditListingSource(spark, hostile, max_posts=50)
+    out = {r.post_id: r for r in src.scan(["nba"]).collect()}
+    assert calls["n"] <= 3  # zero-progress page broke the loop
+    assert set(out) == {"ok", "bad"}
+    assert out["bad"].created_utc is None and out["bad"].score == 0
+    assert out["ok"].created_utc == 1700000000.0 and out["ok"].score == 3
+
+    # repeated-cursor variant: pages always add a row but the cursor
+    # never advances — the seen-cursor guard must stop the chain
+    def repeater(subreddit, after, limit):
+        return (
+            [{"kind": "t3", "data": {"id": f"r{len(after or '')}"}}],
+            "t3_same",
+        )
+
+    out2 = RedditListingSource(spark, repeater, max_posts=50).scan(["nba"])
+    assert out2.count() <= 2
+
+
 def test_reddit_collector_unions_with_twitter(spark):
     """The normalized Reddit collector dispatches through
     PlatformRegistry next to a Twitter-shaped collector: column names

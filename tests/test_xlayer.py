@@ -49,10 +49,9 @@ def test_minhash_lsh_recall_vs_exact(spark):
     threshold (recall check on the fixture corpus)."""
     docs = load(spark, SF_DIR, "documents")
     exact = {(r.id_a, r.id_b) for r in jaccard_pairs(docs, threshold=0.6).collect()}
-    approx = {
-        (r.id_a, r.id_b)
-        for r in minhash_lsh_pairs(spark, docs, jaccard_distance=0.4).collect()
-    }
+    lsh_pairs, feats = minhash_lsh_pairs(spark, docs, jaccard_distance=0.4)
+    approx = {(r.id_a, r.id_b) for r in lsh_pairs.collect()}
+    feats.unpersist()
     assert exact, "fixture should contain near-dups at 0.6"
     missed = exact - approx
     assert len(missed) / len(exact) <= 0.2  # ≥80% recall with 8 tables

@@ -1410,8 +1410,51 @@ def _x61_oracle() -> str:
     """
 
 
-@query("x61_semdedup", oracle=_x61_oracle())
-def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_blas_pairs(side: DataFrame, threshold: float) -> DataFrame:
+    """Per-cluster cosine pairs via an applyInPandas numpy/BLAS matmul.
+
+    Each k-means cluster's members arrive as one pandas group; the
+    normalized gram matrix X̂·X̂ᵀ yields every within-cluster cosine in
+    one BLAS call instead of one JVM array-fold per pair (measured sf1:
+    84.3 s fold → 12.0 s BLAS = 7.0× — BASELINE.md).  The matmul runs in row blocks of
+    1024 so peak memory is B×|cluster| floats, not |cluster|², keeping
+    a hot cluster from blowing an executor even if k∝N sizing slips.
+    Trade vs the fold-exact default: BLAS reassociates the float sums,
+    so a pair sitting within ~1e-13 of the threshold could flip — the
+    forced-path test (tests/test_xlayer.py) proves the keep decisions
+    are identical on the fixture, and the registered x61 key stays on
+    the fold-exact scorer for oracle bit-parity."""
+    import numpy as np
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(X, axis=1)
+        nrm[nrm == 0.0] = 1.0  # zero vectors pair with nothing anyway
+        Xh = X / nrm[:, None]
+        n = len(ids)
+        blocks_a, blocks_b = [], []
+        B = 1024
+        for s in range(0, n, B):
+            S = Xh[s : s + B] @ Xh.T  # (B, n) similarity block
+            bi, bj = np.nonzero(S >= threshold)
+            bi = bi + s
+            m = bi < bj  # upper triangle only ⇒ id pairs once
+            blocks_a.append(ids[bi[m]])
+            blocks_b.append(ids[bj[m]])
+        ia = np.concatenate(blocks_a) if blocks_a else np.array([], dtype=ids.dtype)
+        ib = np.concatenate(blocks_b) if blocks_b else np.array([], dtype=ids.dtype)
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return side.select("cid", "vec_id", "v").groupBy("cid").applyInPandas(
+        score, "id_a long, id_b long"
+    )
+
+
+def semdedup(
+    spark: SparkSession, sf_dir: str, scorer: str = "fold"
+) -> DataFrame:
     """SemDeDup over the full embeddings table: k-means prunes the pair
     space to within-cluster joins, cosine pairs at or above
     _X61_THRESHOLD (0.35) form semantic duplicate groups (connected
@@ -1426,10 +1469,12 @@ def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     levers the fixture pins but production turns: k scales with corpus
     size so cluster cardinality stays bounded (the within-cluster pair
     count is Σ|cluster|², so k ∝ N holds per-cluster work constant);
-    and the within-cluster scorer can swap the fold-exact JVM cosine
-    for an applyInPandas per-cluster BLAS matmul (~10x at sf1's
-    measured 85 s) at the cost of reassociated float sums — kept
-    fold-exact here because the oracle contract is bit-parity."""
+    and ``scorer="blas"`` swaps the fold-exact JVM cosine for a
+    per-cluster applyInPandas BLAS matmul (_semdedup_blas_pairs —
+    measured sf1 84.3 s → 12.0 s = 7.0×, identical rows at both SFs,
+    keep decisions pinned by the forced-path test) at the cost of reassociated float sums — the
+    registered key keeps the fold-exact default because the oracle
+    contract is bit-parity."""
     from fanstats_producer_spark.operators.clustering import kmeans_assignments
 
     emb = spread(load(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
@@ -1461,29 +1506,32 @@ def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     side = asg.select("vec_id", "cid").join(dv, "vec_id")
-    a = side.select(
-        "cid",
-        F.col("vec_id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nrm").alias("na"),
-    )
-    b = side.select(
-        "cid",
-        F.col("vec_id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot_ab = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, val: acc + val,
-    )
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .filter(dot_ab / (F.col("na") * F.col("nb")) >= _X61_THRESHOLD)
-        .select("id_a", "id_b")
-    )
+    if scorer == "blas":
+        pairs = _semdedup_blas_pairs(side, _X61_THRESHOLD)
+    else:
+        a = side.select(
+            "cid",
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        b = side.select(
+            "cid",
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        dot_ab = F.aggregate(
+            F.zip_with("va", "vb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        pairs = (
+            a.join(b, "cid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(dot_ab / (F.col("na") * F.col("nb")) >= _X61_THRESHOLD)
+            .select("id_a", "id_b")
+        )
     cl = connected_components(pairs).select(
         F.col("doc_id").alias("vec_id"), F.col("cluster_id").alias("sem")
     )
@@ -1501,6 +1549,13 @@ def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist2_e6",
         (F.col("rn") == 1).alias("is_kept"),
     )
+
+
+@query("x61_semdedup", oracle=_x61_oracle())
+def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered SemDeDup key — fold-exact scorer (oracle bit-parity);
+    see :func:`semdedup` for the plan story and the BLAS scale arm."""
+    return semdedup(spark, sf_dir, scorer="fold")
 
 
 def streaming_band_keys(

@@ -681,17 +681,27 @@ _X57_ORACLE = f"""
     """
 
 
-@query("x57_ivfpq_ann", oracle=_X57_ORACLE)
-def x57_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = _X57_NPROBE,
+    shortlist: int = _X57_SHORTLIST,
+    m: int = _X57_M,
+) -> DataFrame:
     """Composed IVF+PQ ANN: assign every vector to its nearest routing
     seed (quantized-cosine argmax — a geometry-faithful coarse
     quantizer, see the block comment), route each probe query to its
-    _X57_NPROBE (5) nearest seed lists, ADC-scan only those lists' PQ
-    codes, keep the _X57_SHORTLIST (100) best by compressed distance,
-    then exact-cosine re-rank the shortlist over raw vectors for the
-    final top-5.  Every argmax / ranking stage breaks ties on id over
-    INTEGER-quantized distances, so the composition is value-hash
-    deterministic end to end."""
+    `n_probe` nearest seed lists, ADC-scan only those lists' PQ codes,
+    keep the `shortlist` best by compressed distance, then exact-cosine
+    re-rank the shortlist over raw vectors for the final top-5.  Every
+    argmax / ranking stage breaks ties on id over INTEGER-quantized
+    distances, so the composition is value-hash deterministic end to
+    end.  `n_probe`/`shortlist`/`m` are the recall-vs-cost knobs the
+    x57 sweep (scripts/x57_sweep.py) tunes on the planted-neighbor
+    fixture; the registered key pins the defaults the oracle states.
+    `m` sub-spaces re-slice the 64 dims (dsub = 64/m) over the same
+    [29, 61) codebook range."""
+    dsub = 64 // m
     emb = spread(load(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     queries = v.filter(
@@ -730,7 +740,7 @@ def x57_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         q2s.select("query_id", "list_id", F.row_number().over(wq).alias("pr"))
-        .filter(F.col("pr") <= _X57_NPROBE)
+        .filter(F.col("pr") <= n_probe)
         .select("query_id", "list_id")
     )
     # 2) ADC over probed lists only: per-query LUT of (subspace, cid)
@@ -744,10 +754,10 @@ def x57_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         *[
             F.expr(
-                f"CAST(floor({_chain_dist2('qv', 'cv', j * _X57_DSUB, j * _X57_DSUB, _X57_DSUB)}"
+                f"CAST(floor({_chain_dist2('qv', 'cv', j * dsub, j * dsub, dsub)}"
                 f" * 1e9 + 0.5) AS BIGINT)"
             ).alias(f"d{j}")
-            for j in range(_X57_M)
+            for j in range(m)
         ],
     )
     lut_long = lut.select(
@@ -760,12 +770,12 @@ def x57_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col(f"d{j}").alias("d"),
                         F.col("cid").alias("cid"),
                     )
-                    for j in range(_X57_M)
+                    for j in range(m)
                 ]
             )
         ).alias("e"),
     ).select("query_id", "e.j", "e.d", "e.cid")
-    codes = pq_encode(emb, m=_X57_M, dsub=_X57_DSUB, k=_X57_K, base=_X57_CB0)
+    codes = pq_encode(emb, m=m, dsub=dsub, k=_X57_K, base=_X57_CB0)
     probed = assign.join(F.broadcast(probes), "list_id").filter(
         F.col("vec_id") != F.col("query_id")
     )
@@ -785,7 +795,7 @@ def x57_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.select(
             "query_id", "neighbor_id", F.row_number().over(ws).alias("rs")
         )
-        .filter(F.col("rs") <= _X57_SHORTLIST)
+        .filter(F.col("rs") <= shortlist)
         .select("query_id", "neighbor_id")
     )
     # 3) exact re-rank of the shortlist over raw vectors
@@ -807,6 +817,14 @@ def x57_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rnk") <= _PQ_TOPK)
     )
+
+
+@query("x57_ivfpq_ann", oracle=_X57_ORACLE)
+def x57_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered IVF+PQ key at the oracle-stated defaults
+    (n_probe=5, shortlist=100, m=16); :func:`ivfpq_ann` is the
+    parameterized surface the recall sweep drives."""
+    return ivfpq_ann(spark, sf_dir)
 
 
 def _x57b_oracle() -> str:
@@ -841,14 +859,20 @@ def _x57b_oracle() -> str:
     """
 
 
-@query("x57b_ivfpq_recall", oracle=_x57b_oracle())
-def x57b_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = _X57_NPROBE,
+    shortlist: int = _X57_SHORTLIST,
+    m: int = _X57_M,
+) -> DataFrame:
     """x50 extended to the composed arm: per-query recall@k of the
     IVF->ADC->rerank pipeline vs brute-force exact cosine over the SAME
     probe queries — the number a production owner tunes n_probe and
-    shortlist against.  Exact ground truth ranks over the quantized
-    similarity (integer, neighbor_id tie-break) so both engines pick
-    identical top-k sets."""
+    shortlist against (scripts/x57_sweep.py drives this surface over
+    the planted-neighbor fixture).  Exact ground truth ranks over the
+    quantized similarity (integer, neighbor_id tie-break) so both
+    engines pick identical top-k sets."""
     emb = spread(load(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     queries = v.filter(
@@ -868,7 +892,7 @@ def x57b_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _PQ_TOPK)
         .select("query_id", "neighbor_id")
     )
-    composed = x57_ivfpq_ann(spark, sf_dir).select(
+    composed = ivfpq_ann(spark, sf_dir, n_probe, shortlist, m).select(
         "query_id", F.col("neighbor_id").alias("c_neighbor")
     )
     j = exact.join(
@@ -889,6 +913,13 @@ def x57b_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         qint(F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall_e6"),
     )
+
+
+@query("x57b_ivfpq_recall", oracle=_x57b_oracle())
+def x57b_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered recall monitor at the oracle-stated defaults; see
+    :func:`ivfpq_recall` for the parameterized sweep surface."""
+    return ivfpq_recall(spark, sf_dir)
 
 
 # --- x66: semantic decontamination (embedding-space eval-set removal) ------------

@@ -54,13 +54,24 @@ def _write(out, name, cols: dict, schema: pa.Schema) -> None:
 
 
 def generate(
-    sf: float, out: str, seed: int = 42, hot_frac: float = 0.0
+    sf: float,
+    out: str,
+    seed: int = 42,
+    hot_frac: float = 0.0,
+    planted_neighbors: int = 0,
 ) -> None:
     """hot_frac > 0 plants ONE Zipfian hot near-dup cluster in
     `documents`: that fraction of docs become near-copies of a single
     template (one token swapped per copy) — the skewed-crawl shape that
     stresses the dedup path's band buckets (every copy shares most band
-    hashes, so one bucket holds the whole cluster)."""
+    hashes, so one bucket holds the whole cluster).
+
+    planted_neighbors > 0 plants that many REAL near neighbors (cosine
+    ≈ 0.9+) in `embeddings` for each of the three x57 probe queries
+    (vec_id 16-18): the base fixture's neighborhoods are barely
+    separated (top-5 cosine 0.34-0.45 vs p99 0.29 — VERDICT r6), so
+    ANN recall on it measures noise, not the index.  Planted ids start
+    at 64 (clear of the query/seed/codebook layout [16, 61))."""
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -328,6 +339,16 @@ def generate(
     labels = rng.integers(0, 10, nvec)
     vecs = centers[labels] * 0.8 + rng.normal(size=(nvec, 64)) * 0.35
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    if planted_neighbors > 0:
+        # near-copies of each probe query, scattered through the corpus
+        # above the reserved id layout; noise scale 0.22 lands cosine
+        # ≈ 0.90-0.95 — unambiguous nearest neighbors
+        free = np.arange(64, nvec)
+        picks = rng.choice(free, size=3 * planted_neighbors, replace=False)
+        for qi, q in enumerate((16, 17, 18)):
+            for pid in picks[qi * planted_neighbors:(qi + 1) * planted_neighbors]:
+                nb = vecs[q] + rng.normal(size=64) * 0.22
+                vecs[pid] = nb / np.linalg.norm(nb)
     vecs = vecs.astype("float32")
     _write(
         out,
@@ -351,4 +372,5 @@ if __name__ == "__main__":
     sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
     out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/localdata/sf{sys.argv[1] if len(sys.argv) > 1 else '1'}"
     hot = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
-    generate(sf, out, hot_frac=hot)
+    planted = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    generate(sf, out, hot_frac=hot, planted_neighbors=planted)

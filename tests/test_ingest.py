@@ -350,6 +350,122 @@ def test_reddit_collector_unions_with_twitter(spark):
     assert r1.author_id == "u1"
 
 
+def _fake_facebook(posts_per_page: int):
+    """Deterministic Graph-API feed fake: flat `data` arrays with
+    nested from/reactions/comments/shares objects and an opaque
+    `paging.cursors.after` token, plus one id-less stub per page that
+    must be skipped."""
+
+    def fetch(page_id, after, limit):
+        start = int(after.split(":")[1]) + 1 if after else 0
+        ids = range(start, min(start + limit, posts_per_page))
+        data = [
+            {
+                "id": f"{page_id}_{i}",
+                "message": f"update {i}",
+                "created_time": "2024-03-05T08:30:00+0000",
+                "from": {"id": f"pg{i % 4}", "name": f"Page Author {i % 4}"},
+                "reactions": {"summary": {"total_count": i * 2}},
+                "comments": {"summary": {"total_count": i % 5}},
+                "shares": {"count": i % 3},
+            }
+            for i in ids
+        ]
+        data.append({"created_time": "2024-03-05T08:30:00+0000"})  # id-less stub
+        last = max(ids, default=None)
+        nxt = (
+            f"cur:{last}"
+            if last is not None and last + 1 < posts_per_page
+            else None
+        )
+        return data, nxt
+
+    return fetch
+
+
+def test_facebook_feed_pagination_and_flatten(spark):
+    """P9 third platform: opaque `after`-cursor pagination, per-request
+    limit clamp, nested from/summary flattening, +0000-offset
+    timestamps, result cap."""
+    from fanstats_producer_spark.sources.facebook import FacebookFeedSource
+
+    src = FacebookFeedSource(spark, _fake_facebook(250), limit=500, max_posts=220)
+    assert src.limit == 100  # clamped to the Graph API per-request max
+    out = src.scan(["espn"]).collect()
+    assert len(out) == 220  # cap enforced mid-feed (3 pages fetched)
+    ids = [r.post_id for r in out]
+    assert ids[0] == "espn_0" and ids[-1] == "espn_219"  # cursor chain in order
+    r7 = next(r for r in out if r.post_id == "espn_7")
+    assert r7.author_id == "pg3" and r7.author_name == "Page Author 3"
+    assert r7.reactions == 14 and r7.comments == 2 and r7.shares == 1
+    assert r7.created_time == "2024-03-05T08:30:00+0000"
+
+
+def test_facebook_feed_liveness_and_row_tolerance(spark):
+    """Same liveness/tolerance contract as the Reddit arm: zero-
+    progress and repeated cursors terminate the feed; malformed nested
+    counts land as 0 instead of killing the scan."""
+    from fanstats_producer_spark.sources.facebook import FacebookFeedSource
+
+    calls = {"n": 0}
+
+    def hostile(page_id, after, limit):
+        calls["n"] += 1
+        if after is None:
+            return (
+                [
+                    {"id": "ok", "reactions": {"summary": {"total_count": 4}}},
+                    {"id": "bad",
+                     "reactions": {"summary": {"total_count": "many"}},
+                     "shares": {"count": "viral"},
+                     "from": "not-a-dict-free-pass"},
+                ],
+                "cur:x",
+            )
+        return [{"no_id": True}], "cur:x"
+
+    src = FacebookFeedSource(spark, hostile, max_posts=50)
+    out = {r.post_id: r for r in src.scan(["espn"]).collect()}
+    assert calls["n"] <= 3  # zero-progress page broke the loop
+    assert set(out) == {"ok", "bad"}
+    assert out["bad"].reactions == 0 and out["bad"].shares == 0
+    assert out["ok"].reactions == 4
+
+    def repeater(page_id, after, limit):
+        return [{"id": f"p{len(after or '')}"}], "cur:same"
+
+    out2 = FacebookFeedSource(spark, repeater, max_posts=50).scan(["espn"])
+    assert out2.count() <= 2
+
+
+def test_three_platform_union(spark):
+    """Architecture.png's full planned source set: Twitter + Reddit +
+    Facebook collectors union by name through PlatformRegistry, each
+    platform's extra columns null-filling across the others, all
+    created_at values RFC-3339 Z-suffixed UTC."""
+    from fanstats_producer_spark.sources.dispatch import PlatformRegistry
+    from fanstats_producer_spark.sources import facebook, reddit
+
+    reg = PlatformRegistry()
+    reg.register("Twitter", lambda s: s.createDataFrame(
+        [("t1", "hello", "2024-01-01T00:00:00.000Z", "a9")],
+        "id string, text string, created_at string, author_id string"))
+    reg.register("Reddit", reddit.collector(
+        reddit.RedditListingSource(spark, _fake_reddit(2)), ["nba"]))
+    reg.register("Facebook", facebook.collector(
+        facebook.FacebookFeedSource(spark, _fake_facebook(2)), ["espn"]))
+    out = reg.collect_all(spark, ["Twitter", "Reddit", "Facebook"])
+    rows = {r.id: r for r in out.collect()}
+    assert len(rows) == 5
+    fb = rows["espn_1"]
+    assert fb.platform == "Facebook" and fb.page == "espn"
+    assert fb.text == "update 1" and fb.author_id == "pg1"
+    assert fb.reactions == 2 and fb.subreddit is None
+    # +0000 offset parsed as a real instant, re-rendered in UTC
+    assert fb.created_at == "2024-03-05T08:30:00.000Z"
+    assert rows["t1"].page is None and rows["nba_1"].shares is None
+
+
 def test_corrupt_records_tolerated(spark, tmp_path):
     """PERMISSIVE ingest: malformed NDJSON lines land in _corrupt_record
     instead of failing the job (the reference appends API responses

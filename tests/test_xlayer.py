@@ -418,6 +418,24 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
     assert len(kept) == 1
     far = max(grp, key=lambda r: (r.dist2_e6, -r.vec_id))
     assert kept[0].vec_id == far.vec_id  # farthest from centroid wins
+
+
+def test_semdedup_blas_scorer_matches_fold(spark):
+    """Forced-path check for the x61 scale arm: the per-cluster
+    applyInPandas BLAS matmul scorer (scorer="blas") must produce the
+    exact same rows — sem_cluster assignment AND keep decisions — as
+    the fold-exact JVM scorer the registered key uses.  BLAS
+    reassociates the float sums, so this holds only because no fixture
+    pair sits within float-reassociation error of the 0.35 threshold;
+    running on the real sf0.001 fixture (not a toy) keeps the check
+    honest."""
+    from fanstats_producer_spark.operators.dedup import semdedup
+
+    sf = "/root/testdata/sf0.001"
+    fold = sorted(map(tuple, semdedup(spark, sf, scorer="fold").collect()))
+    blas = sorted(map(tuple, semdedup(spark, sf, scorer="blas").collect()))
+    assert fold == blas
+    assert any(not r[3] for r in fold)  # fixture has real drops to agree on
     # global invariant: every semantic cluster keeps exactly one member
     # (incidental duplicate groups among the random fill vectors are
     # fine — low-dim random cosines do cross 0.35)

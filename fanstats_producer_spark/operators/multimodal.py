@@ -125,8 +125,9 @@ def decode_image(payload: bytes):
     offsets).  Returns a numpy uint8 array — (H,W) for grayscale,
     (H,W,C) otherwise; palette (type 3) images resolve through PLTE to
     RGB.  Supports bit depth 8, color types 0/2/3/4/6, non-interlaced.
-    Adam7-interlaced PNGs and every non-PNG format (JPEG/WebP/...)
-    raise NotImplementedError — callers fall back to deterministic
+    JPEG payloads (SOI-signed) dispatch to the real baseline decoder
+    (decode_jpeg, x71).  Adam7-interlaced PNGs and every other format
+    (WebP/...) raise NotImplementedError — callers fall back to deterministic
     byte-level features, same as before this decoder existed.
     Corrupt PNG-signed payloads raise ValueError (CRC/length mismatch),
     struct.error (truncated header), or zlib.error (damaged deflate) —
@@ -138,8 +139,12 @@ def decode_image(payload: bytes):
     import numpy as np
 
     b = bytes(payload)
+    if b[:2] == b"\xff\xd8":
+        return decode_jpeg(b)  # baseline sequential JPEG (x71 codec)
     if not b.startswith(_PNG_SIG):
-        raise NotImplementedError("not a PNG; other image codecs unavailable")
+        raise NotImplementedError(
+            "not a PNG/JPEG; other image codecs unavailable"
+        )
     pos, ihdr, palette, idat = len(_PNG_SIG), None, None, bytearray()
     while pos + 8 <= len(b):
         (ln,) = struct.unpack(">I", b[pos : pos + 4])
@@ -1363,4 +1368,598 @@ def x70_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         avi_roundtrip_features,
         schema="doc_id long, frame_id int, n_px int, frame_sha string, fps int",
+    )
+
+
+# --- x71: REAL baseline JPEG codec (the last feasible stdlib codec) -------------
+# PNG (x58), WAV (x64), GIF (x65) and AVI (x70) are lossless container
+# codecs; JPEG is the one remaining image format a real asset scan
+# meets that is feasible without ffmpeg — baseline sequential DCT
+# (ISO/IEC 10918-1): level shift -> 8x8 FDCT -> quantize -> zigzag ->
+# DC-predicted / run-length Huffman entropy coding with byte stuffing.
+# Both directions are implemented from the public spec: the encoder
+# emits SOI/DQT/SOF0/DHT/SOS/EOI with the Annex-K standard Huffman
+# tables, the decoder walks the markers, canonical-Huffman-decodes the
+# scan, dequantizes, inverse-DCTs and (for color) converts YCbCr back
+# to RGB.  Quantization tables are all-ones here (legal JPEG, "quality
+# 100"): the codec stays bit-faithful through the entropy layer, and
+# the only loss is FDCT-coefficient rounding — which vanishes for
+# block-constant inputs (DC-only spectra), the property the x71
+# round-trip key exploits so the DuckDB oracle can state the decoded
+# digest from the text side.  Progressive (SOF2), arithmetic coding,
+# subsampled chroma and restart markers raise NotImplementedError;
+# truncated or corrupt payloads raise ValueError.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Annex K standard Huffman specifications: (bits[1..16], huffval)
+_JPEG_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_JPEG_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_JPEG_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """Canonical Huffman code assignment (spec C.2): symbols ordered by
+    code length then table order; returns {symbol: (code, length)}."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_decode_table(bits, vals):
+    """Inverse map {(length, code): symbol} for the decoder."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_matrix():
+    import numpy as np
+
+    x = np.arange(8)
+    D = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    D[0, :] *= 1 / np.sqrt(2)
+    return D
+
+
+class _JpegBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (spec F.1.2.3)
+                self.buf.append(0x00)
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _jpeg_amplitude(v: int, s: int) -> int:
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _jpeg_blocks(channel):
+    """(H8, W8) channel -> (n_blocks, 8, 8) in raster MCU order."""
+    import numpy as np
+
+    h, w = channel.shape
+    return (
+        channel.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        .astype(np.float64)
+    )
+
+
+def encode_jpeg(pixels) -> bytes:
+    """Baseline sequential JPEG encoder (stdlib + numpy).  Accepts a
+    uint8 (H, W) grayscale or (H, W, 3) RGB array; RGB converts to
+    YCbCr (JFIF) and encodes 4:4:4 — one block per component per MCU.
+    All-ones quantization tables (legal "quality 100"): the only loss
+    is FDCT-coefficient rounding, so block-constant inputs round-trip
+    exactly (DC-only spectra).  Annex-K standard Huffman tables."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        comps = [px.astype(np.float64)]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+        comps = [y, cb, cr]
+    else:
+        raise ValueError("encode_jpeg wants (H,W) gray or (H,W,3) RGB")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    D = _dct_matrix()
+    dc_tabs = [_jpeg_canonical_codes(*_JPEG_DC_LUMA)]
+    ac_tabs = [_jpeg_canonical_codes(*_JPEG_AC_LUMA)]
+    if len(comps) == 3:
+        dc_tabs.append(_jpeg_canonical_codes(*_JPEG_DC_CHROMA))
+        ac_tabs.append(_jpeg_canonical_codes(*_JPEG_AC_CHROMA))
+
+    quantized = []
+    for comp in comps:
+        padded = np.pad(comp, ((0, h8 - h), (0, w8 - w)), mode="edge")
+        blocks = _jpeg_blocks(padded) - 128.0
+        # batched BLAS matmul (D @ block @ D.T), ~10x over einsum here
+        coef = np.matmul(D, np.matmul(blocks, D.T))
+        q = np.round(coef).astype(np.int64)
+        np.clip(q[:, 1:, :], -1023, 1023, out=q[:, 1:, :])
+        np.clip(q[:, :, 1:], -1023, 1023, out=q[:, :, 1:])
+        quantized.append(q.reshape(-1, 64)[:, _JPEG_ZIGZAG])
+
+    bw = _JpegBitWriter()
+    pred = [0] * len(comps)
+    for n in range(quantized[0].shape[0]):  # interleaved 4:4:4 MCUs
+        for ci, zz in enumerate(quantized):
+            ti = min(ci, 1)
+            dct, act = dc_tabs[ti], ac_tabs[ti]
+            blk = zz[n]
+            diff = int(blk[0]) - pred[ci]
+            pred[ci] = int(blk[0])
+            s = _jpeg_category(diff)
+            code, ln = dct[s]
+            bw.put(code, ln)
+            if s:
+                bw.put(_jpeg_amplitude(diff, s), s)
+            # iterate only the nonzero ACs (block-constant inputs — the
+            # x71 hot path — skip the whole 63-slot walk)
+            nz = np.nonzero(blk[1:])[0]
+            prev_k = 0
+            for idx in nz:
+                k = int(idx) + 1
+                run = k - prev_k - 1
+                while run > 15:
+                    code, ln = act[0xF0]  # ZRL
+                    bw.put(code, ln)
+                    run -= 16
+                v = int(blk[k])
+                s = _jpeg_category(v)
+                code, ln = act[(run << 4) | s]
+                bw.put(code, ln)
+                bw.put(_jpeg_amplitude(v, s), s)
+                prev_k = k
+            if prev_k < 63:
+                code, ln = act[0x00]  # EOB
+                bw.put(code, ln)
+
+    qt = bytes([1] * 64)
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT (table 0; plus table 1 for color)
+    for tq in range(2 if len(comps) == 3 else 1):
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([tq]) + qt
+    # SOF0
+    ncomp = len(comps)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, min(ci, 1)])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DHT
+    specs = [(0x00, _JPEG_DC_LUMA), (0x10, _JPEG_AC_LUMA)]
+    if ncomp == 3:
+        specs += [(0x01, _JPEG_DC_CHROMA), (0x11, _JPEG_AC_CHROMA)]
+    for tc_th, (bits, vals) in specs:
+        body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        t = min(ci, 1)
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _jpeg_unstuff(data: bytes, pos: int) -> bytes:
+    """Entropy-coded segment starting at `pos` with 0xFF00 stuffing
+    removed; stops at the first real marker.  Restart markers raise
+    NotImplementedError (the encoder never emits DRI)."""
+    out = bytearray()
+    i = pos
+    n = len(data)
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= n:
+            out += data[i : j if j >= 0 else n]
+            break  # truncated scan: the bit reader raises at exhaustion
+        out += data[i:j]
+        m = data[j + 1]
+        if m == 0x00:
+            out.append(0xFF)
+            i = j + 2
+        elif 0xD0 <= m <= 0xD7:
+            raise NotImplementedError("JPEG restart markers")
+        else:
+            break  # real marker ends the scan
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """Bit cursor over the pre-unstuffed scan (numpy unpackbits): each
+    access is an array index, ~10x over per-byte stuffing checks."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        import numpy as np
+
+        scan = _jpeg_unstuff(data, pos)
+        self.bits_arr = np.unpackbits(np.frombuffer(scan, np.uint8))
+        self.i = 0
+
+    def bit(self) -> int:
+        if self.i >= len(self.bits_arr):
+            raise ValueError("JPEG scan truncated")
+        v = self.bits_arr[self.i]
+        self.i += 1
+        return int(v)
+
+    def bits(self, k: int) -> int:
+        j = self.i + k
+        if j > len(self.bits_arr):
+            raise ValueError("JPEG scan truncated")
+        v = 0
+        for b in self.bits_arr[self.i : j]:
+            v = (v << 1) | int(b)
+        self.i = j
+        return v
+
+    def huffman(self, table) -> int:
+        code, length = 0, 0
+        bits_arr, i = self.bits_arr, self.i
+        n = len(bits_arr)
+        while length < 17:
+            if i >= n:
+                raise ValueError("JPEG scan truncated")
+            code = (code << 1) | int(bits_arr[i])
+            i += 1
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                self.i = i
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(payload: bytes):
+    """Baseline sequential JPEG decoder (stdlib + numpy): marker walk
+    (DQT/DHT/SOF0/SOS), canonical Huffman scan decode with byte
+    unstuffing, dequantize, un-zigzag, IDCT, level shift; YCbCr→RGB
+    for 3-component scans.  Returns uint8 (H, W) or (H, W, 3).
+    Progressive/arithmetic/hierarchical frames, subsampled chroma and
+    restart intervals raise NotImplementedError; truncated or
+    malformed payloads raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    b = bytes(payload)
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise NotImplementedError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, object] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    comps = None
+    while True:
+        if pos + 4 > len(b):
+            raise ValueError("JPEG truncated before SOS")
+        if b[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = b[pos + 1]
+        if marker == 0xD8:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+        seg = b[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ValueError("JPEG segment truncated")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tqi = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                tbl = np.zeros(64, np.int64)
+                tbl[_JPEG_ZIGZAG] = np.frombuffer(
+                    seg[i + 1 : i + 65], np.uint8
+                )
+                qt[tqi] = tbl.reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                huff[(tc, th)] = _jpeg_decode_table(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise NotImplementedError("non-8-bit JPEG precision")
+            comps = []
+            for ci in range(nc):
+                cid, samp, tqi = seg[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError("subsampled JPEG chroma")
+                comps.append((cid, tqi))
+            sof = (h, w, nc)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-baseline JPEG frame")
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", seg[:2])
+            if ri:
+                raise NotImplementedError("JPEG restart intervals")
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for ci in range(ns):
+                cs, tds = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scan.append((cs, tds >> 4, tds & 0x0F))
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+
+    h, w, nc = sof
+    if ns != nc:
+        raise NotImplementedError("multi-scan JPEG")
+    h8, w8 = -(-h // 8) * 8, -(-w // 8) * 8
+    n_mcus = (h8 // 8) * (w8 // 8)
+    D = _dct_matrix()
+    reader = _JpegBitReader(b, pos)
+    pred = [0] * nc
+    coefs = [np.zeros((n_mcus, 64), np.int64) for _ in range(nc)]
+    comp_q = []
+    for ci in range(nc):
+        tqi = comps[ci][1]
+        if tqi not in qt:
+            raise ValueError("JPEG missing quant table")
+        comp_q.append(qt[tqi])
+    for n in range(n_mcus):
+        for ci in range(nc):
+            _cs, td, ta = scan[ci]
+            dct = huff.get((0, td))
+            act = huff.get((1, ta))
+            if dct is None or act is None:
+                raise ValueError("JPEG missing Huffman table")
+            s = reader.huffman(dct)
+            diff = 0
+            if s:
+                v = reader.bits(s)
+                diff = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            pred[ci] += diff
+            blk = coefs[ci][n]
+            blk[0] = pred[ci]
+            k = 1
+            while k < 64:
+                sym = reader.huffman(act)
+                if sym == 0x00:  # EOB
+                    break
+                run, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if run != 15:
+                        raise ValueError("invalid JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC run overflow")
+                v = reader.bits(s)
+                blk[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+                k += 1
+
+    planes = []
+    inv = np.empty(64, np.int64)
+    inv[_JPEG_ZIGZAG] = np.arange(64)
+    for ci in range(nc):
+        deq = (coefs[ci][:, inv].reshape(-1, 8, 8)
+               * comp_q[ci][None, :, :]).astype(np.float64)
+        spatial = np.matmul(D.T, np.matmul(deq, D)) + 128.0
+        grid = (
+            spatial.reshape(h8 // 8, w8 // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(h8, w8)
+        )
+        planes.append(grid[:h, :w])
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    if nc == 3:
+        y, cb, cr = planes
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, bl], axis=-1)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    raise NotImplementedError(f"JPEG with {nc} components")
+
+
+_JPEG_W = 24  # bytes per row -> 192-px-wide image after 8x block upsample
+
+
+def jpeg_roundtrip_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for x71: render each document's UTF-8 bytes
+    as a byte grid (width _JPEG_W, space-padded final row), upsample
+    each byte to a constant 8x8 block (so every block's spectrum is
+    DC-only and the all-ones-quant codec is EXACTLY invertible),
+    ENCODE to a real baseline JPEG, DECODE it back, then (a) count
+    pixel mismatches against the expected block expansion — the oracle
+    asserts 0 — and (b) digest the block-mean downsample of the
+    decoded pixels, which equals the padded source bytes' digest iff
+    the whole Huffman/DCT round trip reconstructed every block."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(blob)
+            h = max(1, -(-len(b) // _JPEG_W))
+            padded = b + b" " * (h * _JPEG_W - len(b))
+            grid = np.frombuffer(padded, np.uint8).reshape(h, _JPEG_W)
+            img = np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1)
+            px = decode_jpeg(encode_jpeg(img))
+            n_mismatch = int((px != img).sum())
+            down = np.round(
+                px.reshape(h, 8, _JPEG_W, 8).transpose(0, 2, 1, 3)
+                .reshape(h, _JPEG_W, 64).mean(axis=2)
+            ).astype(np.uint8)
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "width": int(px.shape[1]),
+                    "height": int(px.shape[0]),
+                    "n_px": int(px.size),
+                    "n_mismatch": n_mismatch,
+                    "pixel_sha": hashlib.sha256(down.tobytes()).hexdigest(),
+                }
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_px", "n_mismatch",
+                     "pixel_sha"],
+        )
+
+
+@query(
+    "x71_jpeg_decode",
+    oracle=f"""
+    SELECT doc_id,
+           {_JPEG_W * 8} AS width,
+           CAST(8 * greatest(1, ceil(octet_length(encode(text))
+                / {_JPEG_W}.0)) AS INT) AS height,
+           CAST({_JPEG_W * 64} * greatest(1,
+                ceil(octet_length(encode(text)) / {_JPEG_W}.0))
+                AS BIGINT) AS n_px,
+           0 AS n_mismatch,
+           sha256(rpad(text,
+                       CAST({_JPEG_W} * greatest(1,
+                            ceil(octet_length(encode(text)) / {_JPEG_W}.0))
+                            AS INT), ' ')) AS pixel_sha
+    FROM documents
+    """,
+)
+def x71_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x71: REAL lossy-format decode in the multimodal path — documents
+    render to genuine baseline sequential JPEGs (Annex-K Huffman
+    tables, byte stuffing, DC prediction, all-ones quant) and the
+    stdlib decoder (marker walk + canonical Huffman + dequant + IDCT)
+    recovers the pixel matrix; block-constant inputs make the lossy
+    codec exactly invertible, so the oracle states both n_mismatch = 0
+    and the pixel digest straight from the text (fixture text is
+    ASCII, so rpad's char padding is byte padding — the x58/x70
+    contract).  Decode runs inside mapInPandas: at 100 TB the codec
+    work distributes across executors with zero shuffle.  With this,
+    every non-ffmpeg-class format in the repo decodes for real: PNG
+    x58, WAV x64, GIF x65, AVI x70, JPEG x71."""
+    from fanstats_producer_spark.io import spread
+
+    payloads = with_payload(
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+    ).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        jpeg_roundtrip_features,
+        schema="doc_id long, width int, height int, n_px long,"
+        " n_mismatch int, pixel_sha string",
     )

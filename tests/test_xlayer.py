@@ -420,6 +420,30 @@ def test_semdedup_keeps_farthest_from_centroid(spark):
     assert kept[0].vec_id == far.vec_id  # farthest from centroid wins
 
 
+def test_ivfpq_recall_on_planted_neighbors(spark, tmp_path):
+    """x57 recall gate on a fixture with REAL neighbor structure: the
+    base fixture's neighborhoods are barely separated (top-5 cosine
+    0.34-0.45 vs p99 0.29 — VERDICT r6), so its 0.73 recall measured
+    geometry, not the index.  With 10 planted true neighbors (cosine
+    ≈ 0.9+) per probe query, the composed IVF→ADC→rerank pipeline must
+    find ≥90% of the exact top-5 at the registered defaults — and
+    probing 8 of the 10 lists must recover the n_probe-routing loss
+    (full sweep: X57_SWEEP_r7.json / scripts/x57_sweep.py)."""
+    from scripts.gen_sf import generate
+    from fanstats_producer_spark.operators.similarity import ivfpq_recall
+
+    d = str(tmp_path / "planted")
+    generate(0.01, d, planted_neighbors=10)  # 200 vectors
+
+    def mean_recall(**kw):
+        rows = ivfpq_recall(spark, d, **kw).collect()
+        return sum(r.recall_e6 for r in rows) / (1e6 * len(rows))
+
+    at_default = mean_recall()
+    assert at_default >= 0.9, at_default
+    assert mean_recall(n_probe=8) >= at_default  # more probes never hurt
+
+
 def test_semdedup_blas_scorer_matches_fold(spark):
     """Forced-path check for the x61 scale arm: the per-cluster
     applyInPandas BLAS matmul scorer (scorer="blas") must produce the
@@ -1383,3 +1407,82 @@ def test_codec_error_contracts_on_malformed_payloads(spark):
         )
     )
     assert len(out) == 1 and len(out[0]) == 1  # one fallback feature row
+
+
+def test_jpeg_codec_roundtrip_and_rejects():
+    """x71 codec: block-constant images round-trip EXACTLY (DC-only
+    spectra, all-ones quant); arbitrary images round-trip within the
+    FDCT-rounding bound (gray <=1, RGB <=2 — color conversion adds one
+    rounding); gray and color both decode; malformed payloads raise
+    the contract errors."""
+    import numpy as np
+    import pytest
+
+    from fanstats_producer_spark.operators.multimodal import (
+        decode_image,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(7)
+    # exact: block-constant gray, non-trivial dims
+    base = rng.randint(0, 256, (5, 9), dtype=np.uint8)
+    img = np.repeat(np.repeat(base, 8, 0), 8, 1)
+    payload = encode_jpeg(img)
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(payload), img)
+    # decode_image dispatches JPEG by SOI signature
+    assert np.array_equal(decode_image(payload), img)
+
+    # bounded: random gray with non-multiple-of-8 dims (edge padding +
+    # crop path), exercises dense AC coding incl. ZRL and byte stuffing
+    g = rng.randint(0, 256, (13, 21), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(g))
+    assert out.shape == g.shape
+    assert int(np.abs(out.astype(int) - g.astype(int)).max()) <= 1
+
+    # color: RGB -> YCbCr 4:4:4 -> RGB
+    c = rng.randint(0, 256, (16, 24, 3), dtype=np.uint8)
+    outc = decode_jpeg(encode_jpeg(c))
+    assert outc.shape == c.shape
+    assert int(np.abs(outc.astype(int) - c.astype(int)).max()) <= 2
+
+    # rejects
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"GIF89a not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[: len(payload) // 2])  # truncated mid-scan
+    with pytest.raises(ValueError):
+        decode_jpeg(payload[:6])  # truncated before SOS
+    # progressive SOF2 marker must refuse, not mis-decode
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog)
+
+
+def test_jpeg_codec_roundtrip_property():
+    """Property fuzz (SURVEY.md §5.5): decode(encode(x)) stays within
+    the FDCT-rounding bound for arbitrary uint8 images of arbitrary
+    small shapes, and block-upsampled images are always exact."""
+    import numpy as np
+
+    from fanstats_producer_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(12):
+        h = int(rng.randint(1, 40))
+        w = int(rng.randint(1, 40))
+        g = rng.randint(0, 256, (h, w), dtype=np.uint8)
+        out = decode_jpeg(encode_jpeg(g))
+        assert out.shape == (h, w)
+        assert int(np.abs(out.astype(int) - g.astype(int)).max()) <= 1, (
+            trial, h, w)
+    for trial in range(6):
+        bh = int(rng.randint(1, 6))
+        bw = int(rng.randint(1, 6))
+        base = rng.randint(0, 256, (bh, bw), dtype=np.uint8)
+        img = np.repeat(np.repeat(base, 8, 0), 8, 1)
+        assert np.array_equal(decode_jpeg(encode_jpeg(img)), img), trial

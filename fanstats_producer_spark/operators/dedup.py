@@ -1559,7 +1559,11 @@ def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def streaming_band_keys(
-    docs: DataFrame, n_hashes: int = 64, bands: int = 16, k: int = 3
+    docs: DataFrame,
+    n_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Per-ROW MinHash signature + LSH band keys — the streaming-safe
     formulation of minhash_native_pairs' signature stage (s21).
@@ -1608,4 +1612,9 @@ def streaming_band_keys(
             for b2 in range(bands)
         ]
     )
-    return sh.select("doc_id", F.explode(band_vals).alias("band_hash"))
+    # `carry` columns (s22: text for the edit gate) ride the exploded
+    # rows; callers that need them once per doc re-distinct inside the
+    # micro-batch — no pre-explode shuffle either way
+    return sh.select(
+        "doc_id", *carry, F.explode(band_vals).alias("band_hash")
+    )

@@ -1053,3 +1053,109 @@ def s21_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(work, ignore_errors=True)
         shutil.rmtree(landing, ignore_errors=True)
+
+
+@query(
+    "s22_stream_verified_near_dup",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      WHERE len(toks) >= 3),
+    post AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % 2147483647
+               AS wm
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh)),
+    sig AS (
+      SELECT doc_id, i,
+             MIN(((i * 2654435761 + 1) % 2147483647 * wm
+                  + (i * 40503 + 12345) % 2147483647) % 2147483647) AS h
+      FROM post CROSS JOIN range(64) AS t(i)
+      GROUP BY doc_id, i),
+    sigl AS (
+      SELECT doc_id, list(h ORDER BY i) AS sig FROM sig GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, sig[4 * b + 1] AS v1, sig[4 * b + 2] AS v2,
+             sig[4 * b + 3] AS v3, sig[4 * b + 4] AS v4
+      FROM sigl CROSS JOIN range(16) AS t(b)),
+    bmin AS (
+      SELECT b, v1, v2, v3, v4, MIN(doc_id) AS m
+      FROM bands GROUP BY b, v1, v2, v3, v4),
+    cand AS (
+      SELECT DISTINCT a.doc_id, bm.m AS partner
+      FROM bands a
+      JOIN bmin bm USING (b, v1, v2, v3, v4)
+      WHERE bm.m < a.doc_id),
+    ver AS (
+      SELECT DISTINCT c.doc_id
+      FROM cand c
+      JOIN documents ta ON ta.doc_id = c.doc_id
+      JOIN documents tb ON tb.doc_id = c.partner
+      WHERE levenshtein(ta.text, tb.text) * 5
+            <= greatest(length(ta.text), length(tb.text), 1) * 2)
+    SELECT s.doc_id,
+           CAST(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+             AS is_candidate,
+           CAST(CASE WHEN v.doc_id IS NULL THEN 0 ELSE 1 END AS INT)
+             AS is_dup
+    FROM sigl s
+    LEFT JOIN (SELECT DISTINCT doc_id FROM cand) c ON c.doc_id = s.doc_id
+    LEFT JOIN ver v ON v.doc_id = s.doc_id
+    """,
+)
+def s22_stream_verified_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """s22: the ONLINE precision gate — s21's banded-MinHash stream
+    with x59's edit-distance verify stage inside the foreachBatch
+    merge (jobs.streaming_verified_near_dup).  Verdicts carry BOTH the
+    raw banded flag (is_candidate) and the confirmed flag (is_dup), so
+    the stream monitors its own gate the way x60 monitors the batch
+    pipeline.  The oracle states the online rule exactly: a doc's
+    partner is its colliding bucket's MINIMUM id (the one doc an 8-B
+    bucket state can name), and is_dup requires the x47 integer gate
+    levenshtein * 5 <= maxlen * 2 against that partner's text.  Text
+    state is bounded by live bucket minima, not stream length."""
+    import os
+    import shutil
+
+    from fanstats_producer_spark.io import load as _load
+
+    landing = tempfile.mkdtemp(prefix="s22_landing_")
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    (
+        docs.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_seconds(to_unix_timestamp("
+                "timestamp'2024-01-01 00:00:00') + (doc_id div 3600) % 24 * 3600"
+                " + (doc_id div 60) % 60 * 60 + doc_id % 60)"
+            ),
+        )
+        .select("doc_id", "ts", "text", "lang")
+        .write.mode("overwrite")
+        .json(landing)
+    )
+    work = tempfile.mkdtemp(prefix="s22_work_")
+    state_dir = os.path.join(work, "state")
+    verdict_dir = os.path.join(work, "verdicts")
+    ckpt = os.path.join(work, "ckpt")
+    stream = jobs.read_document_stream(spark, landing)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_verified_near_dup(
+                stream, state_dir, verdict_dir, ckpt
+            )
+            _drain(q)
+        out = spark.read.parquet(verdict_dir).select(
+            "doc_id", "is_candidate", "is_dup"
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        shutil.rmtree(landing, ignore_errors=True)

@@ -232,6 +232,157 @@ def streaming_near_dup(
     )
 
 
+def streaming_verified_near_dup(
+    docs: DataFrame,
+    state_dir: str,
+    verdict_dir: str,
+    checkpoint_dir: str,
+    rel_num: int = 2,
+    rel_den: int = 5,
+) -> StreamingQuery:
+    """s22: s21's online banded-MinHash detector with the x59 PRECISION
+    GATE wired into the stream — the online counterpart of
+    x59_verified_dedup's banded -> edit-verify stage.
+
+    s21 emits a verdict the moment band buckets collide; a false LSH
+    collision therefore flags (and a destructive consumer drops) a
+    non-duplicate.  Here each batch additionally CONFIRMS candidates
+    with the exact relative-edit-distance gate before the verdict is
+    written: per doc, partner = its colliding bucket's minimum id, and
+    `is_dup` requires levenshtein(text, partner_text) * rel_den <=
+    max(len) * rel_num (x47's integer gate).  `is_candidate` keeps the
+    raw banded verdict so the stream doubles as its own x60-style gate
+    monitor (candidates vs confirmed, per batch).
+
+    State = TWO compacted parquet tables under state_dir, promoted
+    together by the s09 staged/retired rename protocol: `buckets/`
+    (per-band-bucket min id — 8 B per live bucket, same as s21) and
+    `texts/` (the text of every CURRENT bucket-minimum doc — the only
+    docs a future candidate can be paired against, so text state is
+    bounded by live buckets, not stream length; a displaced minimum's
+    text is dropped at promote).  The edit gate itself is bounded by
+    the batch's candidate count — the same "wide levenshtein only over
+    the LSH-bounded list" shape as the batch x47/x59 path.
+
+    ONLINE semantics (first-arrival, bucket-min partner): a doc that
+    shares a bucket with a smaller NON-minimum doc is verified against
+    the minimum only — the one partner an online filter with 8-B
+    bucket state can name.  The s22 oracle states exactly this rule;
+    x59 remains the batch answer over ALL banded pairs."""
+    import os
+    import shutil
+
+    from fanstats_producer_spark.operators.dedup import streaming_band_keys
+
+    staged = state_dir.rstrip("/") + ".staged"
+    retired = state_dir.rstrip("/") + ".retired"
+    buckets_t, texts_t = "buckets", "texts"
+
+    def _recover() -> None:
+        if os.path.isdir(state_dir):
+            return
+        if os.path.isdir(staged) and os.path.exists(
+            os.path.join(staged, "_SUCCESS")
+        ):
+            os.rename(staged, state_dir)
+        elif os.path.isdir(retired):
+            os.rename(retired, state_dir)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover()
+        batch = batch_df.localCheckpoint(eager=True)
+        keys = batch.select("doc_id", "band_hash")
+        batch_texts = batch.select("doc_id", "text").distinct()
+        batch_min = keys.groupBy("band_hash").agg(
+            F.min("doc_id").alias("min_id")
+        )
+        have_state = os.path.isdir(state_dir)
+        if have_state:
+            current = spark.read.parquet(os.path.join(state_dir, buckets_t))
+            combined = (
+                current.unionByName(batch_min)
+                .groupBy("band_hash")
+                .agg(F.min("min_id").alias("min_id"))
+            )
+            known_texts = spark.read.parquet(
+                os.path.join(state_dir, texts_t)
+            ).unionByName(batch_texts)
+        else:
+            combined = batch_min
+            known_texts = batch_texts
+        combined = combined.localCheckpoint(eager=True)
+        known_texts = known_texts.localCheckpoint(eager=True)
+        # banded candidates: (doc, partner = colliding bucket's min)
+        cands = (
+            keys.join(combined, "band_hash")
+            .filter(F.col("min_id") < F.col("doc_id"))
+            .select("doc_id", F.col("min_id").alias("partner_id"))
+            .distinct()
+        )
+        # exact edit gate over the bounded candidate list only: texts
+        # broadcast onto the spread pair list (the x47 plan shape)
+        ta = batch_texts.select(
+            F.col("doc_id"), F.col("text").alias("text_a")
+        )
+        tb = known_texts.select(
+            F.col("doc_id").alias("partner_id"), F.col("text").alias("text_b")
+        )
+        gated = (
+            cands.join(F.broadcast(ta), "doc_id")
+            .join(F.broadcast(tb), "partner_id")
+            .withColumn(
+                "ok",
+                (
+                    F.levenshtein("text_a", "text_b").cast("long")
+                    * F.lit(rel_den)
+                    <= F.greatest(
+                        F.length("text_a"), F.length("text_b"), F.lit(1)
+                    ).cast("long")
+                    * F.lit(rel_num)
+                ).cast("int"),
+            )
+            .groupBy("doc_id")
+            .agg(F.max("ok").alias("is_dup"))
+        )
+        verdicts = (
+            batch_texts.select("doc_id")
+            .join(gated, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("is_dup").isNotNull(), 1)
+                .otherwise(0)
+                .cast("int")
+                .alias("is_candidate"),
+                F.coalesce("is_dup", F.lit(0)).cast("int").alias("is_dup"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verdict_dir, f"batch={batch_id}")
+        )
+        # texts state: only CURRENT bucket minima can partner future docs
+        live = combined.select(F.col("min_id").alias("doc_id")).distinct()
+        next_texts = known_texts.join(live, "doc_id")
+        shutil.rmtree(staged, ignore_errors=True)
+        combined.write.parquet(os.path.join(staged, buckets_t))
+        next_texts.write.parquet(os.path.join(staged, texts_t))
+        with open(os.path.join(staged, "_SUCCESS"), "w"):
+            pass
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, retired)
+        os.rename(staged, state_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+
+    return (
+        streaming_band_keys(docs, carry=("text",))
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_partitioned_stream(
     df: DataFrame,
     out_dir: str,

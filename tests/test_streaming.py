@@ -1187,3 +1187,84 @@ def test_tws_batch_mode_matches_stream_drain(spark, landing):
     batch = spark.read.schema(jobs.EVENT_SCHEMA).json(str(landing))
     got = sorted(map(tuple, jobs.user_value_stats_tws(batch).collect()))
     assert got == want == [(7, 2, 4_000_000), (8, 1, 10_000_000)]
+
+
+def test_streaming_verified_near_dup_gate_and_state(spark, landing, tmp_path):
+    """s22: the online edit gate CONFIRMS candidates before the dup
+    verdict.  Batch 2's exact copy of a batch-1 doc is candidate AND
+    verified (partner text came from the texts STATE table); a doc
+    that shares nearly all shingles but is 3x longer (band collision,
+    edit distance far over the 2/5 bound) stays is_dup=0 while
+    is_candidate=1 — the precision the gate buys; unrelated docs carry
+    neither flag."""
+    import json as _json
+    import os as _os
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest tonight"
+    )
+    other = (
+        "completely different sentence about spark structured streaming "
+        "state stores and watermark semantics for testing purposes only"
+    )
+    tripled = base + " " + base + " " + base
+
+    def _doc(i, text):
+        return {
+            "doc_id": i,
+            "ts": f"2024-01-01T10:{i:02d}:00Z",
+            "text": text,
+            "lang": "en",
+        }
+
+    def _write(name, docs):
+        with open(landing / name, "w") as f:
+            for d in docs:
+                f.write(_json.dumps(d) + "\n")
+
+    _write("b1.json", [_doc(1, base), _doc(2, other)])
+    # batch 2: exact dup (verified), near-shingle-set but far-edit
+    # (candidate only), unrelated (neither)
+    _write(
+        "b2.json",
+        [_doc(3, base), _doc(4, tripled), _doc(5, other + " x y z"),
+         _doc(6, "entirely unrelated short words nothing shared here at all")],
+    )
+    _os.utime(landing / "b1.json", (1000000000, 1000000000))
+    _os.utime(landing / "b2.json", (1000000100, 1000000100))
+
+    from fanstats_producer_spark.streaming.jobs import DOCUMENT_SCHEMA
+
+    src = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    state_dir = str(tmp_path / "state")
+    verdict_dir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    q = jobs.streaming_verified_near_dup(src, state_dir, verdict_dir, ckpt)
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.is_candidate, r.is_dup)
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert got[1] == (0, 0) and got[2] == (0, 0)
+    assert got[3] == (1, 1)  # exact dup: candidate + gate-confirmed
+    assert got[4][0] == 1 and got[4][1] == 0  # collision, gate REJECTS
+    # doc 5 appends "x y z" to doc 2's text: shingle Jaccard ~0.85 so
+    # it collides (deterministic under the fixed hash constants), and
+    # rel edit 6/len ~0.05 is far under the 2/5 bound — verified dup
+    # against a partner whose text lives in the batch-1 TEXTS state
+    assert got[5] == (1, 1)
+    assert got[6] == (0, 0)  # unrelated: neither flag
+    # the gate can only remove: is_dup <= is_candidate everywhere
+    assert all(d <= c for c, d in got.values())
+    # state: two tables, texts bounded by live bucket minima
+    buckets = spark.read.parquet(str(tmp_path / "state" / "buckets"))
+    texts = spark.read.parquet(str(tmp_path / "state" / "texts"))
+    assert buckets.columns == ["band_hash", "min_id"]
+    live = {r.min_id for r in buckets.select("min_id").distinct().collect()}
+    kept = {r.doc_id for r in texts.collect()}
+    assert kept == live  # displaced minima's texts are dropped

@@ -617,3 +617,89 @@ def x68_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("dup_frac_e6"),
     )
+
+
+# --- x72: paragraph-level corpus dedup (CCNet-style) --------------------------
+_X72_SEG = 20
+
+
+@query(
+    "x72_paragraph_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[i * {_X72_SEG} + 1 : (i + 1) * {_X72_SEG}], ' ')
+               AS seg
+      FROM base,
+           unnest(range(0, CAST(ceil(len(t) / {_X72_SEG}.0) AS BIGINT))) u(i)),
+    marked AS (
+      SELECT doc_id, seg_idx, seg,
+             ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx)
+               AS rn
+      FROM segs)
+    SELECT doc_id,
+           COUNT(*) AS n_segs,
+           CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END,
+                               ' ' ORDER BY seg_idx), '') AS kept_text
+    FROM marked
+    GROUP BY doc_id
+    """,
+)
+def x72_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x72: CCNet-style paragraph-level exact dedup — segment every
+    document into fixed 20-token "paragraphs", keep only each distinct
+    segment's FIRST corpus occurrence (ordered by doc_id, then segment
+    position), and reassemble the surviving text per document.  This is
+    the shape CCNet applies to CommonCrawl (hash paragraphs, drop
+    repeats across the whole snapshot before any doc-level scoring) —
+    finer than doc-level x03, coarser than the 8-token window monitor
+    x68, and unlike both it produces the deduplicated TEXT, not just a
+    verdict.
+
+    Plan: segments build as per-row array slices (transform over
+    sequence — no token-level explode; the exploded unit is the
+    segment), the first-occurrence rank is one window over the segment
+    key (the only wide shuffle; at 100 TB you'd partition on a 16-byte
+    segment hash and carry (doc_id, seg_idx) only — noted, not needed
+    at fixture text widths), and the per-doc reassembly is the second
+    and last exchange.  Segment order restores via array_sort over
+    (seg_idx, seg) structs — no per-group sort pass.  DuckDB's
+    t[a : b] list slice is inclusive-and-clamping, mirroring Spark's
+    slice(t, a, 20)."""
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.split("text", " ").alias("t"))
+    n_segs_col = F.greatest(
+        F.ceil(F.size("t") / F.lit(float(_X72_SEG))).cast("int"), F.lit(1)
+    )
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs_col - 1),
+                lambda i: F.array_join(
+                    F.slice("t", i * _X72_SEG + 1, _X72_SEG), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    marked = segs.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("seg_idx"), F.col("seg"))
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s.getField("seg"),
+            ),
+            " ",
+        ).alias("kept_text"),
+    )

@@ -595,12 +595,16 @@ def x56_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a ~0.29 p99 bulk — barely-separated neighbors, the hard regime for
 # any ANN.  The x56 defaults (m=8 subspaces, 16-entry codebook,
 # shortlist 20) recall only ~0.07 here; m=16 4-dim subspaces with a
-# 32-entry codebook, 5 probed lists of 10, and a 100-deep ADC
-# shortlist reach recall@5 = 0.80 with the ADC stage losing NOTHING
-# beyond routing (shortlist recall == route recall).  On real
-# clustered embeddings the same composition runs with far smaller
+# 32-entry codebook and a 100-deep ADC shortlist lose NOTHING beyond
+# routing (shortlist recall == route recall), so the default n_probe
+# is set where the round-7 sweep (scripts/x57_sweep.py,
+# X57_SWEEP_r7.json) says routing saturates: n_probe=8 of 10 lists =
+# recall@5 0.933 on BOTH fixtures (planted-neighbor: 1.0) at the same
+# wall-clock as n_probe=5's 0.73 — on this barely-separated fixture
+# the probed-list scan is not the cost driver.  On real clustered
+# embeddings the same composition runs with far smaller
 # n_probe/shortlist; x57b is the dial.
-_X57_NPROBE = 5
+_X57_NPROBE = 8
 _X57_SHORTLIST = 100
 _X57_LISTS = 10
 _X57_SEED0 = _PQ_K + _PQ_QUERIES   # routing seeds: vec_id in [19, 29)
@@ -822,7 +826,8 @@ def ivfpq_ann(
 @query("x57_ivfpq_ann", oracle=_X57_ORACLE)
 def x57_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered IVF+PQ key at the oracle-stated defaults
-    (n_probe=5, shortlist=100, m=16); :func:`ivfpq_ann` is the
+    (n_probe=8, shortlist=100, m=16 — n_probe set where the round-7
+    recall sweep saturates routing); :func:`ivfpq_ann` is the
     parameterized surface the recall sweep drives."""
     return ivfpq_ann(spark, sf_dir)
 

@@ -189,3 +189,72 @@ def test_x49_no_events_shuffle(spark):
         if "Exchange hashpartitioning" in line:
             assert "event_id" not in line
     assert checks.has_broadcast_join(df)
+
+
+def test_tpch_q1_pushdown_and_single_exchange(spark):
+    """q72: the date predicate reaches the parquet scan, the projection
+    prunes to the measure columns, and the only exchange moves the
+    <=9 partially-aggregated groups."""
+    df = registry.QUERIES["q72_tpch_q1"](spark, SF_DIR)
+    assert "l_shipdate" in checks.pushed_filters(df)
+    assert "l_orderkey" not in checks.read_schema(df)
+    # one exchange for the final agg + the mandatory output ordering
+    assert checks.n_shuffle_exchanges(df) <= 2
+
+
+def test_tpch_q19_residuals_push_to_both_scans(spark):
+    """q74: Catalyst extracts the side-local residuals of the
+    OR-of-ANDs — the quantity envelope reaches the lineitem scan and
+    the brand/size envelope the part scan — before the broadcast
+    join."""
+    df = registry.QUERIES["q74_tpch_q19"](spark, SF_DIR)
+    pushed = checks.pushed_filters(df)
+    assert "l_quantity" in pushed
+    assert "p_brand" in pushed or "p_size" in pushed
+    assert checks.has_broadcast_join(df)
+
+
+def test_tpch_q17_single_fact_scan_with_broadcast_stats(spark):
+    """q75: the part slice broadcasts onto lineitem, and the per-part
+    stats rejoin is also a broadcast — the fact is never hash-
+    partitioned."""
+    df = registry.QUERIES["q75_tpch_q17"](spark, SF_DIR)
+    plan = checks.explain_str(df, "simple")
+    assert checks.has_broadcast_join(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "l_extendedprice" not in line
+
+
+def test_x72_no_token_level_explode(spark):
+    """x72: the exploded unit is the 20-token segment, never the token
+    — the widest intermediate is ~n_tokens/20 rows per doc."""
+    df = registry.QUERIES["x72_paragraph_dedup"](spark, SF_DIR)
+    plan = checks.explain_str(df, "formatted")
+    n_generate = sum(
+        1 for line in plan.splitlines() if line.startswith("(") and ") Generate" in line
+    )
+    assert n_generate == 1
+    assert "posexplode" in plan
+
+
+def test_tpch_q7_dims_prepruned_and_broadcast(spark):
+    """q76: the two-nation filter lands on supplier and customer BEFORE
+    their joins — both dims broadcast pre-pruned; lineitem-orders is
+    the only non-broadcast join."""
+    df = registry.QUERIES["q76_tpch_q7"](spark, SF_DIR)
+    plan = checks.explain_str(df, "simple")
+    assert checks.has_broadcast_join(df)
+    # the only hash-partitioned exchanges are the li-orders join keys
+    # and the final group-by — never a dim table's key
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "s_suppkey" not in line and "c_custkey" not in line
+
+
+def test_tpch_q13_filter_inside_outer_join(spark):
+    """q79: the priority predicate prunes orders BEFORE the left outer
+    join (pushed to the orders scan), never as a post-join residual
+    that would null out legitimate matches."""
+    df = registry.QUERIES["q79_tpch_q13"](spark, SF_DIR)
+    assert "o_orderpriority" in checks.pushed_filters(df)

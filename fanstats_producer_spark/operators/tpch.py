@@ -653,13 +653,13 @@ def q77_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders ON o_orderkey = l_orderkey
     JOIN nation ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%widget%'
+    WHERE p_name LIKE '%ring%'
     GROUP BY n_name, o_year
     ORDER BY n_name, o_year DESC
     """,
 )
 def q78_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q9 analog (product-type profit): profit on every 'widget'
+    """TPC-H Q9 analog (product-type profit): profit on every 'ring'
     part by supplier nation and order year.  The fixture has no
     partsupp table, so Q9's ps_supplycost is stood in by a 10%-of-
     retail unit cost (p_retailprice * l_quantity * 0.1) — same signed-
@@ -673,7 +673,7 @@ def q78_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation x year."""
     from fanstats_producer_spark.functions.num import dsum
 
-    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
     nation = load(spark, sf_dir, "nation")
     supp = (
         load(spark, sf_dir, "supplier")

@@ -21,8 +21,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import (
+    dsum,
     dsum_pos,
     qint,
+    sql_dsum,
     sql_dsum_pos,
     sql_qint,
 )
@@ -460,18 +462,23 @@ def q75_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent with no division-rounding boundary.
 
     Plan: the filtered part slice broadcasts and prunes lineitem to the
-    matched rows FIRST; the per-part (count, exact-sum) stats aggregate
-    that already-tiny frame and broadcast back onto it — the fact is
-    scanned once, the stats frame is bounded by the part slice (never
-    by lineitem), and the rejoin is a broadcast, not a shuffle."""
+    matched rows FIRST; the pruned frame is materialized eagerly
+    (localCheckpoint — it is bounded by the part slice, ~0.5% of the
+    fact, and feeds BOTH the stats aggregate and the threshold filter,
+    so without the checkpoint the fact scan would execute twice); the
+    per-part (count, exact-sum) stats then broadcast back onto it — the
+    fact is scanned once and the rejoin is a broadcast, not a
+    shuffle."""
     part = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#4") & (F.col("p_type") == "ECONOMY")
     )
     li = load(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_quantity", "l_extendedprice"
     )
-    pl = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
-        "l_partkey", "l_quantity", "l_extendedprice"
+    pl = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .localCheckpoint(eager=True)
     )
     stats = pl.groupBy("l_partkey").agg(
         F.count("*").alias("cnt"), dsum_pos("l_quantity").alias("sq")
@@ -644,9 +651,10 @@ def q77_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
            {sql_qint(
-               "CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
-               " - p_retailprice * l_quantity * 0.1"
-               " AS DECIMAL(18,6))) AS DOUBLE)", 2
+               sql_dsum(
+                   "l_extendedprice * (1 - l_discount)"
+                   " - p_retailprice * l_quantity * 0.1"
+               ), 2
            )} AS profit_e2
     FROM part
     JOIN lineitem ON p_partkey = l_partkey
@@ -671,8 +679,6 @@ def q78_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     and supplier-nation broadcast; lineitem joins orders on the
     clustered key — one wide shuffle, then a partial aggregate over
     nation x year."""
-    from fanstats_producer_spark.functions.num import dsum
-
     part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
     nation = load(spark, sf_dir, "nation")
     supp = (

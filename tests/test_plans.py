@@ -215,11 +215,14 @@ def test_tpch_q19_residuals_push_to_both_scans(spark):
 
 
 def test_tpch_q17_single_fact_scan_with_broadcast_stats(spark):
-    """q75: the part slice broadcasts onto lineitem, and the per-part
-    stats rejoin is also a broadcast — the fact is never hash-
-    partitioned."""
+    """q75: the part slice broadcasts onto lineitem, the pruned frame
+    is materialized once (its two consumers read the checkpoint, never
+    the parquet — zero lineitem scans in the final plan), and the
+    per-part stats rejoin is also a broadcast — the fact is never
+    hash-partitioned."""
     df = registry.QUERIES["q75_tpch_q17"](spark, SF_DIR)
     plan = checks.explain_str(df, "simple")
+    assert plan.count("lineitem.parquet") == 0  # both consumers read the ckpt
     assert checks.has_broadcast_join(df)
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:

@@ -445,7 +445,10 @@ def test_ivfpq_recall_on_planted_neighbors(spark, tmp_path):
 
     at_default = mean_recall()
     assert at_default >= 0.9, at_default
-    assert mean_recall(n_probe=8) >= at_default  # more probes never hurt
+    # more probes never hurt — probe ABOVE the registered default
+    # (n_probe is 8 now; an equal count would compare a computation to
+    # itself and guard nothing)
+    assert mean_recall(n_probe=10) >= at_default
 
 
 def test_semdedup_blas_scorer_matches_fold(spark):
@@ -464,14 +467,20 @@ def test_semdedup_blas_scorer_matches_fold(spark):
     blas = sorted(map(tuple, semdedup(spark, sf, scorer="blas").collect()))
     assert fold == blas
     assert any(not r[3] for r in fold)  # fixture has real drops to agree on
-    # global invariant: every semantic cluster keeps at least one member
-    # (a cluster keeps one member PER near-dup group, so >1 kept is
-    # normal; zero kept would mean the keep policy dropped a whole
-    # cluster, which SemDeDup never does).
+    # keep-policy invariant (NOT implied by the row_number construction:
+    # a flipped orderBy would still yield one kept row per group): the
+    # kept member of every near-dup group is the FARTHEST from its
+    # k-means centroid, lowest vec_id on ties — SemDeDup's keep rule.
     # row layout: (vec_id, sem_cluster, dist2_e6, is_kept)
-    kept_clusters = {r[1] for r in fold if r[3]}
-    all_clusters = {r[1] for r in fold}
-    assert kept_clusters == all_clusters
+    from collections import defaultdict
+    groups = defaultdict(list)
+    for vec_id, sem_cluster, dist2_e6, is_kept in fold:
+        groups[sem_cluster].append((vec_id, dist2_e6, is_kept))
+    for sem_cluster, rows in groups.items():
+        kept = [r for r in rows if r[2]]
+        assert len(kept) == 1, sem_cluster
+        want = min(rows, key=lambda r: (-r[1], r[0]))  # max dist2, min id
+        assert kept[0][:2] == want[:2], (sem_cluster, kept, want)
 
 
 def test_minhash_skew_arms_identical_and_wide(spark):

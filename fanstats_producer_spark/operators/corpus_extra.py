@@ -703,3 +703,177 @@ def x72_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("kept_text"),
     )
+
+
+# --- x73: corpus snapshot diff (dataset-versioning audit) ---------------------
+#
+# The release audit every versioned data lake runs between two corpus
+# snapshots: which documents were added, removed, content-changed, or
+# untouched — rolled up by language.  The two snapshots derive
+# DETERMINISTICALLY from the one fixture table (no RNG, re-run
+# identical): snapshot A drops the doc_id%10==9 decile, snapshot B
+# drops the doc_id%10==0 decile and rewrites every doc_id%7==3 text
+# (so all four statuses are populated at every SF).  At 100 TB both
+# snapshots are parquet keyed by doc_id: the diff is ONE co-partitioned
+# full-outer join on the key comparing 32-byte content digests — never
+# the texts — plus a map-side-combinable rollup; with both snapshots
+# bucketed by doc_id (operators/skew.py write_bucketed) the join is
+# exchange-free.
+@query(
+    "x73_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, lang, md5(text) AS dg FROM documents
+      WHERE doc_id % 10 <> 9),
+    b AS (
+      SELECT doc_id, lang,
+             md5(CASE WHEN doc_id % 7 = 3
+                      THEN upper(text) ELSE text END) AS dg
+      FROM documents WHERE doc_id % 10 <> 0),
+    diff AS (
+      SELECT COALESCE(a.lang, b.lang) AS lang,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.dg <> b.dg THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+    SELECT lang, status, COUNT(*) AS n_docs
+    FROM diff GROUP BY lang, status
+    """,
+)
+def x73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x73: snapshot-to-snapshot corpus diff — added / removed /
+    changed / unchanged document counts by language (see the block
+    comment for the derivation of the two snapshots and the 100 TB
+    plan shape)."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "lang", "text"
+    )
+    a = docs.filter(F.col("doc_id") % 10 != 9).select(
+        "doc_id", "lang", F.md5("text").alias("dg")
+    )
+    b = docs.filter(F.col("doc_id") % 10 != 0).select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.when(F.col("doc_id") % 7 == 3, F.upper("text")).otherwise(
+                F.col("text")
+            )
+        ).alias("dg"),
+    )
+    diff = a.alias("a").join(
+        b.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.dg") != F.col("b.dg"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        diff.select(
+            F.coalesce(F.col("a.lang"), F.col("b.lang")).alias("lang"),
+            status.alias("status"),
+        )
+        .groupBy("lang", "status")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# --- x74: containment near-superset dedup (asymmetric resemblance) ------------
+_X74_W = 8          # window width shared with x68 — same dup granularity
+_X74_MAX_POST = 16  # hot-window posting cap (stop-phrase windows explode
+#                     the ordered-pair expansion quadratically; a window
+#                     shared by >16 docs carries no containment signal —
+#                     same rationale and shape as x27's hot-shingle cap)
+_X74_THRESH = (4, 5)  # containment >= 4/5, stated integer-exactly
+
+
+@query(
+    "x74_containment_dup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS a FROM documents),
+    wins AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(a[i : i + {_X74_W} - 1], ' ')) AS h
+      FROM toks, unnest(range(1, len(a) - {_X74_W} + 2)) t(i)
+      WHERE len(a) >= {_X74_W}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM wins GROUP BY doc_id),
+    ok AS (
+      SELECT h FROM wins GROUP BY h
+      HAVING COUNT(*) BETWEEN 2 AND {_X74_MAX_POST}),
+    pairs AS (
+      SELECT w1.doc_id AS id_a, w2.doc_id AS id_b, COUNT(*) AS shared
+      FROM wins w1 JOIN ok USING (h) JOIN wins w2 USING (h)
+      WHERE w1.doc_id <> w2.doc_id
+      GROUP BY id_a, id_b)
+    SELECT id_a, id_b, shared, sz AS size_a,
+           CAST(floor(CAST(shared AS DOUBLE) / sz * 1e6 + 0.5) AS BIGINT)
+             AS containment_e6
+    FROM pairs JOIN sizes ON doc_id = id_a
+    WHERE shared * {_X74_THRESH[1]} >= sz * {_X74_THRESH[0]}
+    """,
+)
+def x74_containment_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x74: containment near-superset detection — ordered pairs (a, b)
+    where >=80% of a's distinct 8-token windows also appear in b
+    (Broder's asymmetric resemblance).  This catches the duplication
+    x04's symmetric Jaccard misses by construction: a short document
+    embedded inside a much longer one has containment ~1 while its
+    Jaccard stays low (union-dominated), so a resemblance threshold
+    never fires.
+
+    The 0.8 threshold is stated integer-exactly (shared*5 >= size_a*4 —
+    no division before the cut); the reported containment_e6 quantizes
+    the ratio of two already-identical integers.  Plan: distinct
+    (doc, window-hash) pairs build map-side (per-row slices, one
+    DISTINCT exchange on the 16-byte hash), the posting cap drops
+    signal-free hot windows BEFORE the self-join expands ordered pairs
+    (bounded by cap^2 per window), and the per-doc size frame joins
+    back on id_a (AQE broadcasts it at bench SF; it stays the small
+    side — one row per doc — at any scale)."""
+    d = spread(load(spark, sf_dir, "documents"), "doc_id")
+    toks = d.select("doc_id", F.split("text", " ").alias("a")).filter(
+        F.size("a") >= _X74_W
+    )
+    wins = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - _X74_W + 1),
+                lambda i: F.md5(F.array_join(F.slice("a", i, _X74_W), " ")),
+            )
+        ).alias("h"),
+    ).distinct()
+    sizes = wins.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ok = (
+        wins.groupBy("h")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd").between(2, _X74_MAX_POST))
+        .select("h")
+    )
+    w1 = wins.join(ok, "h")
+    pairs = (
+        w1.alias("w1")
+        .join(w1.alias("w2"), "h")
+        .filter(F.col("w1.doc_id") != F.col("w2.doc_id"))
+        .groupBy(
+            F.col("w1.doc_id").alias("id_a"), F.col("w2.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    lo, hi = _X74_THRESH
+    return (
+        pairs.join(sizes, pairs.id_a == sizes.doc_id)
+        .filter(F.col("shared") * hi >= F.col("sz") * lo)
+        .select(
+            "id_a",
+            "id_b",
+            "shared",
+            F.col("sz").alias("size_a"),
+            qint(F.col("shared").cast("double") / F.col("sz")).alias(
+                "containment_e6"
+            ),
+        )
+    )

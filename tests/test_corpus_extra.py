@@ -315,3 +315,34 @@ def test_tail_quantile_approx_fallback(spark):
     # quantile; tolerance = 1% of the exact value covers the sketch's
     # rank error at accuracy=10000 without blessing a wrong tail
     assert abs(approx - exact) <= 0.01 * abs(exact)
+
+
+def test_x74_containment_catches_embedded_doc(spark, tmp_path):
+    """Planted asymmetric case: a 10-token document embedded verbatim
+    inside a 200-token one.  Containment(a in b) = 1.0 fires at the 0.8
+    bar while symmetric Jaccard (~3/193 distinct windows) sits far
+    below any resemblance threshold — the duplication class x04 misses
+    by construction and x74 exists for."""
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    d = str(tmp_path / "embedded")
+    shutil.copytree(src, d)
+    words = [f"w{i}" for i in range(200)]
+    short = " ".join(words[50:60])           # 10 tokens, 3 windows
+    long_ = " ".join(words)                  # contains short verbatim
+    spark.createDataFrame(
+        [(900001, short, "en", "synthetic", len(short)),
+         (900002, long_, "en", "synthetic", len(long_))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    rows = {
+        (r.id_a, r.id_b): r
+        for r in registry.QUERIES["x74_containment_dup"](spark, d).collect()
+    }
+    hit = rows[(900001, 900002)]
+    assert hit.containment_e6 == 1_000_000  # every window of a is in b
+    assert hit.size_a == 3
+    # the reverse direction must NOT fire: b is nowhere near contained in a
+    assert (900002, 900001) not in rows

@@ -210,6 +210,49 @@ HEADLINERS = {
         "SF; at corpus scale it is a shuffle join on h — the third "
         "exchange), and the doc rollup reuses the spread partitioning."
     ),
+    "q72_tpch_q1": (
+        "TPC-H Q1 pricing summary: the date predicate reaches the "
+        "parquet scan, projection prunes to the six measure columns, "
+        "and all eight aggregates are partial (map-side) before one "
+        "exchange of <=9 groups — pure scan + combine, the shape a "
+        "100 TB full-table rollup must have."
+    ),
+    "q74_tpch_q19": (
+        "TPC-H Q19 OR-of-ANDs: Catalyst extracts the side-local "
+        "residuals of the disjunction — the quantity envelope pushes to "
+        "the lineitem scan and the brand/size envelope to part — so "
+        "both inputs arrive pre-pruned at the broadcast join and the "
+        "cross-side conjuncts evaluate as the join residual."
+    ),
+    "q75_tpch_q17": (
+        "TPC-H Q17 correlated average: the broadcast part slice prunes "
+        "the fact to ~0.5% before anything else; the pruned frame "
+        "materializes once (localCheckpoint) and feeds both the "
+        "per-part stats aggregate and the threshold filter — zero "
+        "lineitem re-scans, stats rejoin by broadcast, and the 20% "
+        "threshold is integer-exact (qty*5*cnt < exact-sum)."
+    ),
+    "x72_paragraph_dedup": (
+        "CCNet paragraph dedup: 20-token segments build as per-row "
+        "array slices (the exploded unit is the segment, never the "
+        "token), first-occurrence rank is one window over the segment "
+        "key — the only wide shuffle — and per-doc reassembly sorts "
+        "(seg_idx, seg) structs inside the aggregate, no per-group "
+        "sort pass."
+    ),
+    "x73_snapshot_diff": (
+        "Snapshot diff: both snapshot projections carry 32-byte digests "
+        "instead of texts into the ONE full-outer join on doc_id; the "
+        "status rollup is map-side combinable; with doc_id-bucketed "
+        "snapshot tables the join is exchange-free."
+    ),
+    "x74_containment_dup": (
+        "Containment dedup: distinct (doc, window-hash) pairs build "
+        "map-side; the posting cap (2..16 docs/hash) drops signal-free "
+        "hot windows BEFORE the self-join expands ordered pairs, so the "
+        "expansion is bounded by cap^2 per window; the per-doc size "
+        "frame joins back on id_a as the provably-small side."
+    ),
 }
 
 

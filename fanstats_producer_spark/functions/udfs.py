@@ -147,3 +147,41 @@ def u06_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         _tag_priority("o_orderpriority", "o_totalprice").alias("tag"),
     )
+
+
+# --- u07: mapInArrow (zero-conversion RecordBatch transform) --------------------
+# Completes the batch-transfer matrix: u02/u03 cross into pandas (one
+# Arrow->pandas conversion per batch, with its NaN/dtype coercions);
+# mapInArrow hands the worker the raw pyarrow.RecordBatch — no pandas
+# materialization at all — which is the right lane for columnar
+# transforms that pyarrow.compute can express (the multimodal decoders
+# would sit here if their logic were expressible kernel-side).  The
+# quantization below mirrors functions/num.qint exactly (floor(x*100
+# + 0.5) in float64) so the output is bit-identical to the JVM path.
+@query(
+    "u07_map_in_arrow",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e2 + 0.5) AS BIGINT)
+             AS totalprice_e2
+    FROM orders
+    """,
+)
+def u07_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def quantize(batches):  # noqa: ANN001
+        for batch in batches:
+            price = pc.cast(batch.column("o_totalprice"), pa.float64())
+            e2 = pc.cast(
+                pc.floor(pc.add(pc.multiply(price, 100.0), 0.5)), pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("o_orderkey"), e2],
+                names=["o_orderkey", "totalprice_e2"],
+            )
+
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).mapInArrow(quantize, "o_orderkey bigint, totalprice_e2 bigint")

@@ -1618,3 +1618,64 @@ def streaming_band_keys(
     return sh.select(
         "doc_id", *carry, F.explode(band_vals).alias("band_hash")
     )
+
+
+# --- x75: cross-source duplication matrix --------------------------------------
+def _x75_oracle() -> str:
+    from fanstats_producer_spark import registry as _reg
+
+    x04d = _reg.ORACLE["x04d_minhash_native"]
+    return f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({x04d})),
+    src AS (SELECT doc_id, source FROM documents),
+    tagged AS (
+      SELECT least(sa.source, sb.source) AS src_lo,
+             greatest(sa.source, sb.source) AS src_hi
+      FROM pairs
+      JOIN src sa ON sa.doc_id = id_a
+      JOIN src sb ON sb.doc_id = id_b)
+    SELECT src_lo, src_hi, COUNT(*) AS n_pairs
+    FROM tagged GROUP BY src_lo, src_hi
+    """
+
+
+@query("x75_cross_source_dup", oracle=_x75_oracle())
+def x75_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x75: cross-source duplication matrix — near-dup pair counts per
+    unordered source pair, the dataset-composition diagnostic that
+    tells a corpus owner WHICH ingestion feeds duplicate each other
+    (off-diagonal cells: cross-source contamination — e.g. two crawls
+    of the same site; diagonal cells: within-source duplication).  The
+    near-dup relation is the registered banded-MinHash surface (x04d:
+    64 hashes, 16 bands, est >= 0.5), so the matrix is consistent with
+    every other dedup key by construction.
+
+    Plan: the banded pair list is LSH-bounded (never all-pairs); the
+    (doc_id, source) dim projects two columns and joins the pair list
+    on each endpoint — at bench SF the pair side broadcasts; at corpus
+    scale both joins are shuffle joins on doc_id against a two-column
+    dim, and the matrix rollup moves at most |sources|^2 rows."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    pairs = minhash_native_pairs(docs).select("id_a", "id_b")
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+                "source", "source_a"
+            ),
+            "id_a",
+        )
+        .join(
+            src.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+                "source", "source_b"
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("source_a", "source_b").alias("src_lo"),
+            F.greatest("source_a", "source_b").alias("src_hi"),
+        )
+    )
+    return tagged.groupBy("src_lo", "src_hi").agg(
+        F.count("*").alias("n_pairs")
+    )

@@ -306,6 +306,20 @@ def main() -> None:
         line = _unit_line(100, "centisec")
         if len(line) > 1990:
             line = _unit_line(10, "decisec")
+        if len(line) > 1990:
+            # Final guard (~250+ keys): never print an overflowing line —
+            # degrade to the top-N-slowest truncated form (same shape as
+            # the collision branch) rather than reproduce "parsed": null.
+            slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+            line = json.dumps(
+                {
+                    **payload,
+                    "queries": slowest,
+                    "queries_truncated_to": len(slowest),
+                    "retimed": len(retimed),
+                },
+                separators=(",", ":"),
+            )
     else:
         # Collision safety: full keys would serialize past the driver's
         # ~2000-char capture window and reproduce the round-1 parse

@@ -728,7 +728,7 @@ def x72_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (
       SELECT doc_id, lang,
              md5(CASE WHEN doc_id % 7 = 3
-                      THEN upper(text) ELSE text END) AS dg
+                      THEN text || ' [v2]' ELSE text END) AS dg
       FROM documents WHERE doc_id % 10 <> 0),
     diff AS (
       SELECT COALESCE(a.lang, b.lang) AS lang,
@@ -755,10 +755,15 @@ def x73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = docs.filter(F.col("doc_id") % 10 != 0).select(
         "doc_id",
         "lang",
+        # the "edit" is concatenation, not a case map: Java's full-Unicode
+        # upper() and DuckDB's utf8proc single-codepoint upper() disagree
+        # on e.g. ligatures, so a case-based rewrite would flip
+        # changed/unchanged between engines on non-ASCII text; appending
+        # a marker is byte-stable everywhere
         F.md5(
-            F.when(F.col("doc_id") % 7 == 3, F.upper("text")).otherwise(
-                F.col("text")
-            )
+            F.when(
+                F.col("doc_id") % 7 == 3, F.concat(F.col("text"), F.lit(" [v2]"))
+            ).otherwise(F.col("text"))
         ).alias("dg"),
     )
     diff = a.alias("a").join(

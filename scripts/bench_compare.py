@@ -28,7 +28,20 @@ def main() -> int:
         old = json.load(f)
     with open(args.new) as f:
         new = json.load(f)
-    oq, nq = old.get("queries", {}), new.get("queries", {})
+
+    # The driver line's per-query values switched to integer units in
+    # round 7 (self-described by "queries_unit": centisec/decisec;
+    # BENCH_FULL/BENCH_LOCAL records carry float seconds and no unit
+    # field).  Normalize BOTH sides to seconds so deltas and the --abs
+    # threshold always mean seconds regardless of which era/format each
+    # file comes from.
+    _SCALE = {"centisec": 100.0, "decisec": 10.0, None: 1.0, "sec": 1.0}
+
+    def _in_seconds(rec: dict) -> dict:
+        scale = _SCALE[rec.get("queries_unit")]
+        return {k: v / scale for k, v in rec.get("queries", {}).items()}
+
+    oq, nq = _in_seconds(old), _in_seconds(new)
 
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))

@@ -323,11 +323,7 @@ def test_x74_containment_catches_embedded_doc(spark, tmp_path):
     bar while symmetric Jaccard (~3/193 distinct windows) sits far
     below any resemblance threshold — the duplication class x04 misses
     by construction and x74 exists for."""
-    import shutil
-
-    src = "/root/testdata/sf0.001"
-    d = str(tmp_path / "embedded")
-    shutil.copytree(src, d)
+    d = str(tmp_path / "embedded")  # only documents.parquet is read
     words = [f"w{i}" for i in range(200)]
     short = " ".join(words[50:60])           # 10 tokens, 3 windows
     long_ = " ".join(words)                  # contains short verbatim

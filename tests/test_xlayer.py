@@ -1545,3 +1545,31 @@ def test_mjpeg_avi_roundtrip_and_rejects():
     # unknown codec name on the encoder
     with _pytest.raises(ValueError):
         encode_avi(frames, codec="h264")
+
+
+def test_mjpeg_avi_roundtrip_property():
+    """Property fuzz (SURVEY.md §5.5): an MJPG AVI of arbitrary
+    block-upsampled frames round-trips every frame exactly, for
+    arbitrary frame counts and block-grid shapes."""
+    import numpy as np
+
+    from fanstats_producer_spark.operators.multimodal import (
+        decode_video,
+        encode_avi,
+    )
+
+    rng = np.random.RandomState(23)
+    for trial in range(6):
+        bh = int(rng.randint(1, 4))
+        bw = int(rng.randint(1, 6))
+        nf = int(rng.randint(1, 5))
+        frames = []
+        for _ in range(nf):
+            base = rng.randint(0, 256, (bh, bw), dtype=np.uint8)
+            frames.append(np.repeat(np.repeat(base, 8, 0), 8, 1))
+        w, h, fps, dec = decode_video(
+            encode_avi(frames, w=8 * bw, h=8 * bh, codec="mjpg")
+        )
+        assert (w, h, len(dec)) == (8 * bw, 8 * bh, nf), trial
+        for d, f in zip(dec, frames):
+            assert np.array_equal(d, f), trial

@@ -191,3 +191,77 @@ def x69_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 x69_k_anonymity.__doc__ = x69_k_anonymity.__doc__.format(_k=_X69_K)
+
+
+# --- x77: Zipf-law fit (corpus-statistics health check) -------------------------
+#
+# The standard corpus diagnostic: token frequencies should follow
+# freq ∝ rank^(-s) with s ≈ 1; a log-log least-squares slope far from
+# -1 flags synthetic, templated, or collapsed-vocabulary data before it
+# trains anything.  Cross-engine determinism is the whole game for a
+# regression over ln(): each ln value is QUANTIZED to an e6 integer
+# first (floor(ln(v)*1e6 + 0.5) — a 1-ulp libm disagreement moves the
+# pre-quantized value by ~1e-9 of the quantization step, so both
+# engines land the same integer), and every regression sum then runs
+# in exact BIGINT arithmetic (max |Σ x_q·y_q| ≈ 1.2e16 at this vocab,
+# 9.2e18 headroom), leaving ONE identical double division at the end.
+@query(
+    "x77_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT tok, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok),
+    ranked AS (
+      SELECT CAST(floor(ln(ROW_NUMBER() OVER (ORDER BY freq DESC, tok))
+                        * 1e6 + 0.5) AS BIGINT) AS xq,
+             CAST(floor(ln(freq) * 1e6 + 0.5) AS BIGINT) AS yq
+      FROM tf),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+             CAST(SUM(xq * xq) AS BIGINT) AS sxx
+      FROM ranked)
+    SELECT n AS n_types,
+           CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
+                AS BIGINT) AS slope_e6
+    FROM s
+    """,
+)
+def x77_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x77: log-log Zipf slope of the corpus token-frequency
+    distribution (see block comment for the integer-exact regression
+    contract).  Plan: one token explode + frequency aggregate (the
+    single wide shuffle — same shape as x28's vocab build), then the
+    rank window and all five regression sums run over a vocab-sized
+    frame (|V| rows, KBs at any corpus scale: vocabulary grows
+    sub-linearly by Heaps' law), so the fit itself is effectively
+    free at 100 TB."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.col("freq").desc(), "tok")
+    ranked = tf.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("xq"),
+        F.floor(F.log(F.col("freq").cast("double")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("yq"),
+    )
+    s = ranked.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("n").alias("n_types"),
+        F.floor(num / den * 1e6 + 0.5).cast("long").alias("slope_e6"),
+    )

@@ -1779,9 +1779,18 @@ def decode_jpeg(payload: bytes):
         if b[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
         marker = b[pos + 1]
+        if marker == 0xFF:  # fill byte (spec B.1.1.2): skip, re-sync
+            pos += 1
+            continue
         if marker == 0xD8:
             pos += 2
             continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # standalone markers (TEM, RSTn): no length field
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before SOS: no image data
+            raise ValueError("JPEG EOI before SOS")
         (seglen,) = struct.unpack(">H", b[pos + 2 : pos + 4])
         seg = b[pos + 4 : pos + 2 + seglen]
         if len(seg) != seglen - 2:

@@ -705,6 +705,12 @@ def ivfpq_ann(
     fixture; the registered key pins the defaults the oracle states.
     `m` sub-spaces re-slice the 64 dims (dsub = 64/m) over the same
     [29, 61) codebook range."""
+    if 64 % m != 0:
+        raise ValueError(
+            f"ivfpq_ann: m={m} must divide the 64-dim embedding evenly"
+            " (a floor-truncated dsub would silently drop trailing"
+            " dimensions from the ADC distance)"
+        )
     dsub = 64 // m
     emb = spread(load(spark, sf_dir, "embeddings"))
     v = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))

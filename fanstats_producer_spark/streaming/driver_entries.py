@@ -1131,7 +1131,17 @@ def s22_stream_verified_near_dup(
     partner is its colliding bucket's MINIMUM id (the one doc an 8-B
     bucket state can name), and is_dup requires the x47 integer gate
     levenshtein * 5 <= maxlen * 2 against that partner's text.  Text
-    state is bounded by live bucket minima, not stream length."""
+    state is bounded by live bucket minima, not stream length.
+
+    ORACLE PRECONDITION (single-batch equivalence): the oracle's
+    "partner = global bucket minimum" only equals the stream's
+    first-arrival verdict because this key drains the whole landing in
+    ONE data micro-batch (AvailableNow, no maxFilesPerTrigger).  Under
+    a multi-batch trigger, a doc arriving before its eventual bucket
+    minimum would be judged against an earlier (larger-id) partner and
+    the two sides would silently diverge — so the drain below asserts
+    exactly one data batch and fails loudly if a trigger change ever
+    splits it."""
     import os
     import shutil
 
@@ -1147,6 +1157,17 @@ def s22_stream_verified_near_dup(
                 stream, state_dir, verdict_dir, ckpt
             )
             _drain(q)
+            data_batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            if len(data_batches) != 1:
+                raise AssertionError(
+                    "s22 oracle assumes a single-batch drain (partner ="
+                    " global bucket minimum == first-arrival verdict);"
+                    f" observed {len(data_batches)} data micro-batches"
+                    " — a trigger change broke the equivalence"
+                    " precondition"
+                )
         out = spark.read.parquet(verdict_dir).select(
             "doc_id", "is_candidate", "is_dup"
         )

@@ -38,7 +38,13 @@ def main() -> int:
     _SCALE = {"centisec": 100.0, "decisec": 10.0, None: 1.0, "sec": 1.0}
 
     def _in_seconds(rec: dict) -> dict:
-        scale = _SCALE[rec.get("queries_unit")]
+        unit = rec.get("queries_unit")
+        scale = _SCALE.get(unit)
+        if scale is None:
+            raise SystemExit(
+                f"bench_compare: unknown queries_unit {unit!r} — add it"
+                f" to _SCALE (known: {sorted(k for k in _SCALE if k)})"
+            )
         return {k: v / scale for k, v in rec.get("queries", {}).items()}
 
     oq, nq = _in_seconds(old), _in_seconds(new)

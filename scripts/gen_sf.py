@@ -344,6 +344,13 @@ def generate(
         # above the reserved id layout; noise scale 0.22 lands cosine
         # ≈ 0.90-0.95 — unambiguous nearest neighbors
         free = np.arange(64, nvec)
+        if len(free) < 3 * planted_neighbors:
+            raise ValueError(
+                f"planted_neighbors={planted_neighbors} needs at least"
+                f" {64 + 3 * planted_neighbors} embedding vectors, but"
+                f" sf={sf} yields only {nvec}; lower planted_neighbors"
+                " or raise sf"
+            )
         picks = rng.choice(free, size=3 * planted_neighbors, replace=False)
         for qi, q in enumerate((16, 17, 18)):
             for pid in picks[qi * planted_neighbors:(qi + 1) * planted_neighbors]:

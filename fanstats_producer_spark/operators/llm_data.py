@@ -1134,3 +1134,119 @@ def x67_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(rows).alias("r")).select(
         "r.vocab_size", "r.covered", "r.total", "r.oov_e6"
     )
+
+
+# --- x78: Gopher repetition battery (char-fraction rules) -----------------------
+# The two Gopher repetition families x31 does NOT cover (Rae et al. 2021,
+# Table A1): "top n-gram character fraction" (chars inside occurrences of
+# the single most frequent n-gram / total chars, n=3 here) and "duplicate
+# n-gram character fraction" (chars at token positions covered by any
+# n-gram that occurs >= 2 times in the doc — positions covered by
+# overlapping duplicates count ONCE, which is why this needs positional
+# coverage, not an occurrence count).  Gopher runs the dup family at
+# n=5..10; on this fixture's 31-word vocabulary a 5-gram never repeats
+# intra-doc (measured all-zero at sf0.01), so the registered key pins
+# n=3 — the smallest n where the signal is live — and the gram window
+# in the expressions below is the single knob for production n.  Both signals are pure per-row array
+# expressions — the whole battery is a narrow projection with ZERO
+# shuffles at any scale (contrast x31's top-token share, which needs the
+# (doc_id, token) aggregate).  Per-row cost is O(G^2) string compares with
+# G = n_tokens - 4 grams; bounded by document length, embarrassingly
+# parallel, and entirely inside whole-stage codegen.
+# Tie-break for the top 3-gram: highest count, then lexicographically
+# smallest gram — encoded as array_min over '(1e6 - count) || gram' keys
+# so both engines pick the identical winner without a window.
+# Reference anchor: none (X-layer mandate — the reference delegates all
+# analysis to Athena; this is the training-corpus battery that stage
+# implies).
+
+_X78_G3 = (
+    "CASE WHEN size(t) < 3 THEN array() ELSE transform(sequence(1,"
+    " size(t)-2), i -> concat_ws(' ', t[i-1], t[i], t[i+1])) END"
+)
+
+
+@query(
+    "x78_repetition_chars",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t,
+             len(text) AS total_chars,
+             len(replace(text, ' ', '')) AS alpha_chars
+      FROM documents),
+    grams AS (
+      SELECT doc_id, total_chars, alpha_chars, t,
+             list_transform(range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS g3
+      FROM base),
+    scored AS (
+      SELECT doc_id, len(t) AS n_tokens, total_chars, alpha_chars,
+             list_min(list_transform(list_distinct(g3),
+               g -> lpad(CAST(1000000 - len(list_filter(g3, x -> x = g))
+                         AS VARCHAR), 7, '0') || g)) AS topk,
+             COALESCE(list_sum(list_transform(
+               list_distinct(flatten(list_transform(
+                 list_filter(range(1, greatest(len(g3) + 1, 1)),
+                   i -> len(list_filter(g3, x -> x = g3[i])) >= 2),
+                 i -> range(i, i + 3)))),
+               p -> len(t[p]))), 0) AS covchars
+      FROM grams)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN topk IS NULL THEN 0 ELSE
+             {sql_qint("(1000000 - CAST(substr(topk, 1, 7) AS INT))"
+                       " * len(substr(topk, 8)) / CAST(total_chars AS DOUBLE)")}
+           END AS top3_char_frac_e6,
+           {sql_qint("CAST(covchars AS DOUBLE)"
+                     " / CAST(alpha_chars AS DOUBLE)")}
+             AS dup3_char_frac_e6
+    FROM scored
+    """,
+)
+def x78_repetition_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    grams = docs.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS t",
+        "length(text) AS total_chars",
+        "length(replace(text, ' ', '')) AS alpha_chars",
+    ).selectExpr(
+        "doc_id",
+        "t",
+        "total_chars",
+        "alpha_chars",
+        f"{_X78_G3} AS g3",
+    )
+    scored = grams.selectExpr(
+        "doc_id",
+        "size(t) AS n_tokens",
+        "total_chars",
+        "alpha_chars",
+        "array_min(transform(array_distinct(g3), g -> concat(lpad("
+        "cast(1000000 - size(filter(g3, x -> x = g)) as string), 7,"
+        " '0'), g))) AS topk",
+        "aggregate(array_distinct(flatten(transform("
+        "filter(CASE WHEN size(g3) < 1 THEN array() ELSE sequence(1,"
+        " size(g3)) END, i -> size(filter(g3, x -> x = g3[i-1])) >= 2),"
+        " i -> sequence(i, i+2)))), 0L, (acc, p) -> acc + length(t[p-1]))"
+        " AS covchars",
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.when(F.col("topk").isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            qint(
+                (
+                    F.lit(1_000_000)
+                    - F.substring("topk", 1, 7).cast("int")
+                )
+                * F.length(F.expr("substr(topk, 8)"))
+                / F.col("total_chars").cast("double")
+            )
+        )
+        .alias("top3_char_frac_e6"),
+        qint(
+            F.col("covchars").cast("double")
+            / F.col("alpha_chars").cast("double")
+        ).alias("dup3_char_frac_e6"),
+    )

@@ -129,3 +129,167 @@ def x21_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         grain=["day"],
     )
     return rollup_topk(daily, [], k=5).drop("__g")
+
+
+# --- x79: portable Bloom-filter sketch + membership probe -----------------------
+# The mergeable-filter member of the sketch family (x20 HLL, x21 top-k,
+# x37 CMS, x38 KMV): build a Bloom filter over the distinct join keys of
+# a selective build side as PLAIN COLUMNS (word index -> 32-bit word,
+# OR-aggregated), then probe a candidate set through it.  Because the
+# sketch is a bit_or aggregate it is map-side combinable and mergeable
+# across partitions/days exactly like the other sketches, and at 2048
+# words (m=65536 bits, k=4) it broadcasts to the probe side — the
+# semi-join-reduction primitive that drops most of a 100 TB fact scan
+# before its shuffle.  Catalyst's own runtime version of this exists
+# behind spark.sql.optimizer.runtime.bloomFilter.* (see
+# skew.runtime_bloom_filters); this operator is the PORTABLE, persistable
+# arm: identical md5 bit positions on any engine, so a filter built by
+# Spark today can gate a different system's scan tomorrow.
+# FP math at the registered shape: n≈1.1k keys, m=65536, k=4 →
+# (1-e^{-kn/m})^4 ≈ 1e-5, so the fixture probe sees zero false
+# positives; the pytest shrinks m to force and count FPs.
+_X79_M = 65536  # bits
+_X79_K = 4  # hash functions
+_X79_W = 32  # bits per sketch word
+
+
+def bloom_build(keys: DataFrame, col: str) -> DataFrame:
+    """Aggregate a key column into the (word, bits) Bloom sketch."""
+    hashed = keys.select(
+        F.explode(F.array(*[F.lit(j) for j in range(_X79_K)])).alias("j"),
+        F.col(col).alias("k"),
+    )
+    return (
+        hashed.select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":", F.col("k").cast("string"), F.col("j")
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _X79_M
+            ).alias("bit")
+        )
+        .select(
+            F.expr(f"bit DIV {_X79_W}").alias("word"),
+            F.expr(f"shiftleft(1L, cast(bit % {_X79_W} as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+_X79_SQL_BIT = (
+    "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' ||"
+    " CAST({j} AS VARCHAR)), 1, 15)) AS BIGINT) % 65536"
+)
+
+
+@query(
+    "x79_bloom_filter",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_quantity >= 49),
+    bits AS (
+      SELECT {_X79_SQL_BIT.format(key='k', j='j')} AS bit
+      FROM build CROSS JOIN range({_X79_K}) AS t(j)),
+    sketch AS (
+      SELECT bit // {_X79_W} AS word,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % {_X79_W} AS INT)) AS bits
+      FROM bits GROUP BY 1),
+    probe AS (
+      SELECT p.p_partkey,
+             {_X79_SQL_BIT.format(key='p.p_partkey', j='j')} AS bit
+      FROM part p CROSS JOIN range({_X79_K}) AS t(j)),
+    hits AS (
+      SELECT pr.p_partkey,
+             COUNT(*) FILTER (s.bits IS NOT NULL
+               AND (s.bits & (CAST(1 AS BIGINT)
+                    << CAST(pr.bit % {_X79_W} AS INT))) != 0) AS nhit
+      FROM probe pr
+      LEFT JOIN sketch s ON s.word = pr.bit // {_X79_W}
+      GROUP BY 1)
+    SELECT h.p_partkey,
+           CAST(CASE WHEN h.nhit = {_X79_K} THEN 1 ELSE 0 END AS INT)
+             AS bloom_hit,
+           CAST(CASE WHEN b.k IS NULL THEN 0 ELSE 1 END AS INT) AS actual
+    FROM hits h LEFT JOIN build b ON b.k = h.p_partkey
+    """,
+)
+def x79_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    build = (
+        li.filter(F.col("l_quantity") >= 49)
+        .select(F.col("l_partkey").alias("k"))
+        .distinct()
+    )
+    sketch = bloom_build(build, "k")
+    probe = part.select(
+        "p_partkey",
+        F.explode(F.array(*[F.lit(j) for j in range(_X79_K)])).alias("j"),
+    ).select(
+        "p_partkey",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("p_partkey").cast("string"), F.col("j")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _X79_M
+        ).alias("bit"),
+    )
+    hits = (
+        probe.join(
+            F.broadcast(sketch),
+            F.expr(f"bit DIV {_X79_W}") == sketch.word,
+            "left",
+        )
+        .select(
+            "p_partkey",
+            (
+                F.col("bits").isNotNull()
+                & (
+                    F.col("bits").bitwiseAND(
+                        F.expr(
+                            f"shiftleft(1L, cast(bit % {_X79_W} as int))"
+                        )
+                    )
+                    != 0
+                )
+            ).alias("hit"),
+        )
+        .groupBy("p_partkey")
+        .agg(F.sum(F.col("hit").cast("int")).alias("nhit"))
+    )
+    return (
+        hits.join(F.broadcast(build), hits.p_partkey == build.k, "left")
+        .select(
+            "p_partkey",
+            F.when(F.col("nhit") == _X79_K, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("bloom_hit"),
+            F.when(F.col("k").isNull(), 0).otherwise(1).cast("int").alias(
+                "actual"
+            ),
+        )
+    )

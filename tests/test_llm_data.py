@@ -213,3 +213,59 @@ def test_decontaminate_hot_shingle_cap(spark):
     # capped hits are a subset computed from strictly fewer shingles
     assert set(t[:2] for t in tight) <= set(b[:2] for b in base)
     assert len(tight) < len(base)
+
+
+def test_x78_repetition_chars_hand_computed(spark):
+    """Planted doc: 'a b c a b c x' — top 3-gram 'a b c' occurs twice
+    (len 5), total chars 13; dup 3-gram coverage = positions 1-3 and
+    4-6 = tokens a b c a b c = 6 alpha chars of 7."""
+    import tempfile
+
+    from fanstats_producer_spark.operators.llm_data import (
+        x78_repetition_chars,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [
+                (0, "a b c a b c x", "en", "s", 13),
+                (1, "p q", "en", "s", 3),  # too short for any 3-gram
+            ],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = {
+            r["doc_id"]: r
+            for r in x78_repetition_chars(spark, d).collect()
+        }
+    r0 = rows[0]
+    assert r0["n_tokens"] == 7
+    # top3: count 2 * len('a b c')=5 / 13 chars
+    assert r0["top3_char_frac_e6"] == round(2 * 5 / 13 * 1e6)
+    # dup3: covered tokens 1-6 -> 6 alpha chars of 7
+    assert r0["dup3_char_frac_e6"] == round(6 / 7 * 1e6)
+    r1 = rows[1]
+    assert r1["top3_char_frac_e6"] == 0
+    assert r1["dup3_char_frac_e6"] == 0
+
+
+def test_x78_overlapping_duplicates_count_once(spark):
+    """'a a a a a a': every 3-gram is 'a a a' (4 occurrences); the
+    char-coverage rule must count each position once -> frac == 1."""
+    import tempfile
+
+    from fanstats_producer_spark.operators.llm_data import (
+        x78_repetition_chars,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(0, "a a a a a a", "en", "s", 11)],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        (r,) = x78_repetition_chars(spark, d).collect()
+    assert r["dup3_char_frac_e6"] == 1_000_000
+    # top3 'a a a' count 4 * len 5 / 11 chars (occurrence-count rule:
+    # overlapping occurrences DO each count in the top-n-gram family)
+    assert r["top3_char_frac_e6"] == round(4 * 5 / 11 * 1e6)

@@ -1573,3 +1573,24 @@ def test_mjpeg_avi_roundtrip_property():
         assert (w, h, len(dec)) == (8 * bw, 8 * bh, nf), trial
         for d, f in zip(dec, frames):
             assert np.array_equal(d, f), trial
+
+
+def test_x79_bloom_no_false_negatives_and_forced_fps(spark):
+    """Bloom guarantee: every present key hits.  Shrinking m from 65536
+    to 256 bits (n≈1.1k keys >> m) must force false positives — the
+    probabilistic arm the registered key's 1e-5 FP shape can't show."""
+    from fanstats_producer_spark.operators import sketches as sk
+
+    sf = "/root/testdata/sf0.001"
+    base = sk.x79_bloom_filter(spark, sf).collect()
+    assert all(r["bloom_hit"] == 1 for r in base if r["actual"] == 1)
+
+    saved = sk._X79_M
+    try:
+        sk._X79_M = 256
+        small = sk.x79_bloom_filter(spark, sf).collect()
+    finally:
+        sk._X79_M = saved
+    assert all(r["bloom_hit"] == 1 for r in small if r["actual"] == 1)
+    fps = sum(1 for r in small if r["bloom_hit"] == 1 and r["actual"] == 0)
+    assert fps > 0  # saturated filter must false-positive

@@ -91,3 +91,84 @@ def q40_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n"))
     )
+
+# --- x80: Z-order (Morton) multi-dimensional clustering -------------------------
+# Hive partitioning (q40 above) prunes on ONE key hierarchy.  When scans
+# filter on TWO independent keys (part AND supplier), a 1-D sort layout
+# clusters only its leading key — a predicate on the other key overlaps
+# every file.  Z-ordering interleaves the bits of both quantized keys so
+# file ranges stay tight in BOTH dimensions: with 2^b files a selective
+# box predicate touches O(sqrt) of them instead of all (the Delta/
+# Databricks OPTIMIZE ZORDER access path, public algorithm: Morton
+# codes).  At 100 TB this is a one-shot repartitionByRange on the morton
+# column at write time; every later scan prunes via per-file min/max —
+# no index structure, just layout.
+# The operator reports the layout quality evidence itself: per-file row
+# counts and per-dimension min/max spans (what a format's file-statistics
+# footer would hold).  Everything is integer arithmetic — quantization is
+# (v * 256) DIV (max+1), bit interleave is unrolled add/div/mod — so both
+# engines state identical codes.
+_X80_BITS = 8  # per-dimension quantization bits
+_X80_FILES = 64
+
+
+def _morton_expr(qx: str, qy: str, intdiv: str) -> str:
+    """Unrolled 2-D Morton interleave as pure +,*,div,mod arithmetic.
+    `intdiv` is the dialect's integer-division operator ('DIV' for
+    Spark, '//' for DuckDB); everything else is shared syntax."""
+    terms = []
+    for i in range(_X80_BITS):
+        terms.append(
+            f"((({qx}) {intdiv} {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        )
+        terms.append(
+            f"((({qy}) {intdiv} {1 << i}) % 2) * {1 << (2 * i)}"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "x80_zorder_layout",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(l_partkey) AS mpk, MAX(l_suppkey) AS msk FROM lineitem),
+    q AS (
+      SELECT l_partkey, l_suppkey,
+             (l_partkey * 256) // (mpk + 1) AS qx,
+             (l_suppkey * 256) // (msk + 1) AS qy
+      FROM lineitem CROSS JOIN mx),
+    coded AS (
+      SELECT l_partkey, l_suppkey,
+             ({_morton_expr('qx', 'qy', '//')})
+               // {65536 // _X80_FILES} AS file_id
+      FROM q)
+    SELECT file_id, COUNT(*) AS cnt,
+           MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+           MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+    FROM coded GROUP BY 1
+    """,
+)
+def x80_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    mx = li.agg(
+        F.max("l_partkey").alias("mpk"), F.max("l_suppkey").alias("msk")
+    )
+    q = li.select("l_partkey", "l_suppkey").crossJoin(F.broadcast(mx))
+    coded = q.selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        "(l_partkey * 256) DIV (mpk + 1) AS qx",
+        "(l_suppkey * 256) DIV (msk + 1) AS qy",
+    ).selectExpr(
+        "l_partkey",
+        "l_suppkey",
+        f"({_morton_expr('qx', 'qy', 'DIV')})"
+        f" DIV {65536 // _X80_FILES} AS file_id",
+    )
+    return coded.groupBy("file_id").agg(
+        F.count("*").alias("cnt"),
+        F.min("l_partkey").alias("pk_min"),
+        F.max("l_partkey").alias("pk_max"),
+        F.min("l_suppkey").alias("sk_min"),
+        F.max("l_suppkey").alias("sk_max"),
+    )

@@ -1250,3 +1250,103 @@ def x78_repetition_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("alpha_chars").cast("double")
         ).alias("dup3_char_frac_e6"),
     )
+
+
+# --- x81: BPE merge-pair statistics + tokenizer trainer -------------------------
+# Byte-pair-encoding tokenizer training (Sennrich et al. 2016, public
+# algorithm) runs on the WORD-FREQUENCY table, not the corpus: the
+# distributed pass collapses 100 TB of text to |word types| rows (Heaps'
+# law keeps that in the millions), and every merge round is then pair
+# counting over that table.  x81 registers the fully distributed round-1
+# slice — adjacent character-pair counts weighted by corpus word
+# frequency, the argmax of which IS the first BPE merge — and
+# `bpe_train` below runs the full iterative loop on the collected type
+# table (each round is O(types); for type tables beyond driver memory
+# the same per-round aggregation runs distributed over a segs DataFrame
+# — the loop structure is identical).  No end-of-word marker: merges act
+# on raw character sequences, so the trainer's round-1 counts equal the
+# registered slice exactly (pytest-pinned).
+
+
+@query(
+    "x81_bpe_pairs",
+    oracle="""
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0 GROUP BY 1),
+    pairs AS (
+      SELECT substr(w, i, 2) AS pair, freq
+      FROM (SELECT w, freq, unnest(range(1, greatest(len(w), 1))) AS i
+            FROM words))
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS wcount
+    FROM pairs GROUP BY 1
+    """,
+)
+def x81_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) < 2 THEN array() ELSE"
+                " transform(sequence(1, length(w) - 1),"
+                " i -> substr(w, i, 2)) END"
+            )
+        ).alias("pair"),
+    )
+    return pairs.groupBy("pair").agg(
+        F.sum("freq").cast("long").alias("wcount")
+    )
+
+
+def _bpe_merge_seg(s: tuple, a: str, b: str) -> tuple:
+    """Merge non-overlapping (a, b) adjacencies left-to-right."""
+    out, i = [], 0
+    while i < len(s):
+        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    return tuple(out)
+
+
+def bpe_train(
+    df: DataFrame, col: str = "text", n_merges: int = 16
+) -> list[tuple[str, str]]:
+    """Train BPE merges over a text column.  One distributed word-count
+    pass, then the deterministic merge loop on the type table (highest
+    weighted pair count, ties to the lexicographically smallest pair).
+    Returns the ordered merge list."""
+    words = (
+        df.select(F.explode(F.split(F.col(col), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    table = {r["w"]: r["freq"] for r in words.collect()}
+    segs = {w: tuple(w) for w in table}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, freq in table.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + freq
+        if not pc:
+            break
+        maxc = max(pc.values())
+        best = min(p for p, c in pc.items() if c == maxc)
+        merges.append(best)
+        segs = {
+            w: _bpe_merge_seg(s, best[0], best[1]) for w, s in segs.items()
+        }
+    return merges

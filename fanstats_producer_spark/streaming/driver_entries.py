@@ -1176,3 +1176,83 @@ def s22_stream_verified_near_dup(
     finally:
         # the shared landing outlives this key (atexit-cleaned)
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "s23_stream_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, event_id % 2 AS half,
+             CAST(floor(value / 8.0) AS BIGINT) AS bucket
+      FROM events),
+    counts AS (
+      SELECT event_type, bucket,
+             COUNT(*) FILTER (WHERE half = 0) AS n_ref,
+             COUNT(*) FILTER (WHERE half = 1) AS n_live
+      FROM b GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, SUM(n_ref) AS t_ref, SUM(n_live) AS t_live,
+             COUNT(*) AS n_buckets
+      FROM counts GROUP BY 1),
+    contrib AS (
+      SELECT c.event_type,
+             CAST(floor((
+               (CAST(c.n_live + 1 AS DOUBLE) / (t.t_live + t.n_buckets))
+               - (CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + t.n_buckets))
+             ) * ln(
+               (CAST(c.n_live + 1 AS DOUBLE) / (t.t_live + t.n_buckets))
+               / (CAST(c.n_ref + 1 AS DOUBLE) / (t.t_ref + t.n_buckets))
+             ) * 1e9 + 0.5) AS BIGINT) AS psi_term_e9
+      FROM counts c JOIN tot t USING (event_type))
+    SELECT c.event_type,
+           CAST(SUM(c.psi_term_e9) AS BIGINT) AS psi_e9,
+           CAST(MIN(t.t_ref) AS BIGINT) AS n_ref,
+           CAST(MIN(t.t_live) AS BIGINT) AS n_live
+    FROM contrib c JOIN tot t USING (event_type)
+    GROUP BY 1
+    """,
+)
+def s23_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s23: the ONLINE arm of x63's PSI drift gate — the live half of
+    the events table (event_id parity, the x63 convention) arrives as a
+    file stream; the reference half is a static histogram computed
+    once.  jobs.streaming_psi_drift keeps the cumulative live histogram
+    as mergeable integer counts and republishes the per-type PSI
+    monitor every batch.  Because the state merge is a commutative sum
+    and PSI is recomputed from totals, the drained monitor equals the
+    batch formulation for ANY batch slicing — the oracle states that
+    batch value directly (no single-batch precondition, unlike s22)."""
+    import os
+    import shutil
+
+    from fanstats_producer_spark.io import load as _load
+
+    ref_counts = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 2 == 0)
+        .select(
+            "event_type",
+            F.floor(F.col("value") / 8.0).cast("long").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n_ref"))
+    )
+    stream = _read_events_stream(spark, sf_dir).filter(
+        F.col("event_id") % 2 == 1
+    )
+    work = tempfile.mkdtemp(prefix="s23_work_")
+    state_dir = os.path.join(work, "state")
+    monitor_dir = os.path.join(work, "monitor")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_psi_drift(
+                stream, ref_counts, state_dir, monitor_dir, ckpt
+            )
+            _drain(q)
+        out = spark.read.parquet(monitor_dir).select(
+            "event_type", "psi_e9", "n_ref", "n_live"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -778,3 +778,132 @@ def deduped_by_content(events_or_docs: DataFrame, text_col: str = "props",
     return with_hash.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["content_hash"]
     )
+
+
+def streaming_psi_drift(
+    events: DataFrame,
+    ref_counts: DataFrame,
+    state_dir: str,
+    monitor_dir: str,
+    checkpoint_dir: str,
+    bucket_width: float = 8.0,
+) -> StreamingQuery:
+    """s23: ONLINE distribution-drift monitor — x63's PSI gate running
+    continuously against a static reference distribution.
+
+    State is the cumulative (event_type, bucket) live histogram: plain
+    integer counts merged per batch (staged/retired rename promote, same
+    crash protocol as s21), so state size is |types x buckets| —
+    corpus-length-independent — and the merge is a commutative sum.
+    That commutativity gives s23 a property the dedup streams lack: the
+    final monitor is BATCH-PARTITION-INVARIANT (any maxFilesPerTrigger
+    slicing converges to the same table, pytest-pinned), because PSI is
+    recomputed each batch from the merged totals, not from per-batch
+    arrivals.  Each batch overwrites the monitor table with the current
+    per-type PSI — the live dashboard feed.
+
+    PSI math is x63's exactly: Laplace-smoothed probabilities over the
+    union bucket set, each term floor(x*1e9+0.5)-quantized BEFORE the
+    integer sum, so the monitor value-hash-matches the batch oracle."""
+    import os
+    import shutil
+
+    staged = state_dir.rstrip("/") + ".staged"
+    retired = state_dir.rstrip("/") + ".retired"
+
+    def _recover() -> None:
+        if os.path.isdir(state_dir):
+            return
+        if os.path.isdir(staged) and os.path.exists(
+            os.path.join(staged, "_SUCCESS")
+        ):
+            os.rename(staged, state_dir)
+        elif os.path.isdir(retired):
+            os.rename(retired, state_dir)
+
+    bucketed = events.select(
+        "event_type",
+        F.floor(F.col("value") / bucket_width).cast("long").alias("bucket"),
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover()
+        batch_counts = batch_df.groupBy("event_type", "bucket").agg(
+            F.count("*").alias("n_live")
+        )
+        if os.path.isdir(state_dir):
+            current = spark.read.parquet(state_dir)
+            combined = (
+                current.unionByName(batch_counts)
+                .groupBy("event_type", "bucket")
+                .agg(F.sum("n_live").cast("long").alias("n_live"))
+            )
+        else:
+            combined = batch_counts.withColumn(
+                "n_live", F.col("n_live").cast("long")
+            )
+        combined = combined.localCheckpoint(eager=True)  # monitor + promote
+        counts = (
+            ref_counts.select(
+                "event_type",
+                "bucket",
+                F.col("n_ref").cast("long").alias("n_ref"),
+                F.lit(0).cast("long").alias("n_live"),
+            )
+            .unionByName(
+                combined.select(
+                    "event_type",
+                    "bucket",
+                    F.lit(0).cast("long").alias("n_ref"),
+                    "n_live",
+                )
+            )
+            .groupBy("event_type", "bucket")
+            .agg(
+                F.sum("n_ref").alias("n_ref"),
+                F.sum("n_live").alias("n_live"),
+            )
+        )
+        tot = counts.groupBy("event_type").agg(
+            F.sum("n_ref").alias("t_ref"),
+            F.sum("n_live").alias("t_live"),
+            F.count("*").alias("n_buckets"),
+        )
+        j = counts.join(F.broadcast(tot), "event_type")
+        p_live = (F.col("n_live") + 1).cast("double") / (
+            F.col("t_live") + F.col("n_buckets")
+        )
+        p_ref = (F.col("n_ref") + 1).cast("double") / (
+            F.col("t_ref") + F.col("n_buckets")
+        )
+        monitor = (
+            j.select(
+                "event_type",
+                "t_ref",
+                "t_live",
+                F.floor((p_live - p_ref) * F.log(p_live / p_ref) * 1e9 + 0.5)
+                .cast("long")
+                .alias("psi_term_e9"),
+            )
+            .groupBy("event_type")
+            .agg(
+                F.sum("psi_term_e9").cast("long").alias("psi_e9"),
+                F.min("t_ref").cast("long").alias("n_ref"),
+                F.min("t_live").cast("long").alias("n_live"),
+            )
+        )
+        monitor.write.mode("overwrite").parquet(monitor_dir)
+        combined.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, retired)
+        os.rename(staged, state_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+
+    return (
+        bucketed.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -269,3 +269,56 @@ def test_x78_overlapping_duplicates_count_once(spark):
     # top3 'a a a' count 4 * len 5 / 11 chars (occurrence-count rule:
     # overlapping occurrences DO each count in the top-n-gram family)
     assert r["top3_char_frac_e6"] == round(4 * 5 / 11 * 1e6)
+
+
+def test_x81_bpe_trainer_hand_example(spark):
+    """Classic corpus: 'aaab' x3 + 'aab'.  Round 1: pair counts
+    aa: 3*2+1=7, ab: 4 -> merge ('a','a').  Round 2 on merged segs
+    ('aa','a','b')x3 / ('aa','b'): ('aa','a')=3, ('aa','b')=1,
+    ('a','b')=3 -> tie at 3, lexicographically smallest pair
+    ('a','b') wins.  Round 3: segs ('aa','ab')x3 / ('aa','b'):
+    ('aa','ab')=3 beats ('aa','b')=1."""
+    from fanstats_producer_spark.operators.llm_data import bpe_train
+
+    df = spark.createDataFrame(
+        [("aaab aaab aaab aab",)], "text string"
+    )
+    merges = bpe_train(df, n_merges=3)
+    assert merges[0] == ("a", "a")
+    assert merges[1] == ("a", "b")
+    assert merges[2] == ("aa", "ab")
+
+
+def test_x81_round1_matches_registered_slice(spark):
+    """The trainer's first pair count must equal the distributed x81
+    slice (same no-marker contract)."""
+    import collections
+
+    from fanstats_producer_spark.operators.llm_data import (
+        bpe_train,
+        x81_bpe_pairs,
+    )
+    from fanstats_producer_spark.io import load
+
+    sf = "/root/testdata/sf0.001"
+    sql_counts = {
+        r["pair"]: r["wcount"] for r in x81_bpe_pairs(spark, sf).collect()
+    }
+    # recompute round-1 counts the trainer's way
+    docs = load(spark, sf, "documents")
+    toks = [
+        w
+        for r in docs.select("text").collect()
+        for w in r["text"].split(" ")
+        if w
+    ]
+    freq = collections.Counter(toks)
+    pc: dict[str, int] = collections.Counter()
+    for w, f in freq.items():
+        for a, b in zip(w, w[1:]):
+            pc[a + b] += f
+    assert dict(pc) == sql_counts
+    # and the trainer's first merge is the argmax of that slice
+    merges = bpe_train(docs, n_merges=1)
+    maxc = max(pc.values())
+    assert "".join(merges[0]) == min(p for p, c in pc.items() if c == maxc)

@@ -261,3 +261,40 @@ def test_tpch_q13_filter_inside_outer_join(spark):
     that would null out legitimate matches."""
     df = registry.QUERIES["q79_tpch_q13"](spark, SF_DIR)
     assert "o_orderpriority" in checks.pushed_filters(df)
+
+
+def test_x80_zorder_prunes_second_dimension(spark):
+    """The layout payoff: under a 1-D pk-sort layout a narrow suppkey
+    band overlaps (nearly) every file; under z-order it must overlap
+    strictly fewer — both dims keep tight per-file ranges."""
+    from pyspark.sql import functions as F
+
+    from fanstats_producer_spark.io import load
+    from fanstats_producer_spark.operators.layout import (
+        _X80_FILES,
+        x80_zorder_layout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    li = load(spark, sf, "lineitem")
+    msk = li.agg(F.max("l_suppkey")).collect()[0][0]
+    lo, hi = msk // 2, msk // 2 + max(msk // 16, 1)  # narrow sk band
+
+    z = x80_zorder_layout(spark, sf).collect()
+    z_hit = sum(1 for r in z if r["sk_min"] <= hi and r["sk_max"] >= lo)
+
+    # 1-D comparison layout: same file count, range-partitioned on pk
+    mpk = li.agg(F.max("l_partkey")).collect()[0][0]
+    oned = (
+        li.selectExpr(
+            f"(l_partkey * {_X80_FILES}) DIV ({mpk} + 1) AS file_id",
+            "l_suppkey",
+        )
+        .groupBy("file_id")
+        .agg(F.min("l_suppkey").alias("sk_min"), F.max("l_suppkey").alias("sk_max"))
+        .collect()
+    )
+    o_hit = sum(1 for r in oned if r["sk_min"] <= hi and r["sk_max"] >= lo)
+
+    assert z_hit < o_hit  # z-order prunes where the 1-D sort cannot
+    assert o_hit == len(oned)  # the 1-D layout is blind to suppkey

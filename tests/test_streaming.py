@@ -1268,3 +1268,77 @@ def test_streaming_verified_near_dup_gate_and_state(spark, landing, tmp_path):
     live = {r.min_id for r in buckets.select("min_id").distinct().collect()}
     kept = {r.doc_id for r in texts.collect()}
     assert kept == live  # displaced minima's texts are dropped
+
+
+def test_s23_psi_monitor_batch_partition_invariant(spark, tmp_path):
+    """s23's claim: because state is a commutative count merge and PSI
+    is recomputed from merged totals, the final monitor is identical
+    whether the live events arrive in one batch or one file per
+    trigger."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from fanstats_producer_spark.streaming import jobs
+
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T10:{i % 60:02d}:00Z",
+            "user_id": i % 7,
+            "event_type": "click" if i % 3 else "view",
+            "value": float((i * 37) % 200) / 2.0,
+            "props": "{}",
+        }
+        for i in range(200)
+    ]
+    ref = (
+        spark.createDataFrame(
+            [(r["event_type"], int(r["value"] // 8)) for r in rows if r["event_id"] % 2 == 0],
+            "event_type string, bucket long",
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("n_ref"))
+    )
+    live = [r for r in rows if r["event_id"] % 2 == 1]
+
+    def _run(tag, n_files, mfpt):
+        landing = tmp_path / f"landing_{tag}"
+        landing.mkdir()
+        per = len(live) // n_files
+        for fi in range(n_files):
+            chunk = live[fi * per : (fi + 1) * per if fi < n_files - 1 else len(live)]
+            with open(landing / f"b{fi}.json", "w") as f:
+                for r in chunk:
+                    f.write(_json.dumps(r) + "\n")
+            _os.utime(
+                landing / f"b{fi}.json",
+                (1000000000 + fi * 100, 1000000000 + fi * 100),
+            )
+        reader = spark.readStream.schema(jobs.EVENT_SCHEMA)
+        if mfpt:
+            reader = reader.option("maxFilesPerTrigger", mfpt)
+        src = reader.json(str(landing))
+        q = jobs.streaming_psi_drift(
+            src,
+            ref,
+            str(tmp_path / f"state_{tag}"),
+            str(tmp_path / f"mon_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+        )
+        q.awaitTermination(120)
+        assert (
+            len([p for p in q.recentProgress if p["numInputRows"] > 0])
+            == (n_files if mfpt == 1 else 1)
+        )
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / f"mon_{tag}"))
+            .select("event_type", "psi_e9", "n_ref", "n_live")
+            .collect()
+        )
+
+    single = _run("one", 1, None)
+    sliced = _run("many", 4, 1)
+    assert single == sliced

@@ -1350,3 +1350,47 @@ def bpe_train(
             w: _bpe_merge_seg(s, best[0], best[1]) for w, s in segs.items()
         }
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    col: str = "text",
+) -> DataFrame:
+    """Apply a trained BPE merge list to a text column, distributed.
+
+    Adds `bpe_tokens` (array<string>) and `n_bpe_tokens`.  The merge
+    list rides the UDF closure (broadcast by Spark automatically —
+    tokenizers are KBs); each Arrow batch segments its words through
+    the ordered merges with a per-batch word cache, so the per-row cost
+    collapses to a dict hit for every repeated word type (Zipf makes
+    that the common case).  Pure executor-side work — no shuffle; this
+    is the map stage every tokenize-and-count pipeline runs before
+    packing."""
+    from pyspark.sql.functions import pandas_udf
+
+    ordered = list(merges)
+
+    @pandas_udf("array<string>")
+    def _encode(texts):  # pd.Series -> pd.Series (hints unresolvable
+        # under `from __future__ import annotations` with local pd)
+        cache: dict[str, list[str]] = {}
+
+        def seg_word(w: str) -> list[str]:
+            got = cache.get(w)
+            if got is None:
+                s = tuple(w)
+                for a, b in ordered:
+                    s = _bpe_merge_seg(s, a, b)
+                got = cache[w] = list(s)
+            return got
+
+        return texts.map(
+            lambda t: [
+                tok for w in t.split(" ") if w for tok in seg_word(w)
+            ]
+        )
+
+    return df.withColumn("bpe_tokens", _encode(F.col(col))).withColumn(
+        "n_bpe_tokens", F.size("bpe_tokens")
+    )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import qint
 from fanstats_producer_spark.io import load, spread
+from fanstats_producer_spark.operators.sampling import hash_bucket
 from fanstats_producer_spark.registry import query
 
 
@@ -1010,4 +1011,118 @@ def x66_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("contaminated"),
         )
+    )
+
+
+# --- x82: sparse text similarity via feature hashing ----------------------------
+# The SPARSE complement to the dense x05/x57 family: documents become
+# hashed TF vectors (the feature-hashing trick — md5 token buckets, no
+# vocabulary build) and cosine runs as a POSTINGS JOIN: dot products
+# only materialize where query and candidate share a feature, so the
+# corpus side is never shuffled pairwise — the tiny query-side postings
+# broadcast, one (query, doc) aggregate scores everything.  This is the
+# scale shape of every sparse retriever (TF-IDF/BM25 engines): at 100 TB
+# the corpus postings stay partitioned by feature on disk and each query
+# batch streams through them.  Norms are per-doc scalars computed once.
+# Cosine is stated over exact integer counts (sum of c_q*c_d over shared
+# features / sqrt products), quantized e6 before the top-k rank, ties to
+# doc_id — identical winners on both engines.
+_X82_FEATS = 64  # hashed feature space
+_X82_QUERIES = 3  # probe: doc_id 0..2
+_X82_TOPK = 5
+
+
+def _x82_postings(docs: DataFrame) -> DataFrame:
+    """(doc_id, feature, c) hashed term counts + per-doc norm column."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    feats = toks.select(
+        "doc_id", hash_bucket(F.col("tok"), _X82_FEATS).alias("feature")
+    )
+    return feats.groupBy("doc_id", "feature").agg(
+        F.count("*").alias("c")
+    )
+
+
+@query(
+    "x82_sparse_text_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents),
+    post AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+               % {_X82_FEATS} AS feature,
+             COUNT(*) AS c
+      FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
+    norms AS (
+      SELECT doc_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+      FROM post GROUP BY 1),
+    dots AS (
+      SELECT q.doc_id AS query_id, d.doc_id AS cand_id,
+             SUM(q.c * d.c) AS dot
+      FROM post q JOIN post d USING (feature)
+      WHERE q.doc_id < {_X82_QUERIES} AND d.doc_id != q.doc_id
+      GROUP BY 1, 2),
+    scored AS (
+      SELECT dots.query_id, dots.cand_id,
+             CAST(floor(CAST(dots.dot AS DOUBLE)
+                        / (nq.nrm * nc.nrm) * 1000000 + 0.5) AS BIGINT)
+               AS cos_e6
+      FROM dots
+      JOIN norms nq ON nq.doc_id = dots.query_id
+      JOIN norms nc ON nc.doc_id = dots.cand_id)
+    SELECT query_id, cand_id, cos_e6 FROM (
+      SELECT query_id, cand_id, cos_e6,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cos_e6 DESC, cand_id) AS rnk
+      FROM scored)
+    WHERE rnk <= {_X82_TOPK}
+    """,
+)
+def x82_sparse_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    post = _x82_postings(docs)
+    norms = post.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
+    )
+    qpost = post.filter(F.col("doc_id") < _X82_QUERIES).select(
+        F.col("doc_id").alias("query_id"),
+        "feature",
+        F.col("c").alias("qc"),
+    )
+    dots = (
+        post.join(F.broadcast(qpost), "feature")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand_id"))
+        .agg(F.sum(F.col("qc") * F.col("c")).alias("dot"))
+    )
+    qnorms = norms.filter(F.col("doc_id") < _X82_QUERIES).select(
+        F.col("doc_id").alias("query_id"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        dots.join(F.broadcast(qnorms), "query_id")
+        .join(norms, dots.cand_id == norms.doc_id)
+        .select(
+            "query_id",
+            "cand_id",
+            F.floor(
+                F.col("dot").cast("double")
+                / (F.col("qn") * F.col("nrm"))
+                * 1_000_000
+                + 0.5
+            )
+            .cast("long")
+            .alias("cos_e6"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_e6").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _X82_TOPK)
+        .select("query_id", "cand_id", "cos_e6")
     )

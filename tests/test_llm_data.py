@@ -322,3 +322,40 @@ def test_x81_round1_matches_registered_slice(spark):
     merges = bpe_train(docs, n_merges=1)
     maxc = max(pc.values())
     assert "".join(merges[0]) == min(p for p, c in pc.items() if c == maxc)
+
+
+def test_bpe_encode_roundtrip_with_trainer(spark):
+    """Encoding with the trained merges must reproduce the trainer's
+    own final segmentations; zero merges degenerate to characters."""
+    from fanstats_producer_spark.operators.llm_data import (
+        _bpe_merge_seg,
+        bpe_encode,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "aaab aaab aab"), (1, "abab baba")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=4)
+    rows = {
+        r["doc_id"]: r for r in bpe_encode(df, merges).orderBy("doc_id").collect()
+    }
+
+    def ref_encode(text):
+        out = []
+        for w in text.split(" "):
+            s = tuple(w)
+            for a, b in merges:
+                s = _bpe_merge_seg(s, a, b)
+            out.extend(s)
+        return out
+
+    assert rows[0]["bpe_tokens"] == ref_encode("aaab aaab aab")
+    assert rows[1]["bpe_tokens"] == ref_encode("abab baba")
+    assert rows[0]["n_bpe_tokens"] == len(rows[0]["bpe_tokens"])
+
+    plain = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_encode(df, []).collect()
+    }
+    assert plain[0] == len("aaabaaabaab")  # chars, spaces dropped

@@ -1084,7 +1084,12 @@ def _x82_postings(docs: DataFrame) -> DataFrame:
 )
 def x82_sparse_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    post = _x82_postings(docs)
+    # Materialize the postings ONCE: four consumers (corpus join side,
+    # query postings, both norm tables) would otherwise each re-run the
+    # explode+aggregate from the raw scan (measured: 8 parquet scans in
+    # the un-checkpointed plan).  At 100 TB this table is the persisted
+    # index a sparse retriever maintains, not a per-query recompute.
+    post = _x82_postings(docs).localCheckpoint(eager=True)
     norms = post.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
     )

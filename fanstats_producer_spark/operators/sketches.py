@@ -234,6 +234,10 @@ def x79_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_partkey").alias("k"))
         .distinct()
     )
+    # one pass over the fact scan: the distinct build keys feed BOTH the
+    # sketch and the exact `actual` flag below — checkpoint the small
+    # key set instead of scanning the filtered fact twice
+    build = build.localCheckpoint(eager=True)
     sketch = bloom_build(build, "k")
     probe = part.select(
         "p_partkey",

@@ -1143,7 +1143,10 @@ def x67_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram character fraction" (chars at token positions covered by any
 # n-gram that occurs >= 2 times in the doc — positions covered by
 # overlapping duplicates count ONCE, which is why this needs positional
-# coverage, not an occurrence count).  Gopher runs the dup family at
+# coverage, not an occurrence count).  The ORACLE states both rules as
+# per-row nested list lambdas (DuckDB's vectorized kernels like that
+# shape); the Spark side runs the exploded hash-aggregate plan — see
+# the PLAN NOTE in the function.  Gopher runs the dup family at
 # n=5..10; on this fixture's 31-word vocabulary a 5-gram never repeats
 # intra-doc (measured all-zero at sf0.01), so the registered key pins
 # n=3 — the smallest n where the signal is live — and the gram window
@@ -1203,53 +1206,74 @@ _X78_G3 = (
     """,
 )
 def x78_repetition_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PLAN NOTE (measured at sf1): the per-row O(G^2) nested-lambda
+    # formulation the oracle uses is the right shape for DuckDB's
+    # vectorized list kernels, but Spark evaluates HigherOrderFunction
+    # lambdas INTERPRETED, outside whole-stage codegen — 39.4 s vs the
+    # oracle's 6.0 s at sf1.  The Spark-idiomatic shape is explode +
+    # codegen'd hash aggregates: every stage below is keyed by doc_id
+    # (or (doc_id, gram)/(doc_id, pos)), so the exchanges stay narrow
+    # and partition cleanly at any corpus size.  Identical values.
     docs = load(spark, sf_dir, "documents")
-    grams = docs.selectExpr(
+    base = spread(docs, "doc_id").selectExpr(
         "doc_id",
         "split(text, ' ') AS t",
         "length(text) AS total_chars",
         "length(replace(text, ' ', '')) AS alpha_chars",
-    ).selectExpr(
-        "doc_id",
-        "t",
-        "total_chars",
-        "alpha_chars",
-        f"{_X78_G3} AS g3",
     )
-    scored = grams.selectExpr(
-        "doc_id",
-        "size(t) AS n_tokens",
-        "total_chars",
-        "alpha_chars",
-        "array_min(transform(array_distinct(g3), g -> concat(lpad("
-        "cast(1000000 - size(filter(g3, x -> x = g)) as string), 7,"
-        " '0'), g))) AS topk",
-        "aggregate(array_distinct(flatten(transform("
-        "filter(CASE WHEN size(g3) < 1 THEN array() ELSE sequence(1,"
-        " size(g3)) END, i -> size(filter(g3, x -> x = g3[i-1])) >= 2),"
-        " i -> sequence(i, i+2)))), 0L, (acc, p) -> acc + length(t[p-1]))"
-        " AS covchars",
+    e3 = base.selectExpr(
+        "doc_id", f"posexplode({_X78_G3}) AS (p0, g)"
+    ).select("doc_id", (F.col("p0") + 1).alias("s"), "g")
+    c3 = e3.groupBy("doc_id", "g").agg(
+        F.count("*").alias("c"), F.collect_list("s").alias("starts")
     )
-    return scored.select(
-        "doc_id",
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.when(F.col("topk").isNull(), F.lit(0).cast("long"))
-        .otherwise(
-            qint(
-                (
-                    F.lit(1_000_000)
-                    - F.substring("topk", 1, 7).cast("int")
-                )
-                * F.length(F.expr("substr(topk, 8)"))
-                / F.col("total_chars").cast("double")
+    top = c3.groupBy("doc_id").agg(
+        F.min(
+            F.struct(
+                (F.lit(1_000_000) - F.col("c")).alias("negc"),
+                F.col("g").alias("g"),
             )
-        )
-        .alias("top3_char_frac_e6"),
-        qint(
-            F.col("covchars").cast("double")
-            / F.col("alpha_chars").cast("double")
-        ).alias("dup3_char_frac_e6"),
+        ).alias("b")
     )
+    duppos = (
+        c3.filter(F.col("c") >= 2)
+        .select("doc_id", F.explode("starts").alias("s"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("s"), F.col("s") + 2)).alias("p"),
+        )
+        .distinct()
+    )
+    toklen = base.selectExpr(
+        "doc_id", "posexplode(t) AS (p0, tok)"
+    ).select(
+        "doc_id", (F.col("p0") + 1).alias("p"), F.length("tok").alias("l")
+    )
+    cov = duppos.join(toklen, ["doc_id", "p"]).groupBy("doc_id").agg(
+        F.sum("l").alias("covchars")
+    )
+    out = (
+        base.join(top, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.when(F.col("b").isNull(), F.lit(0).cast("long"))
+            .otherwise(
+                qint(
+                    (F.lit(1_000_000) - F.col("b.negc"))
+                    * F.length("b.g")
+                    / F.col("total_chars").cast("double")
+                )
+            )
+            .alias("top3_char_frac_e6"),
+            qint(
+                F.coalesce(F.col("covchars"), F.lit(0)).cast("double")
+                / F.col("alpha_chars").cast("double")
+            ).alias("dup3_char_frac_e6"),
+        )
+    )
+    return out
 
 
 # --- x81: BPE merge-pair statistics + tokenizer trainer -------------------------

@@ -253,6 +253,34 @@ HEADLINERS = {
         "expansion is bounded by cap^2 per window; the per-doc size "
         "frame joins back on id_a as the provably-small side."
     ),
+    "x78_repetition_chars": (
+        "Gopher repetition battery: exploded codegen'd hash aggregates "
+        "keyed by doc_id/(doc_id,gram)/(doc_id,pos) — the per-row "
+        "nested-HOF formulation the oracle uses measured 14x slower on "
+        "Spark (lambdas are interpreted, outside codegen; BASELINE "
+        "round-8 note); all exchanges stay narrow at any corpus size."
+    ),
+    "x79_bloom_filter": (
+        "Portable Bloom sketch: bit_or word aggregation is map-side "
+        "combinable (2048-word fixed state); the sketch broadcasts to "
+        "the probe side — the semi-join-reduction shape that gates a "
+        "100 TB fact scan before its shuffle.  Build keys checkpoint "
+        "once and feed both the sketch and the exact flag."
+    ),
+    "x80_zorder_layout": (
+        "Z-order clustering: quantization and Morton interleave are "
+        "pure integer per-row arithmetic (scalar max broadcasts); one "
+        "aggregate yields the per-file min/max statistics that drive "
+        "two-dimensional file pruning (pytest proves the second-dim "
+        "pruning a 1-D sort cannot give)."
+    ),
+    "x82_sparse_text_topk": (
+        "Sparse retriever: hashed-TF postings materialize ONCE "
+        "(localCheckpoint — the persisted index at scale); the 3-query "
+        "posting slice broadcasts, so dot products only materialize on "
+        "shared features and the corpus never shuffles pairwise; "
+        "per-query top-k via partitioned window."
+    ),
 }
 
 

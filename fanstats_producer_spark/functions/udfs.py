@@ -185,3 +185,49 @@ def u07_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice"
     ).mapInArrow(quantize, "o_orderkey bigint, totalprice_e2 bigint")
+
+
+# --- u08: applyInArrow (grouped-map without pandas) -----------------------------
+# The grouped-map lane of the Arrow matrix: u03 is applyInPandas
+# (grouped Arrow->pandas crossing), u07 is ungrouped raw RecordBatches
+# — applyInArrow is grouped-map WITHOUT the pandas materialization:
+# each group arrives as a pyarrow.Table and pyarrow.compute does the
+# work columnar-side.  Per-group rollup (count + e2-quantized price
+# sum) is deliberately the kind of thing the JVM aggregate would do
+# natively; the key exists to pin the API surface and its exactness
+# contract (integer cents, so partial order can't matter).
+@query(
+    "u08_apply_in_arrow",
+    oracle="""
+    SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(o_totalprice AS DOUBLE) * 1e2 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS price_e2_sum
+    FROM orders GROUP BY 1
+    """,
+)
+def u08_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rollup(table):  # noqa: ANN001
+        price = pc.cast(table.column("o_totalprice"), pa.float64())
+        e2 = pc.cast(
+            pc.floor(pc.add(pc.multiply(price, 100.0), 0.5)), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array([table.column("o_orderstatus")[0].as_py()]),
+                pa.array([table.num_rows], pa.int64()),
+                pa.array([pc.sum(e2).as_py()], pa.int64()),
+            ],
+            names=["o_orderstatus", "n", "price_e2_sum"],
+        )
+
+    return (
+        load(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_totalprice")
+        .groupBy("o_orderstatus")
+        .applyInArrow(
+            rollup, "o_orderstatus string, n bigint, price_e2_sum bigint"
+        )
+    )

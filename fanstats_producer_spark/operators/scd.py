@@ -105,3 +105,86 @@ def q50_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_SCD2_EFF_DATE).cast("date").alias("eff_date"),
     )
     return scd2_merge(dim, updates, key="c_custkey", attr="segment")
+
+
+# --- q80: MERGE INTO (upsert + delete) as the portable join formulation ---------
+# The warehouse MERGE statement — WHEN MATCHED AND op='D' DELETE / WHEN
+# MATCHED AND op='U' UPDATE / WHEN NOT MATCHED INSERT — applied to a
+# deterministic CDC feed.  Spark's literal `MERGE INTO` needs a v2
+# transactional catalog (Delta/Iceberg); the PORTABLE formulation every
+# engine can run is ONE full-outer join on the key with the action
+# decided by CASE — same semantics, and the shape that scales: a
+# co-partitioned (or bucketed) equi-join on the merge key, no row-level
+# mutation.  The CDC feed here derives from the target by modulo
+# classes (exclusive by construction: deletes %97, else updates %10;
+# inserts are fresh keys +10M), so the operator is closed over the
+# fixture.  Balances ride as integer cents (floor(x*100+0.5)) so every
+# arithmetic action is exact on both engines.
+@query(
+    "q80_merge_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey AS k,
+             CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)
+               AS bal_e2
+      FROM customer),
+    src AS (
+      SELECT k, 'D' AS op, CAST(NULL AS BIGINT) AS new_bal_e2
+      FROM tgt WHERE k % 97 = 0
+      UNION ALL
+      SELECT k, 'U' AS op, bal_e2 + 10000 AS new_bal_e2
+      FROM tgt WHERE k % 97 != 0 AND k % 10 = 0
+      UNION ALL
+      SELECT k + 10000000 AS k, 'I' AS op, k * 100 AS new_bal_e2
+      FROM tgt WHERE k % 211 = 0)
+    SELECT COALESCE(t.k, s.k) AS c_custkey,
+           CASE WHEN s.op = 'U' THEN s.new_bal_e2
+                WHEN s.op = 'I' THEN s.new_bal_e2
+                ELSE t.bal_e2 END AS bal_e2,
+           CASE WHEN s.op IS NULL THEN 'keep'
+                WHEN s.op = 'D' THEN 'delete'
+                WHEN s.op = 'U' THEN 'update'
+                ELSE 'insert' END AS action
+    FROM tgt t FULL OUTER JOIN src s ON s.k = t.k
+    WHERE s.op IS NULL OR s.op != 'D'
+    """,
+)
+def q80_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tgt = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal").cast("double") * 100 + 0.5)
+        .cast("long")
+        .alias("bal_e2"),
+    )
+    # the CDC feed reads the target once (checkpoint the small frame)
+    tgt = tgt.localCheckpoint(eager=True)
+    src = (
+        tgt.filter(F.col("k") % 97 == 0)
+        .select("k", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_bal_e2"))
+        .unionByName(
+            tgt.filter((F.col("k") % 97 != 0) & (F.col("k") % 10 == 0)).select(
+                "k",
+                F.lit("U").alias("op"),
+                (F.col("bal_e2") + 10000).alias("new_bal_e2"),
+            )
+        )
+        .unionByName(
+            tgt.filter(F.col("k") % 211 == 0).select(
+                (F.col("k") + 10_000_000).alias("k"),
+                F.lit("I").alias("op"),
+                (F.col("k") * 100).alias("new_bal_e2"),
+            )
+        )
+    )
+    merged = tgt.join(src, "k", "full_outer").select(
+        F.col("k").alias("c_custkey"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_bal_e2"))
+        .otherwise(F.col("bal_e2"))
+        .alias("bal_e2"),
+        F.when(F.col("op").isNull(), "keep")
+        .when(F.col("op") == "D", "delete")
+        .when(F.col("op") == "U", "update")
+        .otherwise("insert")
+        .alias("action"),
+    )
+    return merged.filter(F.col("action") != "delete")

@@ -282,3 +282,80 @@ def x48_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy_e4"),
     )
+
+
+# --- x83: linear quality classifier (fasttext-style model filter) ---------------
+# The fourth member of the quality-filtering family: x40 is hand rules,
+# x30 is a unigram LM, x62 is importance reweighting — x83 is the
+# MODEL-based gate every production pipeline runs (CCNet/fastText-style
+# classifier scores deciding keep/drop).  The model here is a fixed
+# linear stand-in (production would load trained weights the same way:
+# a broadcast constant vector); what the operator demonstrates is the
+# SCALE shape of classifier filtering: features and logit are one
+# narrow per-doc projection + one (doc, token) aggregate, the decision
+# is taken on an INTEGER logit (milli-units, floor division) so
+# keep/drop is bit-exact on every engine — no sigmoid in the gate, as
+# sigmoid is monotone and the threshold is calibrated on the logit.
+# Weights calibrated to split the fixture ~50/50 (intercept = -840k
+# milli ≈ the fixture's median logit) so both branches stay exercised.
+_X83_W = {
+    "intercept_m": -840_000,
+    "wc": 2_000,  # longer docs score higher
+    "mwl_m": 100,  # mean word length (milli)
+    "uniq_m": 400,  # distinct-token ratio (milli)
+    "stop_hits": 50_000,  # stopword evidence
+}
+_X83_STOPS = ("the", "a", "of", "to", "and")
+
+
+@query(
+    "x83_quality_classifier",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split(text, ' ') AS t,
+             len(replace(text, ' ', '')) AS alpha
+      FROM documents),
+    f AS (
+      SELECT doc_id, len(t) AS wc,
+             alpha * 1000 // len(t) AS mwl_m,
+             len(list_distinct(t)) * 1000 // len(t) AS uniq_m,
+             len(list_intersect(t, {list(_X83_STOPS)!r})) AS stop_hits
+      FROM base)
+    SELECT doc_id,
+           CAST({_X83_W['intercept_m']}
+                + {_X83_W['wc']} * wc
+                + {_X83_W['mwl_m']} * mwl_m
+                + {_X83_W['uniq_m']} * uniq_m
+                + {_X83_W['stop_hits']} * stop_hits AS BIGINT) AS logit_m,
+           CAST({_X83_W['intercept_m']}
+                + {_X83_W['wc']} * wc
+                + {_X83_W['mwl_m']} * mwl_m
+                + {_X83_W['uniq_m']} * uniq_m
+                + {_X83_W['stop_hits']} * stop_hits >= 0 AS BOOLEAN)
+             AS keep
+    FROM f
+    """,
+)
+def x83_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    f = docs.selectExpr(
+        "doc_id",
+        "split(text, ' ') AS t",
+        "length(replace(text, ' ', '')) AS alpha",
+    ).selectExpr(
+        "doc_id",
+        "size(t) AS wc",
+        "alpha * 1000 DIV size(t) AS mwl_m",
+        "size(array_distinct(t)) * 1000 DIV size(t) AS uniq_m",
+        f"size(array_intersect(t, array{_X83_STOPS!r})) AS stop_hits",
+    )
+    logit = (
+        F.lit(_X83_W["intercept_m"])
+        + F.lit(_X83_W["wc"]) * F.col("wc")
+        + F.lit(_X83_W["mwl_m"]) * F.col("mwl_m")
+        + F.lit(_X83_W["uniq_m"]) * F.col("uniq_m")
+        + F.lit(_X83_W["stop_hits"]) * F.col("stop_hits")
+    ).cast("long")
+    return f.select(
+        "doc_id", logit.alias("logit_m"), (logit >= 0).alias("keep")
+    )

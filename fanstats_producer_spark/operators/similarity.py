@@ -1131,3 +1131,103 @@ def x82_sparse_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _X82_TOPK)
         .select("query_id", "cand_id", "cos_e6")
     )
+
+
+# --- x84: contrastive hard-negative mining --------------------------------------
+# Retrieval-training data prep: for each anchor query, the best
+# SAME-label neighbor (the positive) and the best DIFFERENT-label
+# neighbor (the HARD negative — the impostor closest to the anchor,
+# exactly what contrastive/triplet training wants in the batch) plus
+# the margin between them.  Negative margin = the impostor outranks the
+# positive: the classic hard case worth oversampling.  Plan shape is
+# x05's: the 3-row anchor set broadcasts with its labels, the corpus
+# streams once, and the per-(anchor, side) argmax is a composite-
+# integer MIN aggregate (quantized sim, id tie-break) — map-side
+# combinable, no window over the corpus-sized frame.
+_X84_QUERIES = 3
+
+
+@query(
+    "x84_hard_negatives",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+          FROM e WHERE vec_id >= 16 AND vec_id < {16 + _X84_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS cand_id,
+             CAST(floor(list_cosine_similarity(q.qv, e.v) * 1e6 + 0.5)
+                  AS BIGINT) AS sim_e6,
+             CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS same
+      FROM q JOIN e ON e.vec_id != q.query_id),
+    best AS (
+      SELECT query_id, same,
+             MIN((1000000 - sim_e6) * 10000000000 + cand_id) AS bkey
+      FROM scored GROUP BY 1, 2)
+    SELECT b1.query_id,
+           CAST(b1.bkey % 10000000000 AS BIGINT) AS pos_id,
+           CAST(1000000 - b1.bkey // 10000000000 AS BIGINT) AS pos_sim_e6,
+           CAST(b0.bkey % 10000000000 AS BIGINT) AS neg_id,
+           CAST(1000000 - b0.bkey // 10000000000 AS BIGINT) AS neg_sim_e6,
+           CAST((1000000 - b1.bkey // 10000000000)
+                - (1000000 - b0.bkey // 10000000000) AS BIGINT) AS margin_e6
+    FROM best b1 JOIN best b0 USING (query_id)
+    WHERE b1.same = 1 AND b0.same = 0
+    """,
+)
+def x84_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    base = emb.select("vec_id", "label", _as_double(F.col("embedding")).alias("v"))
+    q = base.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") < 16 + _X84_QUERIES)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            qint(cosine(F.col("qv"), F.col("v"))).alias("sim_e6"),
+            F.when(F.col("label") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("same"),
+        )
+    )
+    best = scored.groupBy("query_id", "same").agg(
+        F.min(
+            # 1e10 id headroom: composite stays < 2e16 << LONG_MAX even
+            # with negative cosines, and survives 10^10-vector corpora
+            (F.lit(1_000_000) - F.col("sim_e6")) * F.lit(10_000_000_000)
+            + F.col("cand_id")
+        ).alias("bkey")
+    )
+    b1 = best.filter(F.col("same") == 1).select(
+        "query_id",
+        (F.col("bkey") % 10_000_000_000).cast("long").alias("pos_id"),
+        (F.lit(1_000_000) - F.expr("bkey DIV 10000000000"))
+        .cast("long")
+        .alias("pos_sim_e6"),
+    )
+    b0 = best.filter(F.col("same") == 0).select(
+        "query_id",
+        (F.col("bkey") % 10_000_000_000).cast("long").alias("neg_id"),
+        (F.lit(1_000_000) - F.expr("bkey DIV 10000000000"))
+        .cast("long")
+        .alias("neg_sim_e6"),
+    )
+    return (
+        b1.join(b0, "query_id")
+        .select(
+            "query_id",
+            "pos_id",
+            "pos_sim_e6",
+            "neg_id",
+            "neg_sim_e6",
+            (F.col("pos_sim_e6") - F.col("neg_sim_e6"))
+            .cast("long")
+            .alias("margin_e6"),
+        )
+    )

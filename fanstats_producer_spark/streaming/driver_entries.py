@@ -1256,3 +1256,67 @@ def s23_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "s24_stream_contamination_gate",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 3, 1)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+                    || toks[i+3] || ' ' || toks[i+4])) AS shingles
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)),
+    ev AS (
+      SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+      WHERE doc_id % 50 = 0),
+    cnt AS (
+      SELECT p.doc_id, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(shingles) AS shingle FROM sh) p
+      JOIN ev USING (shingle)
+      GROUP BY 1)
+    SELECT s.doc_id
+    FROM sh s LEFT JOIN cnt c ON c.doc_id = s.doc_id
+    WHERE COALESCE(c.n, 0) < 3
+    """,
+)
+def s24_stream_contamination_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """s24: benchmark-decontamination running ON THE INGEST STREAM —
+    the apply-side arm of x27 (same 5-gram/min-shared-3 contract)
+    filtering documents as they arrive, before they ever land in the
+    training corpus.  The eval suite's distinct shingles collect once
+    (benchmark-sized by construction) and broadcast inside the gate's
+    array_intersect; the gate itself is STATELESS row logic, so
+    verdicts are batch-slicing-invariant and the batch oracle needs no
+    drain precondition (contrast s22).  Eval-slice docs flag
+    themselves (they share all their own shingles) — the stream drops
+    them along with contaminated training docs, which is the correct
+    production behavior: nothing from the benchmark enters the mix."""
+    from fanstats_producer_spark.io import load as _load
+    from fanstats_producer_spark.operators.llm_data import (
+        contamination_gate,
+        eval_shingle_set,
+    )
+
+    ev_docs = _load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+    shingles = eval_shingle_set(ev_docs)
+    landing = _doc_landing(spark, sf_dir)  # shared, read-only
+    stream = jobs.read_document_stream(spark, landing)
+    name = f"s24_mem_{uuid.uuid4().hex[:8]}"
+    with _few_partitions(spark), _skip_nodata_batch(spark):
+        q = (
+            contamination_gate(stream, shingles)
+            .select("doc_id")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    return spark.table(name).select("doc_id").localCheckpoint(eager=True)

@@ -632,24 +632,42 @@ def contamination_gate(
     min_shared: int = 3,
     text_col: str = "text",
 ) -> DataFrame:
-    ev = F.array(*[F.lit(s) for s in sorted(set(eval_shingles))])
-    sh = with_shingles(docs, text_col=text_col, k=k)
-    n_shared = F.size(F.array_intersect(F.col("shingles"), ev))
-    return sh.filter(n_shared < min_shared).drop("shingles")
+    """Drop docs sharing >= min_shared distinct k-grams with the eval
+    suite.  The eval set rides as DATA in a one-row broadcast frame
+    (stream-static cross join), NOT as an array literal: a literal
+    grows the expression tree by one node per shingle — measured 8.2 s
+    at a 9k-shingle suite (sf0.1) purely in plan compilation, and a
+    real benchmark suite would be far larger.  As data, the array is a
+    single broadcast value and array_intersect hashes it per batch.
+    Stateless row logic either way: works identically on batch frames
+    and inside streaming micro-batches."""
+    spark = docs.sparkSession
+    ev_df = spark.createDataFrame(
+        [(sorted(set(eval_shingles)),)], "ev_shingles array<string>"
+    )
+    sh = with_shingles(docs, text_col=text_col, k=k).crossJoin(
+        F.broadcast(ev_df)
+    )
+    n_shared = F.size(
+        F.array_intersect(F.col("shingles"), F.col("ev_shingles"))
+    )
+    return sh.filter(n_shared < min_shared).drop("shingles", "ev_shingles")
 
 
 def eval_shingle_set(
     docs: DataFrame, k: int = 5, text_col: str = "text"
 ) -> list[str]:
     """Collect the benchmark side's distinct shingles (driver-side: the
-    eval suite is small by construction)."""
+    eval suite is small by construction).  One narrow job — the per-doc
+    shingle arrays come back whole and dedup in Python; the previous
+    explode+distinct paid a full shuffle round-trip (~1.5 s of the s24
+    drain) to dedup a benchmark-sized set."""
     rows = (
         with_shingles(docs, text_col=text_col, k=k)
-        .select(F.explode("shingles").alias("s"))
-        .distinct()
+        .select("shingles")
         .collect()
     )
-    return [r.s for r in rows]
+    return sorted({s for r in rows for s in r.shingles})
 
 
 # --- x43: CCNet-style perplexity bucketing ---------------------------------------

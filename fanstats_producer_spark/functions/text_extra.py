@@ -265,3 +265,63 @@ def x77_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_types"),
         F.floor(num / den * 1e6 + 0.5).cast("long").alias("slope_e6"),
     )
+
+
+# --- x85: l-diversity release audit ----------------------------------------------
+# k-anonymity (x69) bounds group SIZE; it does not stop attribute
+# disclosure — a group of 50 people who all share one sensitive value
+# still leaks that value for every member.  l-diversity additionally
+# requires each quasi-identifier group to contain at least l DISTINCT
+# sensitive values (Machanavajjhala et al. 2007, public).  Sensitive
+# attribute here: the account-balance sign/band (a stand-in for any
+# sensitive column); same plan shape as x69 — broadcast dim, ONE
+# aggregation with a distinct count inside, output bounded by the QI
+# domain.  A release pipeline generalizes or suppresses groups failing
+# EITHER gate, so the two keys together are the audit pair.
+_X85_L = 3
+
+
+@query(
+    "x85_l_diversity",
+    oracle=f"""
+    WITH base AS (
+      SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+             CASE WHEN c.c_acctbal < 0 THEN 'neg'
+                  WHEN c.c_acctbal < 5000 THEN 'mid'
+                  ELSE 'high' END AS sens
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    grp AS (
+      SELECT nation, segment, COUNT(*) AS group_size,
+             COUNT(DISTINCT sens) AS l_distinct
+      FROM base GROUP BY 1, 2)
+    SELECT nation, segment, group_size, l_distinct,
+           CAST(l_distinct < {_X85_L} AS INT) AS violates_l
+    FROM grp
+    """,
+)
+def x85_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fanstats_producer_spark.io import load
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    sens = (
+        F.when(F.col("c_acctbal") < 0, "neg")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        sens.alias("sens"),
+    )
+    grp = base.groupBy("nation", "segment").agg(
+        F.count("*").alias("group_size"),
+        F.countDistinct("sens").alias("l_distinct"),
+    )
+    return grp.select(
+        "nation",
+        "segment",
+        "group_size",
+        "l_distinct",
+        (F.col("l_distinct") < _X85_L).cast("int").alias("violates_l"),
+    )

@@ -1436,3 +1436,107 @@ def bpe_encode(
     return df.withColumn("bpe_tokens", _encode(F.col(col))).withColumn(
         "n_bpe_tokens", F.size("bpe_tokens")
     )
+
+
+# --- x86: temperature-based source mixing ---------------------------------------
+# The mixing rule multilingual/multi-source training actually uses
+# (public: multilingual BERT / XLM-R sampling): sample source s with
+# probability ∝ n_s^α, α<1 flattening the head so small sources are
+# not drowned.  x29 applies FIXED per-source rates; x86 derives the
+# rates from the live source sizes at temperature α=0.5 and a total
+# budget of half the corpus.  Every number the selection depends on is
+# integer-exact across engines: sqrt(n) is e6-quantized per source
+# BEFORE the share sum (exact BIGINT), targets are floor(p*budget+0.5),
+# and the per-source keep threshold is integer division
+# (target*1000) // n capped at 1000 — so the md5-bucket selection is
+# bit-reproducible anywhere.  Plan: one tiny per-source aggregate,
+# rates broadcast back, selection is a scan-side filter (the x29
+# no-shuffle property), one aggregate proves the realized counts.
+_X86_BUCKETS = 1000
+
+
+@query(
+    "x86_temperature_mix",
+    oracle=f"""
+    WITH n AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    w AS (
+      SELECT source, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5)
+                  AS BIGINT) AS w_e6
+      FROM n),
+    tot AS (
+      SELECT SUM(w_e6) AS tw, SUM(n_docs) AS total FROM w),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(floor(CAST(w_e6 AS DOUBLE) / tw
+                        * (total // 2) + 0.5) AS BIGINT) AS target,
+             LEAST(CAST(floor(CAST(w_e6 AS DOUBLE) / tw * (total // 2)
+                              + 0.5) AS BIGINT) * {_X86_BUCKETS} // n_docs,
+                   {_X86_BUCKETS}) AS keep_buckets
+      FROM w CROSS JOIN tot),
+    kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r USING (source)
+      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % {_X86_BUCKETS} < r.keep_buckets
+      GROUP BY 1)
+    SELECT r.source, r.n_docs, r.target, r.keep_buckets,
+           COALESCE(k.n_kept, 0) AS n_kept
+    FROM rates r LEFT JOIN kept k ON k.source = r.source
+    """,
+)
+def x86_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w = n.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6 + 0.5)
+        .cast("long")
+        .alias("w_e6"),
+    )
+    tot = w.agg(
+        F.sum("w_e6").alias("tw"), F.sum("n_docs").alias("total")
+    )
+    target = F.floor(
+        F.col("w_e6").cast("double")
+        / F.col("tw")
+        * F.expr("total DIV 2")
+        + 0.5
+    ).cast("long")
+    rates = (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            target.alias("target"),
+            F.least(
+                F.expr(
+                    f"CAST(floor(CAST(w_e6 AS DOUBLE) / tw * (total DIV 2)"
+                    f" + 0.5) AS BIGINT) * {_X86_BUCKETS} DIV n_docs"
+                ),
+                F.lit(_X86_BUCKETS).cast("long"),
+            ).alias("keep_buckets"),
+        )
+        .localCheckpoint(eager=True)  # selection + summary reuse
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(
+            hash_bucket(F.col("doc_id"), _X86_BUCKETS)
+            < F.col("keep_buckets")
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "target",
+            "keep_buckets",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

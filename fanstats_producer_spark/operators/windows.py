@@ -273,3 +273,39 @@ def q54_ntile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_acctbal").cast("double").alias("lo"),
         F.max("c_acctbal").cast("double").alias("hi"),
     )
+
+
+# --- q81: running COUNT(DISTINCT) over an ordered window ------------------------
+# The one windowed aggregate ANSI engines support that Spark's
+# WindowExec does NOT take directly: COUNT(DISTINCT x) OVER (ORDER BY
+# ...).  The Spark-native formulation is size(collect_set(x) OVER w) —
+# same semantics, and the set state is bounded by the DISTINCT domain
+# (event types here), not the frame length, so the translation is safe
+# exactly when the distinct domain is small (the usual case for a
+# "how many distinct actions so far" product metric).  Partitioned by
+# user, ordered by (ts, event_id) for a total order within each key —
+# no global sort, no single-partition window.  Output bounded to the
+# 5%-user slice so the parity check stays small at every SF.
+@query(
+    "q81_window_distinct",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS distinct_types_so_far
+    FROM events WHERE user_id % 20 = 0
+    """,
+)
+def q81_window_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    return ev.selectExpr(
+        "event_id",
+        "user_id",
+        "size(collect_set(event_type) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND"
+        " CURRENT ROW)) AS distinct_types_so_far",
+    ).withColumn(
+        "distinct_types_so_far",
+        F.col("distinct_types_so_far").cast("long"),
+    )

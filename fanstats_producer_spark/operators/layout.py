@@ -106,7 +106,7 @@ def q40_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The operator reports the layout quality evidence itself: per-file row
 # counts and per-dimension min/max spans (what a format's file-statistics
 # footer would hold).  Everything is integer arithmetic — quantization is
-# (v * 256) DIV (max+1), bit interleave is unrolled add/div/mod — so both
+# (v * 2^bits) DIV (max+1), bit interleave is unrolled add/div/mod — so both
 # engines state identical codes.
 _X80_BITS = 8  # per-dimension quantization bits
 _X80_FILES = 64
@@ -134,13 +134,13 @@ def _morton_expr(qx: str, qy: str, intdiv: str) -> str:
       SELECT MAX(l_partkey) AS mpk, MAX(l_suppkey) AS msk FROM lineitem),
     q AS (
       SELECT l_partkey, l_suppkey,
-             (l_partkey * 256) // (mpk + 1) AS qx,
-             (l_suppkey * 256) // (msk + 1) AS qy
+             (l_partkey * {1 << _X80_BITS}) // (mpk + 1) AS qx,
+             (l_suppkey * {1 << _X80_BITS}) // (msk + 1) AS qy
       FROM lineitem CROSS JOIN mx),
     coded AS (
       SELECT l_partkey, l_suppkey,
              ({_morton_expr('qx', 'qy', '//')})
-               // {65536 // _X80_FILES} AS file_id
+               // {(1 << (2 * _X80_BITS)) // _X80_FILES} AS file_id
       FROM q)
     SELECT file_id, COUNT(*) AS cnt,
            MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
@@ -157,13 +157,13 @@ def x80_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = q.selectExpr(
         "l_partkey",
         "l_suppkey",
-        "(l_partkey * 256) DIV (mpk + 1) AS qx",
-        "(l_suppkey * 256) DIV (msk + 1) AS qy",
+        f"(l_partkey * {1 << _X80_BITS}) DIV (mpk + 1) AS qx",
+        f"(l_suppkey * {1 << _X80_BITS}) DIV (msk + 1) AS qy",
     ).selectExpr(
         "l_partkey",
         "l_suppkey",
         f"({_morton_expr('qx', 'qy', 'DIV')})"
-        f" DIV {65536 // _X80_FILES} AS file_id",
+        f" DIV {(1 << (2 * _X80_BITS)) // _X80_FILES} AS file_id",
     )
     return coded.groupBy("file_id").agg(
         F.count("*").alias("cnt"),

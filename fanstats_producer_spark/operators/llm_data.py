@@ -621,10 +621,10 @@ def x35_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingle the document, intersect with the benchmark shingle set, drop on
 # >= min_shared overlap — so the SAME function body runs in a batch job
 # and inside a Structured Streaming micro-batch with append output (the
-# s12 one-codepath pattern).  The benchmark set rides along as an array
-# literal here (benchmark suites are small); at a scale where that
-# bloats the plan, swap the intersect for a broadcast left-anti join on
-# exploded shingles — semantics unchanged, still stream-safe.
+# s12 one-codepath pattern).  The benchmark set rides along as DATA in
+# a one-row broadcast frame — NOT as an array literal, which grows the
+# plan by one expression node per shingle (measured: seconds of pure
+# plan compilation at a 9k-shingle suite; see the docstring below).
 def contamination_gate(
     docs: DataFrame,
     eval_shingles: list[str],
@@ -1428,9 +1428,9 @@ def bpe_encode(
             return got
 
         return texts.map(
-            lambda t: [
-                tok for w in t.split(" ") if w for tok in seg_word(w)
-            ]
+            lambda t: []
+            if t is None
+            else [tok for w in t.split(" ") if w for tok in seg_word(w)]
         )
 
     return df.withColumn("bpe_tokens", _encode(F.col(col))).withColumn(
@@ -1467,14 +1467,16 @@ _X86_BUCKETS = 1000
       FROM n),
     tot AS (
       SELECT SUM(w_e6) AS tw, SUM(n_docs) AS total FROM w),
-    rates AS (
+    t AS (
       SELECT source, n_docs,
              CAST(floor(CAST(w_e6 AS DOUBLE) / tw
-                        * (total // 2) + 0.5) AS BIGINT) AS target,
-             LEAST(CAST(floor(CAST(w_e6 AS DOUBLE) / tw * (total // 2)
-                              + 0.5) AS BIGINT) * {_X86_BUCKETS} // n_docs,
-                   {_X86_BUCKETS}) AS keep_buckets
+                        * (total // 2) + 0.5) AS BIGINT) AS target
       FROM w CROSS JOIN tot),
+    rates AS (
+      SELECT source, n_docs, target,
+             LEAST(target * {_X86_BUCKETS} // n_docs,
+                   {_X86_BUCKETS}) AS keep_buckets
+      FROM t),
     kept AS (
       SELECT d.source, COUNT(*) AS n_kept
       FROM documents d JOIN rates r USING (source)
@@ -1507,15 +1509,15 @@ def x86_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     rates = (
         w.crossJoin(F.broadcast(tot))
+        .select("source", "n_docs", target.alias("target"))
+        # keep_buckets derives from the PUBLISHED target column, so the
+        # reported target and the applied rate can never drift apart
         .select(
             "source",
             "n_docs",
-            target.alias("target"),
+            "target",
             F.least(
-                F.expr(
-                    f"CAST(floor(CAST(w_e6 AS DOUBLE) / tw * (total DIV 2)"
-                    f" + 0.5) AS BIGINT) * {_X86_BUCKETS} DIV n_docs"
-                ),
+                F.expr(f"target * {_X86_BUCKETS} DIV n_docs"),
                 F.lit(_X86_BUCKETS).cast("long"),
             ).alias("keep_buckets"),
         )

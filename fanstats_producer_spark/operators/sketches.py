@@ -160,24 +160,7 @@ def bloom_build(keys: DataFrame, col: str) -> DataFrame:
         F.col(col).alias("k"),
     )
     return (
-        hashed.select(
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                ":", F.col("k").cast("string"), F.col("j")
-                            )
-                        ),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _X79_M
-            ).alias("bit")
-        )
+        hashed.select(_bloom_bit(F.col("k"), F.col("j")).alias("bit"))
         .select(
             F.expr(f"bit DIV {_X79_W}").alias("word"),
             F.expr(f"shiftleft(1L, cast(bit % {_X79_W} as int))").alias(
@@ -191,8 +174,23 @@ def bloom_build(keys: DataFrame, col: str) -> DataFrame:
 
 _X79_SQL_BIT = (
     "CAST(('0x' || substr(md5(CAST({key} AS VARCHAR) || ':' ||"
-    " CAST({j} AS VARCHAR)), 1, 15)) AS BIGINT) % 65536"
+    " CAST({j} AS VARCHAR)), 1, 15)) AS BIGINT) % {m}"
 )
+
+
+def _bloom_bit(key, j):
+    """Spark mirror of _X79_SQL_BIT: bit position of hash j for a key
+    column (reads _X79_M at call time so tests can shrink m)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", key.cast("string"), j)), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _X79_M
+    )
 
 
 @query(
@@ -201,7 +199,7 @@ _X79_SQL_BIT = (
     WITH build AS (
       SELECT DISTINCT l_partkey AS k FROM lineitem WHERE l_quantity >= 49),
     bits AS (
-      SELECT {_X79_SQL_BIT.format(key='k', j='j')} AS bit
+      SELECT {_X79_SQL_BIT.format(key='k', j='j', m=_X79_M)} AS bit
       FROM build CROSS JOIN range({_X79_K}) AS t(j)),
     sketch AS (
       SELECT bit // {_X79_W} AS word,
@@ -209,7 +207,7 @@ _X79_SQL_BIT = (
       FROM bits GROUP BY 1),
     probe AS (
       SELECT p.p_partkey,
-             {_X79_SQL_BIT.format(key='p.p_partkey', j='j')} AS bit
+             {_X79_SQL_BIT.format(key='p.p_partkey', j='j', m=_X79_M)} AS bit
       FROM part p CROSS JOIN range({_X79_K}) AS t(j)),
     hits AS (
       SELECT pr.p_partkey,
@@ -244,22 +242,7 @@ def x79_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array(*[F.lit(j) for j in range(_X79_K)])).alias("j"),
     ).select(
         "p_partkey",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":", F.col("p_partkey").cast("string"), F.col("j")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % _X79_M
-        ).alias("bit"),
+        _bloom_bit(F.col("p_partkey"), F.col("j")).alias("bit"),
     )
     hits = (
         probe.join(

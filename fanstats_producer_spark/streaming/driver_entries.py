@@ -1160,7 +1160,10 @@ def s22_stream_verified_near_dup(
             data_batches = [
                 p for p in q.recentProgress if p["numInputRows"] > 0
             ]
-            if len(data_batches) != 1:
+            if len(data_batches) > 1:
+                # 0 data batches (empty landing) is trivially
+                # oracle-consistent — only a SPLIT drain breaks the
+                # bucket-minimum == first-arrival equivalence
                 raise AssertionError(
                     "s22 oracle assumes a single-batch drain (partner ="
                     " global bucket minimum == first-arrival verdict);"

@@ -792,9 +792,16 @@ def streaming_psi_drift(
     continuously against a static reference distribution.
 
     State is the cumulative (event_type, bucket) live histogram: plain
-    integer counts merged per batch (staged/retired rename promote, same
-    crash protocol as s21), so state size is |types x buckets| —
-    corpus-length-independent — and the merge is a commutative sum.
+    integer counts merged per batch (staged/retired rename promote), so
+    state size is |types x buckets| — corpus-length-independent — and
+    the merge is a commutative sum.  A SUM merge is NOT replay-
+    idempotent the way s21's per-bucket MIN is: if the driver dies
+    after the state promote but before the checkpoint commits the
+    batch, restart replays it and would double-count.  The promote
+    therefore carries a `_BATCH` marker (last merged batch id, written
+    into the staged dir before the rename so it promotes atomically
+    with the data); a replayed batch matches the marker and skips the
+    re-merge, recomputing only the idempotent monitor overwrite.
     That commutativity gives s23 a property the dedup streams lack: the
     final monitor is BATCH-PARTITION-INVARIANT (any maxFilesPerTrigger
     slicing converges to the same table, pytest-pinned), because PSI is
@@ -814,8 +821,12 @@ def streaming_psi_drift(
     def _recover() -> None:
         if os.path.isdir(state_dir):
             return
-        if os.path.isdir(staged) and os.path.exists(
-            os.path.join(staged, "_SUCCESS")
+        if (
+            os.path.isdir(staged)
+            and os.path.exists(os.path.join(staged, "_SUCCESS"))
+            # without the batch marker the staged dir predates the
+            # marker write — promoting it would lose replay detection
+            and os.path.exists(os.path.join(staged, "_BATCH"))
         ):
             os.rename(staged, state_dir)
         elif os.path.isdir(retired):
@@ -826,24 +837,41 @@ def streaming_psi_drift(
         F.floor(F.col("value") / bucket_width).cast("long").alias("bucket"),
     )
 
+    def _last_merged(d: str) -> int:
+        try:
+            with open(os.path.join(d, "_BATCH")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover()
-        batch_counts = batch_df.groupBy("event_type", "bucket").agg(
-            F.count("*").alias("n_live")
+        already_merged = (
+            os.path.isdir(state_dir) and _last_merged(state_dir) == batch_id
         )
-        if os.path.isdir(state_dir):
-            current = spark.read.parquet(state_dir)
-            combined = (
-                current.unionByName(batch_counts)
-                .groupBy("event_type", "bucket")
-                .agg(F.sum("n_live").cast("long").alias("n_live"))
+        if already_merged:
+            # crash-window replay: counts are in the state already —
+            # only the (idempotent) monitor overwrite below re-runs
+            combined = spark.read.parquet(state_dir).localCheckpoint(
+                eager=True
             )
         else:
-            combined = batch_counts.withColumn(
-                "n_live", F.col("n_live").cast("long")
+            batch_counts = batch_df.groupBy("event_type", "bucket").agg(
+                F.count("*").alias("n_live")
             )
-        combined = combined.localCheckpoint(eager=True)  # monitor + promote
+            if os.path.isdir(state_dir):
+                current = spark.read.parquet(state_dir)
+                combined = (
+                    current.unionByName(batch_counts)
+                    .groupBy("event_type", "bucket")
+                    .agg(F.sum("n_live").cast("long").alias("n_live"))
+                )
+            else:
+                combined = batch_counts.withColumn(
+                    "n_live", F.col("n_live").cast("long")
+                )
+            combined = combined.localCheckpoint(eager=True)
         counts = (
             ref_counts.select(
                 "event_type",
@@ -894,12 +922,17 @@ def streaming_psi_drift(
             )
         )
         monitor.write.mode("overwrite").parquet(monitor_dir)
-        combined.write.mode("overwrite").parquet(staged)
-        shutil.rmtree(retired, ignore_errors=True)
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, retired)
-        os.rename(staged, state_dir)
-        shutil.rmtree(retired, ignore_errors=True)
+        if not already_merged:
+            combined.write.mode("overwrite").parquet(staged)
+            # marker promotes atomically with the data (underscore
+            # prefix: invisible to the parquet reader)
+            with open(os.path.join(staged, "_BATCH"), "w") as f:
+                f.write(str(batch_id))
+            shutil.rmtree(retired, ignore_errors=True)
+            if os.path.isdir(state_dir):
+                os.rename(state_dir, retired)
+            os.rename(staged, state_dir)
+            shutil.rmtree(retired, ignore_errors=True)
 
     return (
         bucketed.writeStream.foreachBatch(merge)

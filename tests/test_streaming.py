@@ -1342,3 +1342,61 @@ def test_s23_psi_monitor_batch_partition_invariant(spark, tmp_path):
     single = _run("one", 1, None)
     sliced = _run("many", 4, 1)
     assert single == sliced
+
+
+def test_s23_replay_does_not_double_count(spark, tmp_path):
+    """Crash-window replay: a fresh checkpoint over the same landing
+    re-delivers batch 0 against the already-promoted state; the _BATCH
+    marker must make the re-merge a no-op (sum state would otherwise
+    double every count)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from fanstats_producer_spark.streaming import jobs
+
+    rows = [
+        {
+            "event_id": i,
+            "ts": f"2024-01-01T10:{i % 60:02d}:00Z",
+            "user_id": i,
+            "event_type": "click",
+            "value": float(i % 40),
+            "props": "{}",
+        }
+        for i in range(100)
+    ]
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "b0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    ref = spark.createDataFrame(
+        [("click", 0)], "event_type string, bucket long"
+    ).groupBy("event_type", "bucket").agg(F.lit(5).alias("n_ref"))
+
+    def _drain(ckpt_name):
+        src = spark.readStream.schema(jobs.EVENT_SCHEMA).json(str(landing))
+        q = jobs.streaming_psi_drift(
+            src,
+            ref,
+            str(tmp_path / "state"),
+            str(tmp_path / "monitor"),
+            str(tmp_path / ckpt_name),
+        )
+        q.awaitTermination(120)
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(str(tmp_path / "monitor")).collect()
+        )
+
+    first = _drain("ckpt1")
+    # fresh checkpoint -> Structured Streaming replays the same file as
+    # batch 0 against the promoted state: the marker must absorb it
+    replayed = _drain("ckpt2")
+    assert first == replayed
+    state = {
+        (r["event_type"], r["bucket"]): r["n_live"]
+        for r in spark.read.parquet(str(tmp_path / "state")).collect()
+    }
+    assert sum(state.values()) == 100  # not 200

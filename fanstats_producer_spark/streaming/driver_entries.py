@@ -1323,3 +1323,86 @@ def s24_stream_contamination_gate(
         )
         _drain(q)
     return spark.table(name).select("doc_id").localCheckpoint(eager=True)
+
+
+@query(
+    "s25_stream_bloom_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, md5(text) AS digest, doc_id % 2 AS half
+      FROM documents),
+    bits AS (
+      SELECT doc_id, half,
+             CAST(('0x' || substr(md5(digest || ':' ||
+               CAST(j AS VARCHAR)), 1, 15)) AS BIGINT) % 65536 AS bit
+      FROM d CROSS JOIN range(4) AS t(j)),
+    abits AS (
+      SELECT DISTINCT bit FROM bits WHERE half = 0)
+    SELECT b.doc_id,
+           CAST(CASE WHEN b.half = 1 AND
+                          COUNT(*) FILTER (a.bit IS NOT NULL) = 4
+                     THEN 1 ELSE 0 END AS INT) AS is_dup
+    FROM bits b LEFT JOIN abits a ON a.bit = b.bit
+    GROUP BY b.doc_id, b.half
+    """,
+)
+def s25_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s25: CONSTANT-state approximate dedup on the ingest stream —
+    jobs.streaming_bloom_dedup maintaining the x79 Bloom sketch online.
+    Two micro-batches by doc_id parity (maxFilesPerTrigger=1, distinct
+    mtimes): batch A seeds the sketch, batch B's docs flag iff all 4 of
+    their content-digest bit positions were set by batch A — true
+    duplicates AND any Bloom false positives alike, and the oracle
+    reproduces both exactly because the bit arithmetic is engine-
+    portable.  At sf0.1 the four flagged docs are all TRUE cross-half
+    exact duplicates (the corpus plants them) and the FP count is 0,
+    matching the (1-e^{-kn/m})^k ≈ 4e-4 expectation at n=2.5k — the
+    number a capacity planner reads off before sizing m."""
+    import json as _json
+    import os
+    import shutil
+
+    from fanstats_producer_spark.io import load as _load
+
+    work = tempfile.mkdtemp(prefix="s25_work_")
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .select("doc_id", "text", "lang")
+        .collect()
+    )
+    for half, fname, mtime in ((0, "a.json", 1_000_000_000), (1, "b.json", 1_000_000_100)):
+        with open(os.path.join(landing, fname), "w") as f:
+            for r in docs:
+                if r.doc_id % 2 == half:
+                    f.write(
+                        _json.dumps(
+                            {
+                                "doc_id": r.doc_id,
+                                "ts": "2024-01-01T00:00:00Z",
+                                "text": r.text,
+                                "lang": r.lang,
+                            }
+                        )
+                        + "\n"
+                    )
+        os.utime(os.path.join(landing, fname), (mtime, mtime))
+    state_dir = os.path.join(work, "state")
+    verdict_dir = os.path.join(work, "verdicts")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        stream = (
+            spark.readStream.schema(jobs.DOCUMENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(landing)
+        )
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_bloom_dedup(
+                stream, state_dir, verdict_dir, ckpt
+            )
+            _drain(q)
+        out = spark.read.parquet(verdict_dir).select("doc_id", "is_dup")
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -940,3 +940,108 @@ def streaming_psi_drift(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_bloom_dedup(
+    docs: DataFrame,
+    state_dir: str,
+    verdict_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """s25: approximate streaming dedup with CONSTANT state — the x79
+    Bloom sketch maintained online.  Every exact streaming dedup
+    (s06/s11/s21) keeps state proportional to distinct content; at
+    100 TB/day that index eventually doesn't fit anywhere.  The Bloom
+    arm fixes state at m bits FOREVER and accepts a quantified false-
+    positive rate (drops a small amount of novel content) in exchange —
+    the classic bounded-memory trade, stated here at batch granularity:
+    a doc is flagged iff ALL k bit positions of its content digest were
+    set by PRIOR batches (within-batch duplicates pass; the next batch
+    catches them).  The state merge is bit_or — IDEMPOTENT under
+    checkpoint replay (re-OR of the same bits is a no-op), so unlike
+    s23's sum no batch marker is needed; verdicts are batch-stamped
+    overwrites.  Uses x79's portable md5 bit positions (sketches._X79_M
+    bits, _X79_K hashes), so a filter built by this stream can gate any
+    engine's batch scan."""
+    import os
+    import shutil
+
+    from fanstats_producer_spark.operators.sketches import (
+        _X79_K,
+        _X79_W,
+        _bloom_bit,
+    )
+
+    staged = state_dir.rstrip("/") + ".staged"
+    retired = state_dir.rstrip("/") + ".retired"
+
+    def _recover() -> None:
+        if os.path.isdir(state_dir):
+            return
+        if os.path.isdir(staged) and os.path.exists(
+            os.path.join(staged, "_SUCCESS")
+        ):
+            os.rename(staged, state_dir)
+        elif os.path.isdir(retired):
+            os.rename(retired, state_dir)
+
+    hashed = docs.withColumn("digest", F.md5("text"))
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        _recover()
+        batch = batch_df.localCheckpoint(eager=True)
+        bits = batch.select(
+            "doc_id",
+            "digest",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(_X79_K)])
+            ).alias("j"),
+        ).select(
+            "doc_id", _bloom_bit(F.col("digest"), F.col("j")).alias("bit")
+        )
+        # verdict against the PRIOR state only
+        bits = bits.select(
+            "doc_id",
+            F.expr(f"bit DIV {_X79_W}").alias("word"),
+            F.expr(f"shiftleft(1L, cast(bit % {_X79_W} as int))").alias(
+                "mask"
+            ),
+        ).localCheckpoint(eager=True)
+        if os.path.isdir(state_dir):
+            prior = spark.read.parquet(state_dir)
+        else:
+            prior = spark.createDataFrame([], "word long, bits long")
+        hits = bits.join(F.broadcast(prior), "word", "left").select(
+            "doc_id",
+            (
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(F.col("mask")) != 0)
+            ).alias("hit"),
+        )
+        verdicts = hits.groupBy("doc_id").agg(
+            F.min(F.col("hit").cast("int")).cast("int").alias("is_dup")
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verdict_dir, f"batch={batch_id}")
+        )
+        # fold this batch's bits into the sketch (idempotent bit_or)
+        batch_words = bits.groupBy("word").agg(F.bit_or("mask").alias("bits"))
+        combined = (
+            prior.unionByName(batch_words)
+            .groupBy("word")
+            .agg(F.bit_or("bits").alias("bits"))
+        ).localCheckpoint(eager=True)
+        combined.write.mode("overwrite").parquet(staged)
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, retired)
+        os.rename(staged, state_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+
+    return (
+        hashed.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

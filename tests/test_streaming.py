@@ -1400,3 +1400,61 @@ def test_s23_replay_does_not_double_count(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "state")).collect()
     }
     assert sum(state.values()) == 100  # not 200
+
+
+def test_s25_bloom_dedup_flags_cross_batch_dups_only(spark, tmp_path):
+    """Batch A seeds the sketch; batch B's exact repeat of an A-text
+    must flag, novel text must pass, and A-batch docs never flag
+    (prior state was empty).  Within-batch dups pass by design."""
+    import json as _json
+    import os as _os
+
+    from fanstats_producer_spark.streaming import jobs
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+
+    def _write(name, rows, mtime):
+        with open(landing / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "doc_id": doc_id,
+                            "ts": "2024-01-01T00:00:00Z",
+                            "text": text,
+                            "lang": "en",
+                        }
+                    )
+                    + "\n"
+                )
+        _os.utime(landing / name, (mtime, mtime))
+
+    _write("a.json", [(0, "alpha beta"), (2, "gamma delta")], 1000000000)
+    _write(
+        "b.json",
+        [(1, "alpha beta"), (3, "epsilon zeta"), (5, "epsilon zeta")],
+        1000000100,
+    )
+    src = (
+        spark.readStream.schema(jobs.DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = jobs.streaming_bloom_dedup(
+        src,
+        str(tmp_path / "state"),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["is_dup"]
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+    # doc 1 repeats doc 0's text across batches -> flagged; doc 5
+    # repeats doc 3 WITHIN batch B -> passes (next batch would catch)
+    assert got == {0: 0, 2: 0, 1: 1, 3: 0, 5: 0}
+    # state is the fixed-size word table
+    state = spark.read.parquet(str(tmp_path / "state"))
+    assert state.columns == ["word", "bits"]

@@ -447,10 +447,21 @@ def x07b_tensor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """Real resize goes here (PIL.Image.resize). Unavailable in this
-    container — callers catch NotImplementedError and use the
-    deterministic fake below."""
-    raise NotImplementedError("image codecs not available in this environment")
+    """REAL image resize, stdlib+numpy only: decode through the real
+    codecs (PNG/GIF/JPEG via decode_image), nearest-neighbor resample
+    with integer index math — out(i,j) = src((i*H) div height,
+    (j*W) div width), exact and engine-reproducible, no interpolation
+    arithmetic to drift — and re-encode as PNG.  Payloads no real
+    codec can decode still raise NotImplementedError; callers keep the
+    deterministic fake as their fallback."""
+    import numpy as np
+
+    arr = decode_image(payload)
+    h, w = arr.shape[0], arr.shape[1]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    resized = arr[rows][:, cols]
+    return encode_png(resized)
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -2111,4 +2122,84 @@ def x76_mjpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         mjpeg_roundtrip_features,
         schema="doc_id long, n_frames int, fps int, n_mismatch int,"
         " video_sha string",
+    )
+
+
+# --- x87: REAL image resize through the codec path ------------------------------
+# The resize stage of a production CV pipeline, now REAL end to end:
+# document renders to a genuine PNG (x58's path), resize_image decodes
+# it with the real codec, nearest-neighbor-resamples with integer index
+# math, re-encodes as PNG, and the worker decodes THAT to digest the
+# resized pixels.  The oracle re-derives the identical digest from the
+# text side: out(i,j) = padded[((i*H) div 16)*W + ((j*W) div 16)] —
+# pure integer index selection, so both engines assemble the same 256
+# bytes.  A failure anywhere in decode -> resample -> encode -> decode
+# breaks the digest, so the key pins the whole codec composition.
+_X87_OUT = 16  # resized to 16x16
+
+
+def resize_roundtrip_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(blob)
+            h = max(1, -(-len(b) // _PNG_W))
+            padded = b + b" " * (h * _PNG_W - len(b))
+            img = np.frombuffer(padded, np.uint8).reshape(h, _PNG_W)
+            small_png = resize_image(
+                encode_png(img), _X87_OUT, _X87_OUT
+            )
+            px = decode_image(small_png)
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "out_w": int(px.shape[1]),
+                    "out_h": int(px.shape[0]),
+                    "resized_sha": hashlib.sha256(
+                        px.tobytes()
+                    ).hexdigest(),
+                }
+            )
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "out_w", "out_h", "resized_sha"]
+        )
+
+
+@query(
+    "x87_resize_image",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(greatest(1, ceil(octet_length(encode(text))
+                  / {_PNG_W}.0)) AS INT) AS h
+      FROM documents),
+    padded AS (
+      SELECT doc_id, h,
+             rpad(text, h * {_PNG_W}, ' ') AS p
+      FROM base)
+    SELECT doc_id,
+           {_X87_OUT} AS out_w,
+           {_X87_OUT} AS out_h,
+           sha256(list_aggregate(list_transform(
+             range(0, {_X87_OUT * _X87_OUT}),
+             q -> substr(p,
+                    ((q // {_X87_OUT}) * h // {_X87_OUT}) * {_PNG_W}
+                    + ((q % {_X87_OUT}) * {_PNG_W} // {_X87_OUT}) + 1,
+                    1)), 'string_agg', '')) AS resized_sha
+    FROM padded
+    """,
+)
+def x87_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from fanstats_producer_spark.io import spread
+
+    payloads = with_payload(
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+    ).select("doc_id", "payload")
+    return payloads.mapInPandas(
+        resize_roundtrip_features,
+        schema="doc_id long, out_w int, out_h int, resized_sha string",
     )

@@ -315,7 +315,10 @@ def main() -> int:
         return 0
     results = sf1_check()
     print(json.dumps(results))
-    with open("/root/repo/SF1_CLOSURE_r7.json", "w") as f:
+    out = os.environ.get(
+        "SF1_CLOSURE_OUT", "/root/repo/SF1_CLOSURE_LATEST.json"
+    )
+    with open(out, "w") as f:
         json.dump(results, f, indent=1)
     return 0 if all(r["match"] for r in results.values()) else 1
 

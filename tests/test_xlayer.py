@@ -1594,3 +1594,31 @@ def test_x79_bloom_no_false_negatives_and_forced_fps(spark):
     assert all(r["bloom_hit"] == 1 for r in small if r["actual"] == 1)
     fps = sum(1 for r in small if r["bloom_hit"] == 1 and r["actual"] == 0)
     assert fps > 0  # saturated filter must false-positive
+
+
+def test_resize_image_real_nearest_neighbor():
+    """resize_image is REAL now: decode -> integer NN resample ->
+    re-encode.  Pin the index math on a hand-checked 4x4 -> 2x2 case
+    and prove the output is a decodable PNG of the right shape."""
+    import numpy as np
+
+    from fanstats_producer_spark.operators.multimodal import (
+        decode_image,
+        encode_png,
+        resize_image,
+    )
+
+    src = np.arange(16, dtype=np.uint8).reshape(4, 4) * 10
+    out = decode_image(resize_image(encode_png(src), 2, 2))
+    # out(i,j) = src((i*4)//2, (j*4)//2) = src(2i, 2j)
+    assert out.shape == (2, 2)
+    assert (out == src[::2, ::2]).all()
+    # upscale picks repeated source rows/cols, still exact
+    up = decode_image(resize_image(encode_png(src), 8, 8))
+    assert up.shape == (8, 8)
+    assert (up[::2, ::2] == src).all()
+    # non-image payloads still raise for the fake-path fallback
+    import pytest as _pytest
+
+    with _pytest.raises((NotImplementedError, ValueError)):
+        resize_image(b"not an image at all", 2, 2)

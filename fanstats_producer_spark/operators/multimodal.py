@@ -128,7 +128,9 @@ def decode_image(payload: bytes):
     (H,W,C) otherwise; palette (type 3) images resolve through PLTE to
     RGB.  Supports bit depth 8, color types 0/2/3/4/6, non-interlaced.
     JPEG payloads (SOI-signed) dispatch to the real baseline decoder
-    (decode_jpeg, x71).  Adam7-interlaced PNGs and every other format
+    (decode_jpeg, x71); GIF payloads dispatch to the real GIF89a codec
+    (decode_gif, x65) and return the FIRST frame's color-table indices
+    as the still image.  Adam7-interlaced PNGs and every other format
     (WebP/...) raise NotImplementedError — callers fall back to deterministic
     byte-level features, same as before this decoder existed.
     Corrupt PNG-signed payloads raise ValueError (CRC/length mismatch),
@@ -143,6 +145,9 @@ def decode_image(payload: bytes):
     b = bytes(payload)
     if b[:2] == b"\xff\xd8":
         return decode_jpeg(b)  # baseline sequential JPEG (x71 codec)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        _w, _h, frames = decode_gif(b)  # real GIF89a codec (x65)
+        return frames[0][1]  # first frame, (H, W) uint8 indices
     if not b.startswith(_PNG_SIG):
         raise NotImplementedError(
             "not a PNG/JPEG; other image codecs unavailable"
@@ -476,13 +481,20 @@ def resize_batch(width: int, height: int):
     """mapInPandas stage: resize every blob in the batch. Arrow batch in,
     Arrow batch out — the exact shape of a production CV stage."""
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
         for pdf in batches:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(blob)
                 try:
                     resized = resize_image(b, width, height)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, struct.error,
+                        zlib.error):
+                    # decode_image's contract: corrupt or unsupported
+                    # blobs must not fail a 100 TB asset scan — and
+                    # encode_png rejects alpha shapes with ValueError
                     resized = _fake_resize(b, width, height)
                 out.append({"doc_id": int(doc_id), "payload": resized,
                             "width": width, "height": height})

@@ -957,10 +957,14 @@ def streaming_bloom_dedup(
     the classic bounded-memory trade, stated here at batch granularity:
     a doc is flagged iff ALL k bit positions of its content digest were
     set by PRIOR batches (within-batch duplicates pass; the next batch
-    catches them).  The state merge is bit_or — IDEMPOTENT under
-    checkpoint replay (re-OR of the same bits is a no-op), so unlike
-    s23's sum no batch marker is needed; verdicts are batch-stamped
-    overwrites.  Uses x79's portable md5 bit positions (sketches._X79_M
+    catches them).  The state merge is bit_or — idempotent as a SET of
+    bits — but the VERDICTS are not: a batch replayed after its own
+    bits were promoted would score every doc against itself and flag
+    the whole batch.  So s25 carries the same `_BATCH` marker as s23:
+    a replay whose id matches the marker returns immediately (its
+    verdict partition was written BEFORE the promote, so it is already
+    on disk and correct for every crash interleaving), and recovery
+    refuses a staged dir without the marker.  Uses x79's portable md5 bit positions (sketches._X79_M
     bits, _X79_K hashes), so a filter built by this stream can gate any
     engine's batch scan."""
     import os
@@ -978,20 +982,32 @@ def streaming_bloom_dedup(
     def _recover() -> None:
         if os.path.isdir(state_dir):
             return
-        if os.path.isdir(staged) and os.path.exists(
-            os.path.join(staged, "_SUCCESS")
+        if (
+            os.path.isdir(staged)
+            and os.path.exists(os.path.join(staged, "_SUCCESS"))
+            and os.path.exists(os.path.join(staged, "_BATCH"))
         ):
             os.rename(staged, state_dir)
         elif os.path.isdir(retired):
             os.rename(retired, state_dir)
+
+    def _last_merged(d: str) -> int:
+        try:
+            with open(os.path.join(d, "_BATCH")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
 
     hashed = docs.withColumn("digest", F.md5("text"))
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover()
-        batch = batch_df.localCheckpoint(eager=True)
-        bits = batch.select(
+        if os.path.isdir(state_dir) and _last_merged(state_dir) == batch_id:
+            # crash-window replay: verdicts landed before the promote,
+            # the bits are in the state — nothing left to do
+            return
+        bits = batch_df.select(
             "doc_id",
             "digest",
             F.explode(
@@ -1033,6 +1049,8 @@ def streaming_bloom_dedup(
             .agg(F.bit_or("bits").alias("bits"))
         ).localCheckpoint(eager=True)
         combined.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, "_BATCH"), "w") as f:
+            f.write(str(batch_id))
         shutil.rmtree(retired, ignore_errors=True)
         if os.path.isdir(state_dir):
             os.rename(state_dir, retired)

@@ -1458,3 +1458,53 @@ def test_s25_bloom_dedup_flags_cross_batch_dups_only(spark, tmp_path):
     # state is the fixed-size word table
     state = spark.read.parquet(str(tmp_path / "state"))
     assert state.columns == ["word", "bits"]
+
+
+def test_s25_replay_does_not_self_flag(spark, tmp_path):
+    """A batch replayed after its own bits were promoted must NOT be
+    re-scored against itself (every doc would flag): the _BATCH marker
+    absorbs the replay and the pre-promote verdict partition stands."""
+    import json as _json
+
+    from fanstats_producer_spark.streaming import jobs
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "a.json", "w") as f:
+        for i in range(20):
+            f.write(
+                _json.dumps(
+                    {
+                        "doc_id": i,
+                        "ts": "2024-01-01T00:00:00Z",
+                        "text": f"unique text number {i}",
+                        "lang": "en",
+                    }
+                )
+                + "\n"
+            )
+
+    def _drain(ckpt):
+        src = spark.readStream.schema(jobs.DOCUMENT_SCHEMA).json(
+            str(landing)
+        )
+        q = jobs.streaming_bloom_dedup(
+            src,
+            str(tmp_path / "state"),
+            str(tmp_path / "verdicts"),
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+        return {
+            r["doc_id"]: r["is_dup"]
+            for r in spark.read.parquet(
+                str(tmp_path / "verdicts")
+            ).collect()
+        }
+
+    first = _drain("ckpt1")
+    assert set(first.values()) == {0}  # all novel
+    # fresh checkpoint replays the same file as batch 0 against the
+    # promoted state — without the marker every doc would self-flag
+    replayed = _drain("ckpt2")
+    assert replayed == first

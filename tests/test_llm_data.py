@@ -359,3 +359,37 @@ def test_bpe_encode_roundtrip_with_trainer(spark):
         for r in bpe_encode(df, []).collect()
     }
     assert plain[0] == len("aaabaaabaab")  # chars, spaces dropped
+
+
+def test_bpe_merge_seg_properties_hypothesis():
+    """Property: for ANY word and merge list, segmentation always
+    concatenates back to the word, and applying the trainer's merges
+    leaves no adjacent pair equal to a later-unapplied earlier merge
+    (left-to-right greediness)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from fanstats_producer_spark.operators.llm_data import _bpe_merge_seg
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.text(alphabet="abc", min_size=1, max_size=12),
+        st.lists(
+            st.tuples(
+                st.text(alphabet="abc", min_size=1, max_size=2),
+                st.text(alphabet="abc", min_size=1, max_size=2),
+            ),
+            max_size=4,
+        ),
+    )
+    def check(word, merges):
+        s = tuple(word)
+        for a, b in merges:
+            s = _bpe_merge_seg(s, a, b)
+            # no adjacent (a, b) pair survives its own merge pass
+            assert all(
+                not (x == a and y == b) for x, y in zip(s, s[1:])
+            )
+        assert "".join(s) == word  # segmentation is lossless
+
+    check()

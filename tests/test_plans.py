@@ -298,3 +298,32 @@ def test_x80_zorder_prunes_second_dimension(spark):
 
     assert z_hit < o_hit  # z-order prunes where the 1-D sort cannot
     assert o_hit == len(oned)  # the 1-D layout is blind to suppkey
+
+
+def test_x80_morton_interleave_is_a_bijection():
+    """The unrolled Morton expression must be a bijection on the full
+    (qx, qy) domain — a lost or doubled bit silently collapses file
+    ranges.  Checked exhaustively over all 2^16 cells via DuckDB on
+    the same generated SQL string the oracle uses."""
+    import duckdb
+
+    from fanstats_producer_spark.operators.layout import (
+        _X80_BITS,
+        _morton_expr,
+    )
+
+    n = 1 << _X80_BITS
+    con = duckdb.connect()
+    expr = _morton_expr("qx", "qy", "//")
+    rows = con.execute(
+        f"""
+        WITH g AS (
+          SELECT x.range AS qx, y.range AS qy
+          FROM range({n}) x CROSS JOIN range({n}) y)
+        SELECT COUNT(*) AS n, COUNT(DISTINCT ({expr})) AS nd,
+               MIN({expr}) AS lo, MAX({expr}) AS hi
+        FROM g
+        """
+    ).fetchone()
+    assert rows[0] == rows[1] == n * n  # injective on the domain
+    assert (rows[2], rows[3]) == (0, n * n - 1)  # onto the code range

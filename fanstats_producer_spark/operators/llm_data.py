@@ -1202,6 +1202,12 @@ _X78_G3 = (
       FROM base),
     scored AS (
       SELECT doc_id, len(t) AS n_tokens, total_chars, alpha_chars,
+             -- tie-break key: 1000000 - count zero-padded to 7 digits.
+             -- BOUND: valid only while any single 3-gram occurs < 1e6
+             -- times in ONE document (negative values stop zero-padding
+             -- and break lexicographic order).  A 1e6-token single doc
+             -- is beyond the fixture and any sane shard; Spark side uses
+             -- a numeric struct-min with the same headroom assumption.
              list_min(list_transform(list_distinct(g3),
                g -> lpad(CAST(1000000 - len(list_filter(g3, x -> x = g))
                          AS VARCHAR), 7, '0') || g)) AS topk,

@@ -147,6 +147,11 @@ def decode_image(payload: bytes):
         return decode_jpeg(b)  # baseline sequential JPEG (x71 codec)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         _w, _h, frames = decode_gif(b)  # real GIF89a codec (x65)
+        if not frames:
+            # structurally valid header+trailer but zero image frames —
+            # must be ValueError (not IndexError) so batch callers'
+            # corrupt-blob fallback catches it
+            raise ValueError("GIF has no frames")
         return frames[0][1]  # first frame, (H, W) uint8 indices
     if not b.startswith(_PNG_SIG):
         raise NotImplementedError(
@@ -2183,6 +2188,14 @@ def resize_roundtrip_features(
 
 @query(
     "x87_resize_image",
+    # ORACLE ASSUMPTION: the height is derived from BYTES
+    # (octet_length(encode(text))) but the padding/indexing below uses
+    # CHARACTER-based rpad/substr, while the Spark worker indexes the
+    # raw UTF-8 bytes via numpy.  The two agree only while document
+    # text is pure ASCII (true for the synthetic fixture vocabulary —
+    # gen_sf.py emits ASCII-only tokens).  If the fixture ever gains
+    # non-ASCII text, restate the oracle fully in bytes (encode() +
+    # blob slicing) instead of rpad/substr.
     oracle=f"""
     WITH base AS (
       SELECT doc_id, text,

@@ -847,9 +847,18 @@ def streaming_psi_drift(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover()
-        already_merged = (
-            os.path.isdir(state_dir) and _last_merged(state_dir) == batch_id
-        )
+        last = _last_merged(state_dir) if os.path.isdir(state_dir) else -1
+        if batch_id < last:
+            # A fresh checkpoint replaying over an existing multi-batch
+            # state dir would double-count (sum-merge state is NOT
+            # replay-idempotent below the marker).  Fail loudly instead
+            # of silently corrupting the PSI counts.
+            raise RuntimeError(
+                f"streaming_psi_drift: batch_id {batch_id} < last merged "
+                f"batch {last} in {state_dir} — stale state with a fresh "
+                "checkpoint; clear the state dir before restarting"
+            )
+        already_merged = last == batch_id
         if already_merged:
             # crash-window replay: counts are in the state already —
             # only the (idempotent) monitor overwrite below re-runs
@@ -1003,7 +1012,19 @@ def streaming_bloom_dedup(
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover()
-        if os.path.isdir(state_dir) and _last_merged(state_dir) == batch_id:
+        last = _last_merged(state_dir) if os.path.isdir(state_dir) else -1
+        if batch_id < last:
+            # Stale state + fresh checkpoint: the sketch already holds
+            # bits from batches this checkpoint will replay, so every
+            # replayed doc would score against its own bits and
+            # self-flag as a dup.  Bit-set is idempotent but the
+            # VERDICTS are not — fail loudly.
+            raise RuntimeError(
+                f"streaming_bloom_dedup: batch_id {batch_id} < last merged "
+                f"batch {last} in {state_dir} — stale state with a fresh "
+                "checkpoint; clear the state dir before restarting"
+            )
+        if last == batch_id:
             # crash-window replay: verdicts landed before the promote,
             # the bits are in the state — nothing left to do
             return

@@ -1508,3 +1508,93 @@ def test_s25_replay_does_not_self_flag(spark, tmp_path):
     # promoted state — without the marker every doc would self-flag
     replayed = _drain("ckpt2")
     assert replayed == first
+
+
+def test_s25_stale_state_fresh_checkpoint_fails_loudly(spark, tmp_path):
+    """A fresh checkpoint over a state dir whose _BATCH marker is AHEAD
+    of the replayed batch id (multi-batch state, checkpoint wiped) must
+    raise, not silently score docs against a sketch that already holds
+    their own bits (every doc would self-flag as a dup)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from fanstats_producer_spark.streaming import jobs
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "a.json", "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "doc_id": 0,
+                    "ts": "2024-01-01T00:00:00Z",
+                    "text": "some text",
+                    "lang": "en",
+                }
+            )
+            + "\n"
+        )
+    # fabricate a promoted multi-batch state: marker says batch 5 merged
+    state_dir = tmp_path / "state"
+    spark.createDataFrame([(0, 1)], "word long, bits long").coalesce(
+        1
+    ).write.parquet(str(state_dir))
+    with open(state_dir / "_BATCH", "w") as f:
+        f.write("5")
+    assert _os.path.exists(state_dir / "_SUCCESS")
+    src = spark.readStream.schema(jobs.DOCUMENT_SCHEMA).json(str(landing))
+    q = jobs.streaming_bloom_dedup(
+        src,
+        str(state_dir),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(StreamingQueryException, match="stale state"):
+        q.awaitTermination(120)
+
+
+def test_s23_stale_state_fresh_checkpoint_fails_loudly(spark, tmp_path):
+    """Same contract for the PSI drift monitor: sum-merge state is not
+    replay-idempotent below the marker, so batch_id < marker must raise
+    instead of double-counting."""
+    import json as _json
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from fanstats_producer_spark.streaming import jobs
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    with open(landing / "a.json", "w") as f:
+        f.write(
+            _json.dumps(
+                {
+                    "event_id": 1,
+                    "event_type": "view",
+                    "ts": "2024-01-01T00:00:00Z",
+                    "value": 3.0,
+                }
+            )
+            + "\n"
+        )
+    state_dir = tmp_path / "state"
+    spark.createDataFrame(
+        [("view", 0, 10)], "event_type string, bucket long, n_live long"
+    ).coalesce(1).write.parquet(str(state_dir))
+    with open(state_dir / "_BATCH", "w") as f:
+        f.write("5")
+    ref = spark.createDataFrame(
+        [("view", 0, 5)], "event_type string, bucket long, n_ref long"
+    )
+    src = spark.readStream.schema(jobs.EVENT_SCHEMA).json(str(landing))
+    q = jobs.streaming_psi_drift(
+        src,
+        ref,
+        str(state_dir),
+        str(tmp_path / "monitor"),
+        str(tmp_path / "ckpt"),
+    )
+    with pytest.raises(StreamingQueryException, match="stale state"):
+        q.awaitTermination(120)

@@ -1184,6 +1184,20 @@ def test_gif_codec_roundtrip_and_rejects():
     bad[-20] ^= 0xFF  # corrupt LZW body
     with _pytest.raises(ValueError):
         decode_gif(bytes(bad))
+    # structurally valid GIF with zero image frames (header + LSD +
+    # trailer): decode_gif returns an empty frame list, and decode_image
+    # must raise ValueError (NOT IndexError) so resize_batch's
+    # corrupt-blob fallback catches it instead of failing the scan
+    import struct as _struct
+
+    from fanstats_producer_spark.operators.multimodal import decode_image
+
+    frameless = (
+        b"GIF89a" + _struct.pack("<HH", 4, 4) + bytes([0x00, 0, 0]) + b"\x3b"
+    )
+    assert decode_gif(frameless) == (4, 4, [])
+    with _pytest.raises(ValueError, match="no frames"):
+        decode_image(frameless)
 
 
 def test_streaming_band_keys_match_batch_formulation(spark):

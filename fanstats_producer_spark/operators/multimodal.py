@@ -2228,3 +2228,251 @@ def x87_resize_image(spark: SparkSession, sf_dir: str) -> DataFrame:
         resize_roundtrip_features,
         schema="doc_id long, out_w int, out_h int, resized_sha string",
     )
+
+
+# --- x88: perceptual image near-dup (pHash over the real decode path) --------
+#
+# Dedup previously saw only BYTES (x04*/x59 hash text); x88 dedups by
+# PIXELS: each document's image is decoded with the real codec stack,
+# nearest-neighbor-resampled to 32x32, DCT'd (the same batched-matmul
+# DCT style as x71's JPEG codec, multimodal.py:1552 — here with an
+# integer-quantized basis so both engines compute bit-identical
+# coefficients), and reduced to a 63-bit perceptual hash: the 8x8
+# low-frequency block minus the DC term, each AC coefficient compared
+# against the AC mean (stated multiplicatively, 63*z > sum, so no
+# division ever happens).  Resize-invariance comes from the 32x32
+# normalization: an upscaled duplicate NN-resamples to (nearly) the
+# same 32x32 grid, so its hash sits within a few bits of the original
+# (pytest-pinned with a planted x87-resized duplicate).
+#
+# Banding (the x04d pattern, dedup.py:584): the 63-bit hash splits into
+# 9 contiguous 7-bit bands; docs sharing any band value become
+# candidates via a bucket self-join, then candidates are verified at
+# hamming <= 8.  The parameters are NOT independent: with 9 bands, a
+# pair within hamming 8 has <= 8 differing bits spread over 9 bands, so
+# BY PIGEONHOLE at least one band is identical — the banded plan is
+# EXACT-COMPLETE at the verify threshold, and the brute-force O(n^2)
+# oracle below provably equals the sub-quadratic Spark plan (no
+# recall monitor needed, unlike x04d's Jaccard estimate).
+#
+# Scale: hashing is embarrassingly parallel mapInPandas (one pass, no
+# shuffle); banding shuffles 9 rows of (7-bit key, 8-byte hash) per doc
+# — ~100 B/doc, corpus-sized but tiny; the bucket self-join is the
+# quadratic guard point — degenerate corpora (millions of flat images
+# sharing a band) need the same max_bucket/salt levers as x04d
+# (documented in BASELINE.md; the fixture's buckets are dup-cluster
+# sized).  Reference parity: AJ2O/fanstats-producer ships no image
+# pipeline at all (reference/src/main.py is a text crawler) — x88 is
+# part of the beyond-reference training-data surface the brief asks
+# for.
+
+_X88_BANDS = 9  # 9 bands x 7 bits = 63; pigeonhole-exact at hamming <= 8
+_X88_BAND_BITS = 7
+_X88_HAMMING = 8
+
+
+def _phash_dct_table() -> list[list[int]]:
+    """8x32 DCT-II basis rows u=0..7 over a 32-sample axis, quantized
+    to integers in units of 2^-14.  floor(x*16384+0.5) is exact and
+    deterministic (no cos() value lands on a .5 boundary: the angle
+    pi*(2r+1)*u/64 hits a rational cosine only at u=0).  The SAME table
+    is embedded as a literal in the DuckDB oracle, so cross-engine
+    parity never depends on libm."""
+    return [
+        [
+            int(math.floor(math.cos(math.pi * (2 * r + 1) * u / 64) * 16384 + 0.5))
+            for r in range(32)
+        ]
+        for u in range(8)
+    ]
+
+
+def phash64(px32) -> int:
+    """63-bit perceptual hash of a 32x32 uint8 pixel grid.
+
+    Z = C @ X @ C^T in int64 (C = the quantized 8x32 DCT basis; integer
+    matmul is associative, so ANY evaluation order — numpy batched
+    matmul here, two nested list_transform stages in the oracle — gives
+    identical coefficients).  Bit k-1 (k = u*8+v, k=1..63) is set iff
+    63*Z[u,v] > sum(AC coefficients): the mean threshold stated
+    multiplicatively over integers, division-free and exact."""
+    import numpy as np
+
+    c = np.asarray(_phash_dct_table(), dtype=np.int64)
+    x = np.asarray(px32, dtype=np.int64)
+    if x.shape != (32, 32):
+        raise ValueError(f"phash64 expects 32x32, got {x.shape}")
+    z = (c @ x @ c.T).ravel()  # k = u*8 + v, row-major
+    s = int(z[1:].sum())
+    h = 0
+    for k in range(1, 64):
+        if 63 * int(z[k]) > s:
+            h |= 1 << (k - 1)
+    return h
+
+
+def phash_image(payload: bytes) -> int:
+    """pHash of an encoded image: REAL decode (PNG/GIF/JPEG via
+    decode_image), grayscale by first channel for color images,
+    nearest-neighbor resample to 32x32 with resize_image's exact
+    integer index math (out(i,j) = src((i*H) div 32, (j*W) div 32)),
+    then phash64.  Raises what decode_image raises — batch callers
+    treat undecodable blobs as fallback-able."""
+    import numpy as np
+
+    arr = decode_image(payload)
+    if arr.ndim == 3:
+        arr = arr[:, :, 0]
+    hh, ww = arr.shape
+    rows = (np.arange(32) * hh) // 32
+    cols = (np.arange(32) * ww) // 32
+    return phash64(arr[rows][:, cols])
+
+
+def phash_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for x88: render each document's bytes as the
+    x58 grayscale strip, push it through the REAL PNG encode->decode
+    codec pair, and emit the perceptual hash."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(blob)
+            h = max(1, -(-len(b) // _PNG_W))
+            padded = b + b" " * (h * _PNG_W - len(b))
+            img = np.frombuffer(padded, np.uint8).reshape(h, _PNG_W)
+            rows.append(
+                {
+                    "doc_id": int(doc_id),
+                    "phash": phash_image(encode_png(img)),
+                }
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+def phash_near_dup_pairs(hashes: DataFrame) -> DataFrame:
+    """Banded near-dup pair expansion over a (doc_id, phash) frame:
+    9x7-bit LSH bands -> bucket self-join -> hamming <= 8 verify.
+    Exact-complete by pigeonhole (see module comment).  Pure built-in
+    expressions; the only Python in x88 is the codec worker."""
+    banded = hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("phash", b * _X88_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _X88_BAND_BITS) - 1))
+                        .alias("val"),
+                    )
+                    for b in range(_X88_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "phash", "bk.band", "bk.val")
+    left = banded.select(
+        "band",
+        "val",
+        F.col("doc_id").alias("id_a"),
+        F.col("phash").alias("h_a"),
+    )
+    right = banded.select(
+        "band",
+        "val",
+        F.col("doc_id").alias("id_b"),
+        F.col("phash").alias("h_b"),
+    )
+    cands = (
+        left.join(right, ["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.first("h_a").alias("h_a"), F.first("h_b").alias("h_b"))
+    )
+    return cands.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= _X88_HAMMING)
+
+
+def _phash_oracle() -> str:
+    """Brute-force DuckDB mirror: recompute every document's pHash from
+    the text side (x58's byte->pixel model, x87's resize index math,
+    the SAME integer DCT table as a literal), then join all pairs at
+    hamming <= 8.  O(n^2) on the pair side — the ORACLE is quadratic,
+    the engine is banded; pigeonhole makes them equal."""
+    tab = _phash_dct_table()
+    c_flat = ", ".join(str(v) for u in range(8) for v in tab[u])
+    return f"""
+    WITH consts AS (SELECT [{c_flat}] AS C),
+    base AS (
+      SELECT doc_id,
+             CAST(greatest(1, ceil(octet_length(encode(text)) / {_PNG_W}.0))
+                  AS INT) AS h,
+             rpad(text, CAST({_PNG_W} * greatest(1,
+                  ceil(octet_length(encode(text)) / {_PNG_W}.0)) AS INT),
+                  ' ') AS p
+      FROM documents),
+    -- 32x32 NN resample straight off the padded byte strip:
+    -- out(r,c) = padded[((r*h) div 32)*32 + c]  (source width is 32,
+    -- so the column map is identity); ASCII fixture => substr/ascii
+    -- are byte-exact (same documented assumption as x87/x58)
+    px AS (
+      SELECT doc_id,
+             list_transform(range(0, 1024),
+               q -> CAST(ascii(substr(p,
+                      CAST(((q // 32) * h // 32) * {_PNG_W}
+                           + (q % 32) + 1 AS INT), 1)) AS BIGINT)) AS g
+      FROM base),
+    -- stage 1: Y[v*32+r] = sum_c g[r*32+c] * C[v*32+c]   (int64)
+    -- (consts rides along via CROSS JOIN — DuckDB forbids subqueries
+    -- inside lambda bodies, but plain columns are fine)
+    st1 AS (
+      SELECT doc_id, C,
+             list_transform(range(0, 256),
+               i -> list_sum(list_transform(range(0, 32),
+                 cc -> g[(i % 32) * 32 + cc + 1]
+                       * C[(i // 32) * 32 + cc + 1])))
+               AS y
+      FROM px, consts),
+    -- stage 2: Z[u*8+v] = sum_r C[u*32+r] * Y[v*32+r]
+    st2 AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+               k -> list_sum(list_transform(range(0, 32),
+                 r -> C[(k // 8) * 32 + r + 1]
+                      * y[(k % 8) * 32 + r + 1]))) AS z
+      FROM st1),
+    hashes AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, 64),
+               k -> CASE WHEN 63 * z[k + 1]
+                              > list_sum(z) - z[1]
+                         THEN 1 << (k - 1) ELSE 0 END)) AS BIGINT) AS ph
+      FROM st2)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.ph, b.ph)) <= {_X88_HAMMING}
+    """
+
+
+@query("x88_image_neardup", oracle=_phash_oracle())
+def x88_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x88: perceptual image near-duplicate detection — the multimodal
+    dedup arm.  Documents render to real PNGs, hash through the real
+    decode path (phash_features), and pair up through the banded LSH
+    self-join (phash_near_dup_pairs).  Output: (id_a, id_b, hamming)
+    for every pair of perceptually-near images."""
+    from fanstats_producer_spark.io import spread
+
+    payloads = with_payload(
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+    ).select("doc_id", "payload")
+    hashes = payloads.mapInPandas(
+        phash_features, schema="doc_id long, phash long"
+    )
+    return phash_near_dup_pairs(hashes)

@@ -1636,3 +1636,85 @@ def test_resize_image_real_nearest_neighbor():
 
     with _pytest.raises((NotImplementedError, ValueError)):
         resize_image(b"not an image at all", 2, 2)
+
+
+def test_x88_phash_catches_resized_duplicate_not_distinct():
+    """The planted perceptual-dedup contract: a RESIZED duplicate (made
+    with the real x87 resize path) hashes within the x88 hamming gate
+    of its original, while a structurally different image does not."""
+    import numpy as np
+
+    from fanstats_producer_spark.operators.multimodal import (
+        _X88_HAMMING,
+        encode_png,
+        phash_image,
+        resize_image,
+    )
+
+    rng = np.random.default_rng(42)
+    # structured image: smooth gradient + blocky texture (pHash is a
+    # low-frequency descriptor; pure noise has no perceptual content)
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = ((yy * 2 + xx) % 256).astype(np.uint8)
+    img[16:40, 8:30] = 200
+    img[45:60, 40:60] = 15
+    original = encode_png(img)
+    h_orig = phash_image(original)
+
+    # upscaled then downscaled duplicates via the REAL resize path
+    for w, hgt in [(128, 128), (96, 80), (32, 32)]:
+        dup = resize_image(original, w, hgt)
+        assert bin(h_orig ^ phash_image(dup)).count("1") <= _X88_HAMMING, (
+            w,
+            hgt,
+        )
+
+    # a genuinely different image (independent structure) must NOT sit
+    # inside the gate
+    other = ((xx * 7) % 251).astype(np.uint8)
+    other[5:20, 35:55] = 240
+    h_other = phash_image(encode_png(other))
+    assert bin(h_orig ^ h_other).count("1") > _X88_HAMMING
+
+    # hash is 63-bit non-negative (sign bit never set — banding and
+    # xor/bit_count stay sign-free on both engines)
+    assert 0 <= h_orig < (1 << 63)
+    # determinism across calls
+    assert phash_image(original) == h_orig
+    _ = rng  # seeded above for future planted variants
+
+
+def test_x88_pigeonhole_banding_is_exact_complete(spark):
+    """The banded plan must equal brute force at the verify threshold:
+    with 9 bands and hamming <= 8, pigeonhole guarantees every
+    qualifying pair shares a band.  Verified on a synthetic hash set
+    engineered with pairs at hamming 0, 8 (boundary), and 9 (just
+    outside)."""
+    from fanstats_producer_spark.operators.multimodal import (
+        phash_near_dup_pairs,
+    )
+
+    base = 0x155555555555555  # alternating bits inside 63
+    rows = [
+        (1, base),
+        (2, base),  # hamming 0 vs 1
+        (3, base ^ ((1 << 8) - 1)),  # hamming 8 vs 1 (boundary, kept)
+        (4, base ^ ((1 << 9) - 1)),  # hamming 9 vs 1 (dropped)
+        (5, (1 << 62) | 7),  # far from everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, phash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in phash_near_dup_pairs(df).collect()
+    }
+    # brute force over the same rows
+    want = {}
+    for i, (ida, ha) in enumerate(rows):
+        for idb, hb in rows[i + 1 :]:
+            d = bin(ha ^ hb).count("1")
+            if d <= 8:
+                want[(ida, idb)] = d
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 0
+    assert (1, 3) in got and got[(1, 3)] == 8
+    assert (1, 4) not in got

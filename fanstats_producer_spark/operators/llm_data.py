@@ -1368,18 +1368,37 @@ def _bpe_merge_seg(s: tuple, a: str, b: str) -> tuple:
 
 
 def bpe_train(
-    df: DataFrame, col: str = "text", n_merges: int = 16
+    df: DataFrame,
+    col: str = "text",
+    n_merges: int = 16,
+    min_count: int = 1,
+    max_types: int | None = None,
 ) -> list[tuple[str, str]]:
     """Train BPE merges over a text column.  One distributed word-count
     pass, then the deterministic merge loop on the type table (highest
     weighted pair count, ties to the lexicographically smallest pair).
-    Returns the ordered merge list."""
+    Returns the ordered merge list.
+
+    ``min_count``/``max_types`` bound the DRIVER collect: the raw
+    space-split type table of a 100 TB web crawl is NOT Heaps'-law
+    friendly (URLs, typos, hex blobs run it to billions of rows), so
+    the collect must be gated.  ``min_count`` drops singleton garbage
+    types distributively (standard BPE practice — rare types contribute
+    negligible pair mass anyway); ``max_types`` caps the table at the
+    top-K types by (freq DESC, word ASC) — a deterministic total order,
+    so two runs over the same corpus collect the same table.  Both
+    prunes run BEFORE .collect(), inside the aggregation pipeline; the
+    driver never sees a row they remove.  Scale note in BASELINE.md."""
     words = (
         df.select(F.explode(F.split(F.col(col), " ")).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
+    if min_count > 1:
+        words = words.filter(F.col("freq") >= min_count)
+    if max_types is not None:
+        words = words.orderBy(F.desc("freq"), F.asc("w")).limit(max_types)
     table = {r["w"]: r["freq"] for r in words.collect()}
     segs = {w: tuple(w) for w in table}
     merges: list[tuple[str, str]] = []
@@ -1441,6 +1460,123 @@ def bpe_encode(
 
     return df.withColumn("bpe_tokens", _encode(F.col(col))).withColumn(
         "n_bpe_tokens", F.size("bpe_tokens")
+    )
+
+
+# --- x89: registered BPE encode (train -> tokenize, full value check) ----------
+_X89_MERGES = 8
+_X89_MIN_COUNT = 2
+
+
+def _bpe_oracle(n_merges: int, min_count: int) -> str:
+    """Generate the DuckDB mirror of bpe_train + bpe_encode: the merge
+    loop UNROLLED as `n_merges` chained CTE rounds (best{r} = weighted
+    pair argmax with the trainer's exact tie-break — count DESC, then
+    lexicographically smallest (a, b); seg{r} = the merge applied to
+    every type), then per-document reassembly.
+
+    The subtle part is replicating _bpe_merge_seg's GREEDY LEFT-TO-RIGHT
+    NON-OVERLAPPING application in declarative list lambdas.  Matches of
+    (a, b) can overlap only when a = b (t[i+1] must equal both), and
+    within a run of identical tokens the greedy scan selects exactly
+    the even offsets from the run start — so selection is expressible
+    WITHOUT recursion:
+
+        sel[i] = t[i]=a AND t[i+1]=b AND
+                 (a <> b OR (i - 1 - last_non_a_before(i)) % 2 = 0)
+
+    and the rebuilt segmentation emits [a||b] at sel[i], [] at
+    sel[i-1], [t[i]] otherwise, flattened.  Pinned against the Python
+    trainer on corpora engineered with a=b merge chains (('a','a'),
+    ('aa','a'), ('aa','aaa')...) in tests.
+
+    Training counts come from the min_count-PRUNED type table (the same
+    gate bpe_train applies before its driver collect), but merges are
+    APPLIED to every type — pruned words still tokenize at encode time.
+    When a round has no pairs left, a chr(1) sentinel merge (impossible
+    in text, cnt = -1) wins the argmax and applies as a no-op — the SQL
+    analogue of the trainer's early break."""
+    parts = [
+        """
+    WITH words AS (
+      SELECT w, COUNT(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE len(w) > 0 GROUP BY 1),
+    seg0 AS (
+      SELECT w, freq,
+             list_transform(range(1, len(w) + 1),
+                            i -> substr(w, i, 1)) AS t
+      FROM words)"""
+    ]
+    for r in range(1, n_merges + 1):
+        p = r - 1
+        parts.append(f"""
+    best{r} AS (
+      SELECT a, b FROM (
+        SELECT t[i] AS a, t[i+1] AS b, SUM(freq) AS cnt
+        FROM (SELECT freq, t, unnest(range(1, len(t))) AS i
+              FROM seg{p} WHERE freq >= {min_count})
+        GROUP BY 1, 2
+        UNION ALL SELECT chr(1), chr(1), CAST(-1 AS HUGEINT)
+        ORDER BY cnt DESC, a ASC, b ASC LIMIT 1)),
+    seg{r} AS (
+      SELECT w, freq,
+             flatten(list_transform(range(1, len(t) + 1), i ->
+               CASE WHEN sel[i] THEN [a || b]
+                    WHEN i > 1 AND sel[i-1] THEN []
+                    ELSE [t[i]] END)) AS t
+      FROM (
+        SELECT w, freq, t, a, b,
+               list_transform(range(1, len(t) + 1), i ->
+                 i < len(t) AND t[i] = a AND t[i+1] = b
+                 AND (a <> b OR
+                      (i - 1 - coalesce(list_max(list_filter(range(1, i),
+                           j -> t[j] <> a)), 0)) % 2 = 0)) AS sel
+        FROM seg{p}, best{r}))""")
+    parts.append(f"""
+    docwords AS (
+      SELECT doc_id,
+             unnest(ws) AS w,
+             unnest(range(1, len(ws) + 1)) AS ord
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '),
+                               x -> len(x) > 0) AS ws
+            FROM documents)),
+    joined AS (
+      SELECT e.doc_id, e.ord, s.t
+      FROM docwords e JOIN seg{n_merges} s ON e.w = s.w)
+    SELECT d.doc_id,
+           CAST(COALESCE(SUM(len(j.t)), 0) AS BIGINT) AS n_bpe_tokens,
+           md5(COALESCE(string_agg(list_aggregate(j.t, 'string_agg',
+                 chr(31)), chr(31) ORDER BY j.ord), '')) AS tokens_md5
+    FROM documents d LEFT JOIN joined j ON d.doc_id = j.doc_id
+    GROUP BY 1""")
+    return ",".join(parts)
+
+
+@query("x89_bpe_encode", oracle=_bpe_oracle(_X89_MERGES, _X89_MIN_COUNT))
+def x89_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x89: the full train->tokenize BPE path as a registered key.
+    bpe_train runs the distributed type-count pass with the min_count
+    prune gating its driver collect (the 100 TB-safety fix — see
+    bpe_train's docstring), then bpe_encode tokenizes every document
+    through the learned merges in an Arrow-batched pandas UDF with a
+    per-batch word cache (Zipf makes repeat types the common case).
+    Output is (doc_id, n_bpe_tokens, tokens_md5) where tokens_md5
+    digests the exact token sequence (chr(31)-joined) — the oracle
+    re-derives the merge list AND the greedy segmentation in unrolled
+    SQL, so the whole tokenizer is value-checked, not just counted."""
+    from fanstats_producer_spark.io import spread
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(
+        docs, n_merges=_X89_MERGES, min_count=_X89_MIN_COUNT
+    )
+    enc = bpe_encode(spread(docs, "doc_id"), merges)
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.md5(F.concat_ws("\x1f", "bpe_tokens")).alias("tokens_md5"),
     )
 
 

@@ -393,3 +393,95 @@ def test_bpe_merge_seg_properties_hypothesis():
         assert "".join(s) == word  # segmentation is lossless
 
     check()
+
+
+def test_bpe_train_prunes_type_table_before_collect(spark):
+    """The 100 TB driver-OOM gate: min_count and max_types must remove
+    rows BEFORE .collect() (forced here by checking the trained merges
+    change exactly as the pruned counts dictate), and the prune must be
+    deterministic (max_types ties broken by freq DESC, word ASC)."""
+    from fanstats_producer_spark.operators.llm_data import bpe_train
+
+    # 'zq' x1 is a singleton garbage type whose pair (z,q) would win
+    # round 1 ONLY if unpruned corpora double-counted it... make it
+    # dominant: 'zq zq' -> freq 2; 'ab' freq 3.  min_count=3 drops zq.
+    df = spark.createDataFrame([("ab ab ab zq zq",)], "text string")
+    assert bpe_train(df, n_merges=1) == [("a", "b")]  # ab freq 3 > zq 2
+    # without pruning, a rare-but-long type can still dominate pair
+    # mass; with min_count above its freq it cannot contribute at all
+    df2 = spark.createDataFrame(
+        [("ab ab ab zqzqzqzq zqzqzqzq",)], "text string"
+    )
+    # unpruned: (z,q) count 2*4=8 beats (a,b)=3
+    assert bpe_train(df2, n_merges=1) == [("z", "q")]
+    # min_count=3 removes the freq-2 type before the driver ever sees
+    # it; (a,b) wins
+    assert bpe_train(df2, n_merges=1, min_count=3) == [("a", "b")]
+    # max_types=1 keeps only the top type (freq DESC, word ASC): 'ab'
+    assert bpe_train(df2, n_merges=1, max_types=1) == [("a", "b")]
+    # deterministic tie-break on equal freqs: 'aa' sorts before 'zz'
+    df3 = spark.createDataFrame([("aa zz aa zz",)], "text string")
+    assert bpe_train(df3, n_merges=1, max_types=1) == [("a", "a")]
+
+
+def test_x89_oracle_greedy_merge_application_edge_cases():
+    """The unrolled-SQL oracle must replicate _bpe_merge_seg's greedy
+    left-to-right semantics exactly — including a=b merge chains where
+    string-replace formulations diverge.  Engineered corpus forces
+    merges like ('a','a'), ('aa','a'), ('aa','aaa')."""
+    import hashlib
+
+    import duckdb
+
+    from fanstats_producer_spark.operators.llm_data import (
+        _bpe_merge_seg,
+        _bpe_oracle,
+    )
+
+    texts = {
+        1: "aaaaa aaaa aaa aa a",
+        2: "aaaaaa bbbb abab aabb",
+        3: "xaaay aaxaa yyy",
+        4: "aaaaa aaaaa bbbb bbbb abab abab",
+        5: "",
+        6: "aba aba bab",
+        7: "a b c",  # pairs run out -> sentinel rounds are no-ops
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    for k, v in texts.items():
+        con.execute("INSERT INTO documents VALUES (?, ?)", [k, v])
+
+    # pure-python reference = the trainer loop verbatim
+    table: dict = {}
+    for t in texts.values():
+        for w in t.split(" "):
+            if w:
+                table[w] = table.get(w, 0) + 1
+    trainable = {w: f for w, f in table.items() if f >= 2}
+    segs = {w: tuple(w) for w in table}
+    for _ in range(8):
+        pc: dict = {}
+        for w, freq in trainable.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] = pc.get((a, b), 0) + freq
+        if not pc:
+            break
+        maxc = max(pc.values())
+        best = min(p for p, c in pc.items() if c == maxc)
+        segs = {
+            w: _bpe_merge_seg(s, best[0], best[1]) for w, s in segs.items()
+        }
+    want = {}
+    for doc_id, t in texts.items():
+        toks = [tok for w in t.split(" ") if w for tok in segs[w]]
+        want[doc_id] = (
+            len(toks),
+            hashlib.md5("\x1f".join(toks).encode()).hexdigest(),
+        )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_bpe_oracle(8, 2)).fetchall()
+    }
+    assert got == want

@@ -59,6 +59,7 @@ def generate(
     seed: int = 42,
     hot_frac: float = 0.0,
     planted_neighbors: int = 0,
+    planted_margins: int = 0,
 ) -> None:
     """hot_frac > 0 plants ONE Zipfian hot near-dup cluster in
     `documents`: that fraction of docs become near-copies of a single
@@ -71,7 +72,16 @@ def generate(
     (vec_id 16-18): the base fixture's neighborhoods are barely
     separated (top-5 cosine 0.34-0.45 vs p99 0.29 — VERDICT r6), so
     ANN recall on it measures noise, not the index.  Planted ids start
-    at 64 (clear of the query/seed/codebook layout [16, 61))."""
+    at 64 (clear of the query/seed/codebook layout [16, 61)).
+
+    planted_margins > 0 plants that many SAME-LABEL near neighbors
+    (cosine ≈ 0.9+, label forced to the anchor's) for each of the three
+    x84 anchor queries (vec_id 16-18): the base fixture's labels are
+    uncorrelated with cosine neighborhoods (VERDICT r8 — every anchor's
+    hard-negative margin is NEGATIVE there), so mining quality on it
+    measures label noise, not the miner.  With a genuinely-close
+    positive planted, x84's margin must recover POSITIVE (the natural
+    impostor ceiling is ~0.45 cosine vs the planted ~0.9)."""
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -356,6 +366,26 @@ def generate(
             for pid in picks[qi * planted_neighbors:(qi + 1) * planted_neighbors]:
                 nb = vecs[q] + rng.normal(size=64) * 0.22
                 vecs[pid] = nb / np.linalg.norm(nb)
+    if planted_margins > 0:
+        # SAME-LABEL planted positives for the x84 anchors — disjoint
+        # from any planted_neighbors ids so both arms can coexist
+        taken = set(picks.tolist()) if planted_neighbors > 0 else set()
+        free = np.array(
+            [i for i in range(64, nvec) if i not in taken], dtype="int64"
+        )
+        if len(free) < 3 * planted_margins:
+            raise ValueError(
+                f"planted_margins={planted_margins} needs"
+                f" {3 * planted_margins} free embedding ids above 64,"
+                f" but sf={sf} leaves only {len(free)}; lower"
+                " planted_margins or raise sf"
+            )
+        mpicks = rng.choice(free, size=3 * planted_margins, replace=False)
+        for qi, q in enumerate((16, 17, 18)):
+            for pid in mpicks[qi * planted_margins:(qi + 1) * planted_margins]:
+                nb = vecs[q] + rng.normal(size=64) * 0.22
+                vecs[pid] = nb / np.linalg.norm(nb)
+                labels[pid] = labels[q]
     vecs = vecs.astype("float32")
     _write(
         out,
@@ -380,4 +410,11 @@ if __name__ == "__main__":
     out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/localdata/sf{sys.argv[1] if len(sys.argv) > 1 else '1'}"
     hot = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
     planted = int(sys.argv[4]) if len(sys.argv) > 4 else 0
-    generate(sf, out, hot_frac=hot, planted_neighbors=planted)
+    margins = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    generate(
+        sf,
+        out,
+        hot_frac=hot,
+        planted_neighbors=planted,
+        planted_margins=margins,
+    )

@@ -189,6 +189,62 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # --- fixed-cost drift sentinel (VERDICT r8 item 7) -------------------
+    # Two rounds in a row the BENCH records needed a "host drift" caveat
+    # (r7 +2%, r8 +13% on untouched keys).  Time three CONSTANT-INPUT,
+    # CONSTANT-PLAN probes alongside every run — one per cost class the
+    # keys actually pay — so bench_compare.py can normalize cross-session
+    # deltas by how fast THIS host was, not how fast the code is:
+    #   spark_agg_s     JVM codegen + shuffle (range -> hash agg)
+    #   stream_drain_s  AvailableNow drain floor (the s-key fixed cost)
+    #   duckdb_cpu_s    single-thread oracle-side CPU speed
+    # Best-of-3 each; ~3 s total, recorded in BENCH_FULL_LATEST.json
+    # (kept OFF the driver's slim stdout line, which is byte-budgeted).
+    def _best_of(n: int, fn) -> float:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 4)
+
+    def _spark_agg_probe() -> None:
+        spark.range(8_000_000).selectExpr(
+            "id % 1024 AS k", "id AS v"
+        ).groupBy("k").sum("v").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    _sent_dir = _tf.mkdtemp(prefix="bench_sentinel_")
+    spark.range(100).selectExpr("id AS k").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{_sent_dir}/in")
+
+    def _stream_drain_probe() -> None:
+        _sq = (
+            spark.readStream.schema("k long")
+            .parquet(f"{_sent_dir}/in")
+            .writeStream.format("noop")
+            .option("checkpointLocation", _tf.mkdtemp(prefix="bench_sck_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        _sq.awaitTermination()
+
+    def _duckdb_probe() -> None:
+        import duckdb as _dk
+
+        con = _dk.connect()
+        con.execute("SET threads=1")
+        con.execute("SELECT sum(i * i) FROM range(20000000) t(i)").fetchall()
+        con.close()
+
+    sentinel = {
+        "spark_agg_s": _best_of(3, _spark_agg_probe),
+        "stream_drain_s": _best_of(3, _stream_drain_probe),
+        "duckdb_cpu_s": _best_of(3, _duckdb_probe),
+    }
+
     # Real streaming drains (checkpointed AvailableNow runs): their cost
     # is dominated by fixed stream-query startup, so a second run would
     # double honest work, not shed a spike.
@@ -258,6 +314,9 @@ def main() -> None:
         # which keys took the best-of-2 path, so BENCH artifacts remain
         # comparable across rounds (ADVICE r3)
         "retimed": sorted(retimed),
+        # fixed-cost host-speed probes for drift normalization
+        # (scripts/bench_compare.py reads these; see comment above)
+        "sentinel": sentinel,
     }
     # Full-fidelity record for humans / the judge (full query keys).
     try:
@@ -292,7 +351,7 @@ def main() -> None:
             slim = {
                 k: v
                 for k, v in payload.items()
-                if k not in ("n_queries", "retimed")
+                if k not in ("n_queries", "retimed", "sentinel")
             }
             return json.dumps(
                 {

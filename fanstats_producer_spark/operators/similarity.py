@@ -1014,6 +1014,64 @@ def x66_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_decontam_gate(vectors: DataFrame, evs_row: DataFrame) -> Column:
+    """x66's decision as a STATELESS batch/stream-shared filter stage
+    (the s24 one-codepath pattern, llm_data.contamination_gate).
+
+    `evs_row` is a ONE-ROW frame with column `evs`
+    array<struct<eval_id, ev array<double>>> — the eval matrix riding
+    as broadcast DATA (never as literals; BASELINE.md expression-tree
+    lesson).  Each incoming vector cross-joins the row and reduces the
+    eval array with a composite-integer array_min (the x84 argmax
+    pattern): (1e6 - sim_e6)·1e10 + eval_id, so nearest-eval choice
+    and the contamination flag are integer-exact and therefore
+    BATCH-SLICING-INVARIANT — any micro-batch partitioning of the
+    corpus yields identical verdicts, no drain precondition.
+
+    The per-row reduction is interpreted HOF work (~8k ops/row at 20
+    evals × 64 dims — fine for a benchmark-sized eval set; for eval
+    suites in the thousands, run x66's codegen'd cross-join form in
+    foreachBatch instead — the x78 interpreted-HOF rule)."""
+    joined = vectors.crossJoin(F.broadcast(evs_row))
+    comp = F.array_min(
+        F.transform(
+            F.col("evs"),
+            lambda e: (F.lit(1_000_000) - qint(cosine(F.col("embedding"), e["ev"])))
+            * F.lit(10_000_000_000)
+            + e["eval_id"],
+        )
+    )
+    # decode with integer `div`, never float `/`: comp reaches ~2e16 >
+    # 2^53, where a double round-trip can be off by one
+    sim = F.lit(1_000_000) - F.expr("comp div 10000000000")
+    return (
+        joined.withColumn("comp", comp)
+        .select(
+            "vec_id",
+            (F.col("comp") % F.lit(10_000_000_000)).alias("nearest_eval_id"),
+            sim.alias("max_sim_e6"),
+            (sim >= F.lit(_X66_THRESH_E6)).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def eval_matrix_row(emb: DataFrame, n_eval: int = _X66_N_EVAL) -> DataFrame:
+    """The broadcastable one-row eval matrix for semantic_decontam_gate:
+    array_sort(collect_list(struct(eval_id, ev))) — deterministic
+    content, no driver collect (the aggregation stays distributed and
+    only the single array row broadcasts)."""
+    return (
+        emb.filter(F.col("vec_id") < n_eval)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("eval_id"),
+                _as_double(F.col("embedding")).alias("ev"),
+            ).alias("e")
+        )
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+
+
 # --- x82: sparse text similarity via feature hashing ----------------------------
 # The SPARSE complement to the dense x05/x57 family: documents become
 # hashed TF vectors (the feature-hashing trick — md5 token buckets, no

@@ -132,6 +132,9 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DOC_LANDING_CACHE: dict[str, str] = {}
+#: s24's eval-suite shingles, collected once per (sf_dir, session) —
+#: the suite is static across drains (same rationale as _doc_landing)
+_EVAL_SHINGLES_CACHE: dict[str, list[str]] = {}
 
 
 def _doc_landing(spark: SparkSession, sf_dir: str) -> str:
@@ -1304,10 +1307,18 @@ def s24_stream_contamination_gate(
         eval_shingle_set,
     )
 
-    ev_docs = _load(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 50 == 0
-    )
-    shingles = eval_shingle_set(ev_docs)
+    import os as _os
+
+    key = _os.path.abspath(sf_dir)
+    shingles = _EVAL_SHINGLES_CACHE.get(key)
+    if shingles is None:
+        # one collect per (sf_dir, session) — the suite is static, so
+        # re-collecting it per drain was pure waste (the _doc_landing
+        # rationale applied to the gate's constant side)
+        ev_docs = _load(spark, sf_dir, "documents").filter(
+            F.col("doc_id") % 50 == 0
+        )
+        shingles = _EVAL_SHINGLES_CACHE[key] = eval_shingle_set(ev_docs)
     landing = _doc_landing(spark, sf_dir)  # shared, read-only
     stream = jobs.read_document_stream(spark, landing)
     name = f"s24_mem_{uuid.uuid4().hex[:8]}"
@@ -1358,7 +1369,7 @@ def s25_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact duplicates (the corpus plants them) and the FP count is 0,
     matching the (1-e^{-kn/m})^k ≈ 4e-4 expectation at n=2.5k — the
     number a capacity planner reads off before sizing m."""
-    import json as _json
+    import glob as _glob
     import os
     import shutil
 
@@ -1367,27 +1378,38 @@ def s25_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="s25_work_")
     landing = os.path.join(work, "landing")
     os.makedirs(landing)
-    docs = (
-        _load(spark, sf_dir, "documents")
-        .select("doc_id", "text", "lang")
-        .collect()
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        "text",
+        "lang",
     )
-    for half, fname, mtime in ((0, "a.json", 1_000_000_000), (1, "b.json", 1_000_000_100)):
-        with open(os.path.join(landing, fname), "w") as f:
-            for r in docs:
-                if r.doc_id % 2 == half:
-                    f.write(
-                        _json.dumps(
-                            {
-                                "doc_id": r.doc_id,
-                                "ts": "2024-01-01T00:00:00Z",
-                                "text": r.text,
-                                "lang": r.lang,
-                            }
-                        )
-                        + "\n"
-                    )
-        os.utime(os.path.join(landing, fname), (mtime, mtime))
+    # Stage DISTRIBUTED (the _doc_landing pattern): two filtered
+    # executor-side JSON writes — the corpus never touches the driver
+    # (this was the one registered key that collected the full fixture;
+    # VERDICT r8 item 3).  Each half coalesces to ONE part file because
+    # the key's contract is a two-micro-batch drain (batch A seeds the
+    # sketch, batch B scores against it) and the file-stream source
+    # batches per file; mtimes order the halves.  The coalesce(1) is a
+    # DEMO-shape constraint, not an engine one — jobs.
+    # streaming_bloom_dedup itself handles any slicing (the pytest
+    # drains multi-file landings).
+    for half, fname, mtime in (
+        (0, "a.json", 1_000_000_000),
+        (1, "b.json", 1_000_000_100),
+    ):
+        stage = os.path.join(work, f"half{half}")
+        (
+            docs.filter(F.col("doc_id") % 2 == half)
+            .coalesce(1)
+            .write.json(stage)
+        )
+        parts = _glob.glob(os.path.join(stage, "part-*.json"))
+        assert len(parts) == 1, parts
+        dst = os.path.join(landing, fname)
+        os.rename(parts[0], dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(stage, ignore_errors=True)
     state_dir = os.path.join(work, "state")
     verdict_dir = os.path.join(work, "verdicts")
     ckpt = os.path.join(work, "ckpt")
@@ -1406,3 +1428,77 @@ def s25_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _s26_oracle() -> str:
+    # explicit module import so standalone worker imports register x66
+    # first (the x61/x24 lesson)
+    import fanstats_producer_spark.operators.similarity  # noqa: F401
+
+    from fanstats_producer_spark import registry as _reg
+
+    # s26's drained verdicts ARE x66's batch output (stateless gate +
+    # integer-exact argmax -> batch-slicing-invariant), so the oracle
+    # is shared verbatim
+    return _reg.ORACLE["x66_semantic_decontam"]
+
+
+@query("s26_stream_semantic_decontam", oracle=_s26_oracle())
+def s26_stream_semantic_decontam(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """s26: embedding-space decontamination ON THE INGEST STREAM — the
+    x66 gate (nearest eval vector by e6-quantized cosine, integer-exact
+    contamination flag) running as stateless append over arriving
+    vectors, the s24 pattern applied to the dense modality.  The eval
+    matrix (vec_id < 20) aggregates to a ONE-ROW broadcast frame (no
+    driver collect) and each micro-batch row reduces it with a
+    composite-integer array_min, so verdicts are batch-slicing-
+    invariant and the drained table equals x66's batch output exactly —
+    the oracle is x66's, shared verbatim.  Paraphrase-level benchmark
+    leakage gets caught before a vector ever lands in the training
+    index; the n-gram gate (s24) and this one are the two production
+    arms of the same admission pipeline."""
+    import atexit
+    import os
+    import shutil
+
+    from fanstats_producer_spark.io import load as _load
+    from fanstats_producer_spark.operators.similarity import (
+        _X66_N_EVAL,
+        eval_matrix_row,
+        semantic_decontam_gate,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    evs = eval_matrix_row(emb)
+    path = f"{sf_dir}/embeddings.parquet"
+    schema = spark.read.parquet(path).schema
+    landing = tempfile.mkdtemp(prefix="s26_landing_")
+    atexit.register(shutil.rmtree, landing, ignore_errors=True)
+    dst = os.path.join(landing, "embeddings-000.parquet")
+    try:
+        os.link(path, dst)
+    except OSError:
+        shutil.copy(path, dst)
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(landing)
+        .filter(F.col("vec_id") >= _X66_N_EVAL)
+    )
+    name = f"s26_mem_{uuid.uuid4().hex[:8]}"
+    with _few_partitions(spark), _skip_nodata_batch(spark):
+        q = (
+            semantic_decontam_gate(stream, evs)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain(q)
+    return (
+        spark.table(name)
+        .select("vec_id", "nearest_eval_id", "max_sim_e6", "contaminated")
+        .localCheckpoint(eager=True)
+    )

@@ -7,6 +7,13 @@ more than --abs seconds — the double threshold keeps the sub-second
 scheduling-floor noise (±30% run-to-run on local[32]) from drowning real
 regressions.  Exit code 1 if any regression is flagged, so the check can
 gate CI.  New/removed keys are reported informationally.
+
+When both records carry the fixed-cost "sentinel" block (bench.py times
+constant-input probes every run), the OLD side is scaled by the measured
+host-speed drift before comparing — so flags mean code changes, not host
+weather (r7 carried a +2% caveat, r8 +13%; this removes the caveat).
+Printed old-side values are the drift-ADJUSTED baselines in that mode;
+--no-drift-norm compares raw.
 """
 
 from __future__ import annotations
@@ -22,6 +29,11 @@ def main() -> int:
     ap.add_argument("new")
     ap.add_argument("--pct", type=float, default=30.0)
     ap.add_argument("--abs", dest="abs_s", type=float, default=0.3)
+    ap.add_argument(
+        "--no-drift-norm",
+        action="store_true",
+        help="compare raw numbers even when both records carry sentinels",
+    )
     args = ap.parse_args()
 
     with open(args.old) as f:
@@ -49,18 +61,47 @@ def main() -> int:
 
     oq, nq = _in_seconds(old), _in_seconds(new)
 
+    # Drift normalization (VERDICT r8 item 7): both records may carry a
+    # "sentinel" block — fixed-cost constant-input probes timed alongside
+    # the run (bench.py).  The ratio new/old per probe measures HOST
+    # speed change between sessions, independent of code changes; scale
+    # the OLD per-key numbers by the matching ratio so flagged deltas are
+    # code regressions, not host weather.  Stream-drain-floored keys
+    # normalize by the drain probe, everything else by the agg probe.
+    drift_agg = drift_drain = 1.0
+    os_, ns_ = old.get("sentinel"), new.get("sentinel")
+    if os_ and ns_ and not args.no_drift_norm:
+        if os_.get("spark_agg_s") and ns_.get("spark_agg_s"):
+            drift_agg = ns_["spark_agg_s"] / os_["spark_agg_s"]
+        if os_.get("stream_drain_s") and ns_.get("stream_drain_s"):
+            drift_drain = ns_["stream_drain_s"] / os_["stream_drain_s"]
+        print(
+            f"sentinel drift: agg x{drift_agg:.3f}"
+            f" drain x{drift_drain:.3f}"
+            + (
+                f" duckdb x{ns_['duckdb_cpu_s'] / os_['duckdb_cpu_s']:.3f}"
+                if os_.get("duckdb_cpu_s") and ns_.get("duckdb_cpu_s")
+                else ""
+            )
+            + " (old-side per-key baselines scaled accordingly)"
+        )
+
+    def _drift_for(key: str) -> float:
+        return drift_drain if key.startswith("s") else drift_agg
+
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     both = sorted(set(oq) & set(nq))
 
     regressions, improvements = [], []
     for k in both:
-        delta = nq[k] - oq[k]
-        pct = 100.0 * delta / oq[k] if oq[k] else float("inf")
+        base = oq[k] * _drift_for(k)
+        delta = nq[k] - base
+        pct = 100.0 * delta / base if base else float("inf")
         if delta > args.abs_s and pct > args.pct:
-            regressions.append((k, oq[k], nq[k], pct))
+            regressions.append((k, base, nq[k], pct))
         elif -delta > args.abs_s and -pct > args.pct:
-            improvements.append((k, oq[k], nq[k], pct))
+            improvements.append((k, base, nq[k], pct))
 
     print(
         f"total: {old.get('value')} -> {new.get('value')} s "

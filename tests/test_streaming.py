@@ -1598,3 +1598,81 @@ def test_s23_stale_state_fresh_checkpoint_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="stale state"):
         q.awaitTermination(120)
+
+
+def test_s26_gate_is_batch_slicing_invariant(spark, tmp_path):
+    """s26's verdicts must be identical for ANY micro-batch slicing of
+    the corpus (stateless gate + integer-exact argmax): split the
+    corpus vectors across two files drained one per batch, compare to
+    the single-batch drain AND to the batch x66 formulation."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from fanstats_producer_spark.io import load as _load
+    from fanstats_producer_spark.operators.similarity import (
+        _X66_N_EVAL,
+        eval_matrix_row,
+        semantic_decontam_gate,
+        x66_semantic_decontam,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = _load(spark, sf, "embeddings")
+    evs = eval_matrix_row(emb)
+    corpus = emb.filter(F.col("vec_id") >= _X66_N_EVAL)
+    schema = spark.read.parquet(f"{sf}/embeddings.parquet").schema
+
+    def drain(n_files: int, mfpt: int):
+        landing = tmp_path / f"land_{n_files}_{mfpt}"
+        landing.mkdir()
+        for fi in range(n_files):
+            part = corpus.filter(F.col("vec_id") % n_files == fi)
+            stage = tmp_path / f"stage_{n_files}_{mfpt}_{fi}"
+            part.coalesce(1).write.parquet(str(stage))
+            import glob as _glob
+
+            src = _glob.glob(str(stage / "part-*.parquet"))[0]
+            dst = landing / f"{fi}.parquet"
+            _os.rename(src, dst)
+            _os.utime(dst, (1_000_000_000 + fi * 100,) * 2)
+        reader = spark.readStream.schema(schema)
+        if mfpt:
+            reader = reader.option("maxFilesPerTrigger", mfpt)
+        stream = reader.parquet(str(landing))
+        name = f"s26t_{n_files}_{mfpt}"
+        q = (
+            semantic_decontam_gate(stream, evs)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        n_batches = len(
+            [p for p in q.recentProgress if p["numInputRows"] > 0]
+        )
+        rows = {
+            r["vec_id"]: (
+                r["nearest_eval_id"],
+                r["max_sim_e6"],
+                r["contaminated"],
+            )
+            for r in spark.table(name).collect()
+        }
+        return rows, n_batches
+
+    single, nb1 = drain(1, 0)
+    split, nb2 = drain(2, 1)
+    assert nb1 == 1 and nb2 == 2  # the slicing really differed
+    assert single == split
+    batch = {
+        r["vec_id"]: (
+            r["nearest_eval_id"],
+            r["max_sim_e6"],
+            r["contaminated"],
+        )
+        for r in x66_semantic_decontam(spark, sf).collect()
+    }
+    assert single == batch

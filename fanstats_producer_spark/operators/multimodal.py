@@ -2476,3 +2476,132 @@ def x88_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_features, schema="doc_id long, phash long"
     )
     return phash_near_dup_pairs(hashes)
+
+
+# --- x90: perceptual AUDIO near-dup (energy-delta fingerprint) ----------------
+#
+# Completes the perceptual-dedup matrix: text (x04*/x59), image (x88),
+# and now audio.  Fingerprint = the sign pattern of successive segment
+# ENERGIES (the time-domain simplification of the Haitsma-Kalker
+# energy-difference fingerprint): the decoded PCM splits into 64 EQUAL
+# segments (np.array_split — the x07b boundary convention, already
+# SQL-mirrored), bit k is set iff energy[k+1] > energy[k].  63 bits,
+# non-negative int64 — exactly the shape phash_near_dup_pairs expects,
+# so the banded LSH self-join (9×7-bit bands, hamming <= 8,
+# pigeonhole-EXACT) is SHARED with the image arm, and the brute-force
+# O(n²) oracle equals the banded plan by the same argument.
+#
+# Invariances (by construction, pytest-pinned): volume scaling
+# preserves every strict energy inequality (energies scale together),
+# and the equal-segment split length-normalizes, so a resampled/
+# stretched duplicate lands near the original.  NOT shift-invariant
+# (no overlapping frames) — a clipped prefix is a different signal
+# here; production would add an overlapped-frame variant of the same
+# pipeline.  All-integer arithmetic end to end: energies are exact
+# int64 sums of (16-bit sample)², so both engines compute identical
+# fingerprints with no quantization step at all.
+
+_X90_SEGS = 64
+
+
+def audio_fingerprint(samples) -> int:
+    """63-bit energy-delta fingerprint of an int16 PCM array: 64 equal
+    np.array_split segments, exact int64 energies (empty segment = 0),
+    bit k-1 set iff energy[k] > energy[k-1]."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    energies = [
+        int((seg * seg).sum()) if seg.size else 0
+        for seg in np.array_split(s, _X90_SEGS)
+    ]
+    fp = 0
+    for k in range(1, _X90_SEGS):
+        if energies[k] > energies[k - 1]:
+            fp |= 1 << (k - 1)
+    return fp
+
+
+def audio_fp_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker for x90: synthesize PCM from payload bytes
+    (the x64 convention, (byte-128)<<8), roundtrip through the REAL
+    WAV codec pair, fingerprint the decoded samples."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+            raw = np.frombuffer(bytes(blob), dtype=np.uint8)
+            pcm = ((raw.astype(np.int16) - 128) * 256).astype("<i2")
+            _rate, _ch, _w, dec = decode_wav(encode_wav(pcm))
+            rows.append(
+                {"doc_id": int(doc_id), "phash": audio_fingerprint(dec)}
+            )
+        yield pd.DataFrame(rows, columns=["doc_id", "phash"])
+
+
+def _x90_oracle() -> str:
+    """Brute-force DuckDB mirror: re-derive each document's fingerprint
+    from the text bytes (sample synth + x07b's closed-form array_split
+    boundaries at 64 segments + exact integer energies), then join all
+    pairs at hamming <= 8 — provably equal to the banded engine plan
+    (pigeonhole, see x88)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id, hex(encode(text)) AS hx,
+             octet_length(encode(text)) AS l
+      FROM documents),
+    pos AS (
+      SELECT doc_id, hx, l, unnest(range(l)) AS p FROM t),
+    smp AS (
+      -- np.array_split boundaries at 64 segments: (l%64) leading
+      -- segments of size l//64+1, the rest l//64 (ELSE unreachable
+      -- when l//64 = 0 — every p then satisfies the THEN predicate)
+      SELECT doc_id,
+             CASE WHEN p < (l % {_X90_SEGS}) * (l // {_X90_SEGS} + 1)
+                  THEN p // (l // {_X90_SEGS} + 1)
+                  ELSE (l % {_X90_SEGS})
+                       + (p - (l % {_X90_SEGS}) * (l // {_X90_SEGS} + 1))
+                         // (l // {_X90_SEGS})
+             END AS seg,
+             CAST((CAST(('0x' || substring(hx, CAST(2 * p + 1 AS INT), 2))
+                        AS INT) - 128) * 256 AS BIGINT) AS s
+      FROM pos),
+    seg_e AS (
+      SELECT doc_id, seg, SUM(s * s) AS e FROM smp GROUP BY 1, 2),
+    grid AS (
+      SELECT d.doc_id, g.k, COALESCE(seg_e.e, 0) AS e
+      FROM (SELECT DISTINCT doc_id FROM documents) d
+      CROSS JOIN (SELECT unnest(range({_X90_SEGS})) AS k) g
+      LEFT JOIN seg_e ON seg_e.doc_id = d.doc_id AND seg_e.seg = g.k),
+    fps AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(1, {_X90_SEGS}),
+               k -> CASE WHEN le[k + 1] > le[k]
+                         THEN 1 << (k - 1) ELSE 0 END)) AS BIGINT) AS fp
+      FROM (SELECT doc_id, list(e ORDER BY k) AS le
+            FROM grid GROUP BY 1))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.fp, b.fp)) <= {_X88_HAMMING}
+    """
+
+
+@query("x90_audio_neardup", oracle=_x90_oracle())
+def x90_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x90: perceptual audio near-duplicate detection — documents
+    synthesize to PCM, roundtrip the real WAV codec, fingerprint by
+    energy-delta signs, and pair up through the SAME banded LSH
+    self-join as the image arm (phash_near_dup_pairs)."""
+    from fanstats_producer_spark.io import spread
+
+    payloads = with_payload(
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+    ).select("doc_id", "payload")
+    hashes = payloads.mapInPandas(
+        audio_fp_features, schema="doc_id long, phash long"
+    )
+    return phash_near_dup_pairs(hashes)

@@ -1760,3 +1760,39 @@ def test_planted_margins_and_neighbors_are_disjoint(tmp_path):
         f"SELECT COUNT(*) FROM '{d}/embeddings.parquet'"
     ).fetchone()[0]
     assert n == 200  # sf0.01 embedding count unchanged by planting
+
+
+def test_x90_audio_fingerprint_invariances():
+    """Volume scaling preserves every strict energy inequality, so the
+    fingerprint is identical; equal-segment splitting length-normalizes
+    (a 2x-upsampled duplicate keeps the segment energy ORDERING); a
+    structurally different signal is far away.  Codec roundtrip is part
+    of the registered path, pinned here too."""
+    import numpy as np
+
+    from fanstats_producer_spark.operators.multimodal import (
+        _X88_HAMMING,
+        audio_fingerprint,
+        decode_wav,
+        encode_wav,
+    )
+
+    # per-segment constant amplitude, even values so halving is exact;
+    # pattern gives distinct, non-monotonic energies across segments
+    amps = np.array([((k * 37) % 29 + 1) * 20 for k in range(64)])
+    s = np.repeat(amps, 100).astype(np.int16)  # 6400 samples
+    fp = audio_fingerprint(s)
+    assert 0 <= fp < (1 << 63)
+    # volume: exact halving scales every energy by 1/4 -> same signs
+    assert audio_fingerprint(s // 2) == fp
+    # length: sample-doubling repeats each sample; segment boundaries
+    # scale with the signal, so energies scale uniformly (2x) -> equal
+    assert audio_fingerprint(np.repeat(s, 2)) == fp
+    # a different signal (reversed amplitude pattern) is far away
+    other = np.repeat(amps[::-1], 100).astype(np.int16)
+    d = bin(fp ^ audio_fingerprint(other)).count("1")
+    assert d > _X88_HAMMING, d
+    # the registered path roundtrips the real codec: decoded samples
+    # fingerprint identically
+    _r, _c, _w, dec = decode_wav(encode_wav(s))
+    assert audio_fingerprint(dec) == fp

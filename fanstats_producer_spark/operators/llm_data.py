@@ -1684,3 +1684,75 @@ def x86_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+# --- x91: sequence packing (pretraining chunk layout) ---------------------------
+# The packing step every GPT-style pretraining pipeline runs after
+# tokenize: concatenate all documents' token streams in a deterministic
+# global order and cut the stream every C tokens into training
+# sequences — documents SPAN chunk boundaries (no padding waste; the
+# standard concat-and-chunk scheme, cf. the GPT/Pile data pipelines).
+# The layout is fully determined by exclusive prefix sums over the
+# deterministic (md5(doc_id), doc_id) shuffle order x35 established, so
+# the whole plan is one bucketed running sum (global_running_sum — no
+# single-task window) plus integer arithmetic: first_seq = start div C,
+# last_seq = (end-1) div C.  At 100 TB this is exactly the manifest a
+# packer needs to write shards in parallel: each executor can render
+# any sequence range knowing only (doc_id, start_offset) — no global
+# sort, no driver state.
+_X91_SEQ_LEN = 512
+
+
+@query(
+    "x91_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS r
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY r, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // {_X91_SEQ_LEN} AS first_seq,
+           (cum - 1) // {_X91_SEQ_LEN} AS last_seq,
+           (cum - 1) // {_X91_SEQ_LEN}
+             - (cum - n_tokens) // {_X91_SEQ_LEN} + 1 AS n_seqs
+    FROM c
+    """,
+)
+def x91_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x91: concat-and-chunk sequence packing manifest.  Token counts
+    use the x35 convention (len of the space split); the global order
+    is (md5(doc_id), doc_id) — a deterministic shuffle, so the packed
+    layout is reproducible on any engine; offsets come from the
+    bucketed running sum (exclusive prefix = inclusive - own count)."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("r"),
+    )
+    c = global_running_sum(
+        t,
+        [F.asc("r"), F.asc("doc_id")],
+        "n_tokens",
+        bucket=F.substring("r", 1, 2),
+        out_col="cum",
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    first = F.expr(f"(cum - n_tokens) div {_X91_SEQ_LEN}")
+    last = F.expr(f"(cum - 1) div {_X91_SEQ_LEN}")
+    return c.select(
+        "doc_id",
+        "n_tokens",
+        start.alias("start_offset"),
+        first.alias("first_seq"),
+        last.alias("last_seq"),
+        (last - first + F.lit(1)).alias("n_seqs"),
+    )

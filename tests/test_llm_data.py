@@ -485,3 +485,32 @@ def test_x89_oracle_greedy_merge_application_edge_cases():
         for r in con.execute(_bpe_oracle(8, 2)).fetchall()
     }
     assert got == want
+
+
+def test_x91_packing_layout_invariants(spark):
+    """The packed stream must be gapless and overlap-free: sorted by
+    start_offset, each document begins exactly where the previous one
+    ended, the stream starts at 0, and the sequence-span arithmetic
+    matches a direct recomputation."""
+    from fanstats_producer_spark.operators.llm_data import (
+        _X91_SEQ_LEN,
+        x91_sequence_packing,
+    )
+
+    rows = sorted(
+        x91_sequence_packing(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["start_offset"],
+    )
+    assert rows[0]["start_offset"] == 0
+    pos = 0
+    for r in rows:
+        assert r["start_offset"] == pos  # gapless, no overlap
+        assert r["n_tokens"] >= 1
+        end = pos + r["n_tokens"]
+        assert r["first_seq"] == pos // _X91_SEQ_LEN
+        assert r["last_seq"] == (end - 1) // _X91_SEQ_LEN
+        assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+        pos = end
+    # at least one document must span a sequence boundary (the whole
+    # point of concat-and-chunk) on this fixture
+    assert any(r["n_seqs"] > 1 for r in rows)

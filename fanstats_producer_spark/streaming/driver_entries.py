@@ -137,6 +137,48 @@ _DOC_LANDING_CACHE: dict[str, str] = {}
 _EVAL_SHINGLES_CACHE: dict[str, list[str]] = {}
 
 
+def _stage_parity_landing(spark: SparkSession, sf_dir: str, work: str) -> str:
+    """Two-micro-batch document landing, staged DISTRIBUTED (the
+    _doc_landing pattern — VERDICT r8 item 3: the corpus never touches
+    the driver): two doc_id-parity filtered executor-side JSON writes,
+    each coalesced to ONE part file (the demo contract is exactly two
+    file-stream batches — batch A seeds state, batch B exercises it;
+    the coalesce(1) is that contract's shape, not an engine limit),
+    renamed into the landing with distinct mtimes so the file-stream
+    source orders them.  Used by s25 (Bloom dedup) and s27 (packing)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from fanstats_producer_spark.io import load as _load
+
+    landing = os.path.join(work, "landing")
+    os.makedirs(landing)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
+        "text",
+        "lang",
+    )
+    for half, fname, mtime in (
+        (0, "a.json", 1_000_000_000),
+        (1, "b.json", 1_000_000_100),
+    ):
+        stage = os.path.join(work, f"half{half}")
+        (
+            docs.filter(F.col("doc_id") % 2 == half)
+            .coalesce(1)
+            .write.json(stage)
+        )
+        parts = _glob.glob(os.path.join(stage, "part-*.json"))
+        assert len(parts) == 1, parts
+        dst = os.path.join(landing, fname)
+        os.rename(parts[0], dst)
+        os.utime(dst, (mtime, mtime))
+        shutil.rmtree(stage, ignore_errors=True)
+    return landing
+
+
 def _doc_landing(spark: SparkSession, sf_dir: str) -> str:
     """Staged document landing dir — (doc_id, ts, text, lang) JSON with
     the deterministic doc_id-derived event time — shared by every
@@ -1369,47 +1411,11 @@ def s25_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact duplicates (the corpus plants them) and the FP count is 0,
     matching the (1-e^{-kn/m})^k ≈ 4e-4 expectation at n=2.5k — the
     number a capacity planner reads off before sizing m."""
-    import glob as _glob
     import os
     import shutil
 
-    from fanstats_producer_spark.io import load as _load
-
     work = tempfile.mkdtemp(prefix="s25_work_")
-    landing = os.path.join(work, "landing")
-    os.makedirs(landing)
-    docs = _load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
-        "text",
-        "lang",
-    )
-    # Stage DISTRIBUTED (the _doc_landing pattern): two filtered
-    # executor-side JSON writes — the corpus never touches the driver
-    # (this was the one registered key that collected the full fixture;
-    # VERDICT r8 item 3).  Each half coalesces to ONE part file because
-    # the key's contract is a two-micro-batch drain (batch A seeds the
-    # sketch, batch B scores against it) and the file-stream source
-    # batches per file; mtimes order the halves.  The coalesce(1) is a
-    # DEMO-shape constraint, not an engine one — jobs.
-    # streaming_bloom_dedup itself handles any slicing (the pytest
-    # drains multi-file landings).
-    for half, fname, mtime in (
-        (0, "a.json", 1_000_000_000),
-        (1, "b.json", 1_000_000_100),
-    ):
-        stage = os.path.join(work, f"half{half}")
-        (
-            docs.filter(F.col("doc_id") % 2 == half)
-            .coalesce(1)
-            .write.json(stage)
-        )
-        parts = _glob.glob(os.path.join(stage, "part-*.json"))
-        assert len(parts) == 1, parts
-        dst = os.path.join(landing, fname)
-        os.rename(parts[0], dst)
-        os.utime(dst, (mtime, mtime))
-        shutil.rmtree(stage, ignore_errors=True)
+    landing = _stage_parity_landing(spark, sf_dir, work)
     state_dir = os.path.join(work, "state")
     verdict_dir = os.path.join(work, "verdicts")
     ckpt = os.path.join(work, "ckpt")
@@ -1502,3 +1508,79 @@ def s26_stream_semantic_decontam(
         .select("vec_id", "nearest_eval_id", "max_sim_e6", "contaminated")
         .localCheckpoint(eager=True)
     )
+
+
+@query(
+    "s27_stream_sequence_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+             doc_id % 2 AS half
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY half, doc_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum
+      FROM t)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           cum - n_tokens AS start_offset,
+           (cum - n_tokens) // 512 AS first_seq,
+           (cum - 1) // 512 AS last_seq,
+           (cum - 1) // 512 - (cum - n_tokens) // 512 + 1 AS n_seqs
+    FROM c
+    """,
+)
+def s27_stream_sequence_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """s27: ONLINE sequence packing — x91's concat-and-chunk manifest
+    built incrementally (jobs.streaming_sequence_packing), state = one
+    carried token offset promoted per batch under the _BATCH marker
+    protocol.  The layout depends on arrival order BY DESIGN (a packer
+    packs the stream it is given), so the registered drain stages the
+    deterministic two-batch parity landing and the oracle states that
+    order: ORDER BY (doc_id % 2), doc_id — batch A then batch B, each
+    in doc_id order.  The cross-batch carry is the thing under test:
+    batch B's offsets continue exactly where batch A's total ended."""
+    import os
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="s27_work_")
+    landing = _stage_parity_landing(spark, sf_dir, work)
+    manifest_dir = os.path.join(work, "manifest")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        stream = (
+            spark.readStream.schema(jobs.DOCUMENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(landing)
+        )
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_sequence_packing(
+                stream, manifest_dir, state_dir, ckpt
+            )
+            _drain(q)
+            data_batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            if len(data_batches) != 2:
+                raise AssertionError(
+                    "s27 oracle states the two-parity-batch arrival"
+                    f" order; observed {len(data_batches)} data"
+                    " micro-batches — the staged landing or trigger"
+                    " changed"
+                )
+        out = spark.read.parquet(manifest_dir).select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            "first_seq",
+            "last_seq",
+            "n_seqs",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1084,3 +1084,127 @@ def streaming_bloom_dedup(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_sequence_packing(
+    docs: DataFrame,
+    manifest_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    seq_len: int = 512,
+) -> StreamingQuery:
+    """s27: ONLINE concat-and-chunk sequence packing — x91's manifest
+    built incrementally as documents arrive.  State is ONE NUMBER (the
+    cumulative token offset), promoted per batch with the s23/s25
+    staged-rename + `_BATCH` marker protocol: the offset advance is a
+    sum (NOT replay-idempotent), so a replayed batch whose id matches
+    the marker skips the promote — its manifest partition was written
+    BEFORE the state advanced, from the same prior offset, so a
+    crash-window recompute lands byte-identical; a batch id BELOW the
+    marker means stale state under a fresh checkpoint and fails loudly
+    (double-advancing the offset would shift every later document).
+
+    Within a batch, documents pack in doc_id order via the bucketed
+    running sum (no single-task window — the x35/x91 scale shape);
+    across batches, in arrival order.  The layout therefore depends on
+    the batch slicing BY DESIGN (a packer consumes the stream it is
+    given); the registered key stages a deterministic two-batch landing
+    so the oracle can state the order (the s22 precondition pattern).
+
+    At 100 TB: the per-batch work is one narrow aggregation + one
+    manifest write, state is O(1), and every emitted manifest row is
+    immediately consumable — downstream shard writers can render
+    sequence ranges while ingest continues."""
+    import os
+    import shutil
+
+    staged = state_dir.rstrip("/") + ".staged"
+    retired = state_dir.rstrip("/") + ".retired"
+
+    def _recover() -> None:
+        if os.path.isdir(state_dir):
+            return
+        if (
+            os.path.isdir(staged)
+            and os.path.exists(os.path.join(staged, "_SUCCESS"))
+            and os.path.exists(os.path.join(staged, "_BATCH"))
+        ):
+            os.rename(staged, state_dir)
+        elif os.path.isdir(retired):
+            os.rename(retired, state_dir)
+
+    def _last_merged(d: str) -> int:
+        try:
+            with open(os.path.join(d, "_BATCH")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        from fanstats_producer_spark.operators.llm_data import (
+            global_running_sum,
+        )
+
+        spark = batch_df.sparkSession
+        _recover()
+        last = _last_merged(state_dir) if os.path.isdir(state_dir) else -1
+        if batch_id < last:
+            raise RuntimeError(
+                f"streaming_sequence_packing: batch_id {batch_id} < last"
+                f" merged batch {last} in {state_dir} — stale state with"
+                " a fresh checkpoint would double-advance the offset;"
+                " clear the state dir before restarting"
+            )
+        if last == batch_id:
+            # crash-window replay: the manifest partition landed before
+            # the promote — nothing left to do
+            return
+        if os.path.isdir(state_dir):
+            base = spark.read.parquet(state_dir).collect()[0]["offset"]
+        else:
+            base = 0
+        t = batch_df.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        c = global_running_sum(
+            t,
+            [F.asc("doc_id")],
+            "n_tokens",
+            bucket=F.expr("doc_id div 4096"),
+            out_col="cum",
+        ).withColumn("cum", F.col("cum") + F.lit(base))
+        first = F.expr(f"(cum - n_tokens) div {seq_len}")
+        last_seq = F.expr(f"(cum - 1) div {seq_len}")
+        manifest = c.select(
+            "doc_id",
+            "n_tokens",
+            (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+            first.alias("first_seq"),
+            last_seq.alias("last_seq"),
+            (last_seq - first + F.lit(1)).alias("n_seqs"),
+        ).localCheckpoint(eager=True)
+        manifest.write.mode("overwrite").parquet(
+            os.path.join(manifest_dir, f"batch={batch_id}")
+        )
+        total = manifest.agg(
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+        ).collect()[0]["t"]
+        new_state = spark.createDataFrame(
+            [(int(base) + int(total),)], "offset long"
+        ).coalesce(1)
+        new_state.write.mode("overwrite").parquet(staged)
+        with open(os.path.join(staged, "_BATCH"), "w") as f:
+            f.write(str(batch_id))
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(state_dir):
+            os.rename(state_dir, retired)
+        os.rename(staged, state_dir)
+        shutil.rmtree(retired, ignore_errors=True)
+
+    return (
+        docs.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1676,3 +1676,86 @@ def test_s26_gate_is_batch_slicing_invariant(spark, tmp_path):
         for r in x66_semantic_decontam(spark, sf).collect()
     }
     assert single == batch
+
+
+def test_s27_packing_carries_offset_and_absorbs_replay(spark, tmp_path):
+    """The carried token offset must continue across batches, a fresh
+    checkpoint replaying the promoted batch must be absorbed by the
+    _BATCH marker (manifest unchanged), and stale state under a fresh
+    checkpoint must fail loudly."""
+    import json as _json
+    import os as _os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from fanstats_producer_spark.streaming import jobs
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    texts = {
+        0: "a b c",          # 3 tokens  (batch A)
+        2: "d e",            # 2 tokens  (batch A)
+        1: "f g h i",        # 4 tokens  (batch B)
+        3: "j",              # 1 token   (batch B)
+    }
+
+    def _write(name, ids, mtime):
+        with open(landing / name, "w") as f:
+            for i in ids:
+                f.write(
+                    _json.dumps(
+                        {
+                            "doc_id": i,
+                            "ts": "2024-01-01T00:00:00Z",
+                            "text": texts[i],
+                            "lang": "en",
+                        }
+                    )
+                    + "\n"
+                )
+        _os.utime(landing / name, (mtime, mtime))
+
+    _write("a.json", [0, 2], 1_000_000_000)
+    _write("b.json", [1, 3], 1_000_000_100)
+
+    def _drain(ckpt):
+        src = (
+            spark.readStream.schema(jobs.DOCUMENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(landing))
+        )
+        q = jobs.streaming_sequence_packing(
+            src,
+            str(tmp_path / "manifest"),
+            str(tmp_path / "state"),
+            str(tmp_path / ckpt),
+            seq_len=4,
+        )
+        q.awaitTermination(120)
+        return {
+            r["doc_id"]: (
+                r["start_offset"],
+                r["first_seq"],
+                r["last_seq"],
+                r["n_seqs"],
+            )
+            for r in spark.read.parquet(
+                str(tmp_path / "manifest")
+            ).collect()
+        }
+
+    got = _drain("ckpt1")
+    # stream order: (0: 3 tok @0), (2: 2 tok @3), then batch B carries
+    # on at offset 5: (1: 4 tok @5), (3: 1 tok @9); seq_len=4
+    assert got == {
+        0: (0, 0, 0, 1),
+        2: (3, 0, 1, 2),
+        1: (5, 1, 2, 2),
+        3: (9, 2, 2, 1),
+    }
+    state = spark.read.parquet(str(tmp_path / "state")).collect()
+    assert state[0]["offset"] == 10
+    # fresh checkpoint: batch 0 replays with marker at 1 -> 0 < 1 is the
+    # STALE-STATE case and must raise (double-advance hazard)
+    with pytest.raises(StreamingQueryException, match="stale state"):
+        _drain("ckpt2")

@@ -118,3 +118,69 @@ def x51_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", shard.alias("shard"))
         .withColumn("pos", F.row_number().over(w).cast("long"))
     )
+
+
+# --- x92: weighted reservoir sampling (A-Res, deterministic) --------------------
+# Efraimidis & Spiliopoulos 2006 (public algorithm): a weighted sample
+# WITHOUT replacement of k items is the top-k by key u_i^(1/w_i) with
+# u_i uniform — equivalently by ln(u_i)/w_i, which is monotone and
+# numerically tame.  Here the weight is the document's token count
+# (token-proportional subsampling — the corpus-curation primitive for
+# "sample a 100M-token dev slice whose length mix matches training"),
+# and u_i derives from md5(doc_id) — 52 exact mantissa bits, +1 so u is
+# never 0 — making the "random" sample a pure deterministic function of
+# the data: reproducible on any engine, any partitioning, any run.
+# Scale shape: one scan computing a per-row expression, then top-k via
+# orderBy+limit (TakeOrderedAndProject — per-partition heaps + one
+# k-row merge, never a global sort).  Keys are e9-quantized before the
+# rank (the x77 ln-parity convention) with doc_id tie-break.
+_X92_K = 100
+
+
+@query(
+    "x92_weighted_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 2, 13))
+                  AS BIGINT) + 1 AS u52
+      FROM documents),
+    keyed AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(floor(ln(CAST(u52 AS DOUBLE) / 4503599627370496.0)
+                        / n_tokens * 1e9 + 0.5) AS BIGINT) AS key_e9
+      FROM t)
+    SELECT doc_id, n_tokens, key_e9
+    FROM keyed
+    ORDER BY key_e9 DESC, doc_id
+    LIMIT {_X92_K}
+    """,
+)
+def x92_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x92: top-k by the A-Res key ln(u)/w — documents with more tokens
+    get proportionally higher inclusion probability, and the whole
+    sample is a deterministic function of doc_id (md5 uniforms)."""
+    docs = load(spark, sf_dir, "documents")
+    u52 = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 2, 13),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    keyed = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(
+            F.log(u52.cast("double") / F.lit(4503599627370496.0))
+            / n_tokens.cast("double")
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("key_e9"),
+    )
+    return keyed.orderBy(F.desc("key_e9"), F.asc("doc_id")).limit(_X92_K)

@@ -1796,3 +1796,53 @@ def test_x90_audio_fingerprint_invariances():
     # fingerprint identically
     _r, _c, _w, dec = decode_wav(encode_wav(s))
     assert audio_fingerprint(dec) == fp
+
+
+def test_x92_weighted_sampling_favors_heavy_docs(spark, tmp_path):
+    """A-Res property check on controlled weights: with 50 heavy docs
+    (1000 tokens) among 450 light ones (1 token), the k=100 sample must
+    include essentially every heavy doc (P[miss one] ~ (1/1000)-scale),
+    and the key formula must match a hand recomputation.  Also pins the
+    top-k plan: TakeOrderedAndProject, never a global sort."""
+    import hashlib
+    import math
+
+    from fanstats_producer_spark.operators.sampling import (
+        _X92_K,
+        x92_weighted_sample,
+    )
+
+    rows = []
+    for i in range(500):
+        n_tok = 1000 if i < 50 else 1
+        rows.append((i, "tok " * (n_tok - 1) + "tok", "en"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "wsf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+    df = x92_weighted_sample(spark, str(d))
+    got = df.collect()
+    assert len(got) == _X92_K
+    heavy = [r for r in got if r["n_tokens"] == 1000]
+    assert len(heavy) >= 49  # all-but-at-most-one heavy doc sampled
+    # hand-recompute one key
+    r0 = got[0]
+    h = hashlib.md5(str(r0["doc_id"]).encode()).hexdigest()
+    u52 = int(h[1:14], 16) + 1
+    want = math.floor(
+        math.log(u52 / 4503599627370496.0) / r0["n_tokens"] * 1e9 + 0.5
+    )
+    assert r0["key_e9"] == want
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

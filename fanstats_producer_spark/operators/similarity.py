@@ -1289,3 +1289,110 @@ def x84_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("margin_e6"),
         )
     )
+
+
+# --- x93: int8 scalar quantization of embeddings --------------------------------
+# The storage-compression primitive every vector index ships (FAISS
+# ScalarQuantizer, public): per-DIMENSION min/max over the corpus, then
+# each value maps to an 8-bit code round((v-min)/(max-min)*255).  4x
+# smaller than float32 with bounded reconstruction error — the error
+# itself is part of the output (max abs error per vector, e9-quantized),
+# because that is the number an index operator reads before deciding
+# int8 is safe.  Scale shape: one explode+aggregate for the 64-row
+# stats table (which then BROADCASTS — it is dimension-sized, never
+# corpus-sized), one joined scan for the codes; nothing corpus-sized
+# shuffles except the (vec_id, dim) explode feeding the final per-vec
+# regroup, and at 100 TB the explode can be replaced by the HOF form
+# over the broadcast stats row with zero shuffle.
+# Cross-engine exactness: every arithmetic step is an IEEE
+# correctly-rounded double op written in the SAME order in both
+# engines ((v-min)/(max-min)*255, then floor(x+0.5); reconstruction
+# min + code*(max-min)/255.0), so codes and the e9-quantized error
+# match bit-for-bit — the same argument as qint itself.
+
+
+@query(
+    "x93_int8_embed_quant",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    flat AS (
+      SELECT vec_id,
+             unnest(range(1, len(v) + 1)) AS dim,
+             unnest(v) AS val
+      FROM e),
+    stats AS (
+      SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM flat GROUP BY 1),
+    coded AS (
+      SELECT f.vec_id, f.dim,
+             CASE WHEN s.hi > s.lo
+                  THEN CAST(floor((f.val - s.lo) / (s.hi - s.lo) * 255
+                                  + 0.5) AS BIGINT)
+                  ELSE 0 END AS code,
+             s.lo, s.hi
+      FROM flat f JOIN stats s USING (dim)),
+    errs AS (
+      SELECT vec_id, dim, code,
+             abs(f2.val - (c.lo + c.code * (c.hi - c.lo) / 255.0)) AS err
+      FROM coded c JOIN flat f2 USING (vec_id, dim))
+    SELECT vec_id,
+           md5(string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim))
+             AS codes_md5,
+           CAST(floor(MAX(err) * 1e9 + 0.5) AS BIGINT) AS max_err_e9
+    FROM errs GROUP BY 1
+    """,
+)
+def x93_int8_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load(spark, sf_dir, "embeddings"), "vec_id")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(_as_double(F.col("embedding"))).alias("p", "val"),
+    ).select("vec_id", (F.col("p") + 1).alias("dim"), "val")
+    stats = flat.groupBy("dim").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    coded = flat.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        "val",
+        "lo",
+        "hi",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.floor(
+                (F.col("val") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * F.lit(255)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("code"),
+    )
+    errs = coded.withColumn(
+        "err",
+        F.abs(
+            F.col("val")
+            - (
+                F.col("lo")
+                + F.col("code") * (F.col("hi") - F.col("lo")) / F.lit(255.0)
+            )
+        ),
+    )
+    per_vec = errs.groupBy("vec_id").agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("dim", "code"))
+                    ),
+                    lambda s: s["code"].cast("string"),
+                ),
+            )
+        ).alias("codes_md5"),
+        F.floor(F.max("err") * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("max_err_e9"),
+    )
+    return per_vec

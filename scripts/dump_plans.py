@@ -281,6 +281,24 @@ HEADLINERS = {
         "shared features and the corpus never shuffles pairwise; "
         "per-query top-k via partitioned window."
     ),
+    "x88_image_neardup": (
+        "Perceptual image dedup: pHash computes in ONE mapInPandas pass "
+        "(real codec decode, zero shuffle); the banded self-join "
+        "shuffles only 9x(7-bit key, 8-byte hash) per doc and is "
+        "EXACT-COMPLETE at hamming<=8 by pigeonhole — the sub-quadratic "
+        "plan provably equals brute force."
+    ),
+    "x91_sequence_packing": (
+        "Concat-and-chunk packing manifest: one bucketed running sum "
+        "(256 md5-prefix buckets + broadcast offsets — no single-task "
+        "window) and integer division; every executor can render any "
+        "shard range from the manifest independently."
+    ),
+    "x92_weighted_sample": (
+        "Weighted reservoir sample: one scan computing the "
+        "deterministic A-Res key, then TakeOrderedAndProject — "
+        "per-partition k-heaps merged once, never a global sort."
+    ),
 }
 
 

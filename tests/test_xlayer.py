@@ -1846,3 +1846,44 @@ def test_x92_weighted_sampling_favors_heavy_docs(spark, tmp_path):
     assert r0["key_e9"] == want
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_x93_int8_quantization_error_bound(spark, tmp_path):
+    """Codes stay in [0,255], the reconstruction error of every vector
+    is bounded by half a quantization step of the WIDEST dimension, and
+    a constant dimension (hi == lo) takes the code-0 guard instead of
+    dividing by zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from fanstats_producer_spark.operators.similarity import (
+        x93_int8_embed_quant,
+    )
+
+    d = tmp_path / "qf"
+    d.mkdir()
+    vecs = [
+        [0.0, 1.0, 5.0],
+        [1.0, 1.0, -3.0],
+        [0.5, 1.0, 2.0],
+    ]  # dim 2 is CONSTANT
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": pa.array(vecs, type=pa.list_(pa.float32())),
+                "label": [0, 0, 0],
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    rows = x93_int8_embed_quant(spark, str(d)).collect()
+    assert len(rows) == 3
+    # widest dimension spans 8.0 -> half-step bound = 8/255/2 ~ 0.0157
+    bound_e9 = int(8.0 / 255 / 2 * 1e9) + 2
+    for r in rows:
+        assert 0 <= r["max_err_e9"] <= bound_e9, r
+    # constant dim: all three vectors share code 0 there (no NaN/inf) —
+    # digests must exist and differ across distinct vectors
+    digests = {r["codes_md5"] for r in rows}
+    assert len(digests) == 3 and None not in digests

@@ -215,17 +215,25 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    import shutil as _sh
+
     _sent_dir = _tf.mkdtemp(prefix="bench_sentinel_")
     spark.range(100).selectExpr("id AS k").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{_sent_dir}/in")
+    _sent_n = [0]
 
     def _stream_drain_probe() -> None:
+        # fresh checkpoint per probe run (a reused one replays nothing
+        # and measures 0), all under _sent_dir so one rmtree cleans up
+        _sent_n[0] += 1
         _sq = (
             spark.readStream.schema("k long")
             .parquet(f"{_sent_dir}/in")
             .writeStream.format("noop")
-            .option("checkpointLocation", _tf.mkdtemp(prefix="bench_sck_"))
+            .option(
+                "checkpointLocation", f"{_sent_dir}/ck{_sent_n[0]}"
+            )
             .trigger(availableNow=True)
             .start()
         )
@@ -239,11 +247,14 @@ def main() -> None:
         con.execute("SELECT sum(i * i) FROM range(20000000) t(i)").fetchall()
         con.close()
 
-    sentinel = {
-        "spark_agg_s": _best_of(3, _spark_agg_probe),
-        "stream_drain_s": _best_of(3, _stream_drain_probe),
-        "duckdb_cpu_s": _best_of(3, _duckdb_probe),
-    }
+    try:
+        sentinel = {
+            "spark_agg_s": _best_of(3, _spark_agg_probe),
+            "stream_drain_s": _best_of(3, _stream_drain_probe),
+            "duckdb_cpu_s": _best_of(3, _duckdb_probe),
+        }
+    finally:
+        _sh.rmtree(_sent_dir, ignore_errors=True)
 
     # Real streaming drains (checkpointed AvailableNow runs): their cost
     # is dominated by fixed stream-query startup, so a second run would

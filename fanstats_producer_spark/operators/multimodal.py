@@ -2287,6 +2287,11 @@ def _phash_dct_table() -> list[list[int]]:
     ]
 
 
+#: lazily-built np.int64 DCT basis — phash64 runs once per document in
+#: the x88 scan, so the 256-cos table must not rebuild per call
+_PHASH_C = None
+
+
 def phash64(px32) -> int:
     """63-bit perceptual hash of a 32x32 uint8 pixel grid.
 
@@ -2298,7 +2303,10 @@ def phash64(px32) -> int:
     multiplicatively over integers, division-free and exact."""
     import numpy as np
 
-    c = np.asarray(_phash_dct_table(), dtype=np.int64)
+    global _PHASH_C
+    if _PHASH_C is None:
+        _PHASH_C = np.asarray(_phash_dct_table(), dtype=np.int64)
+    c = _PHASH_C
     x = np.asarray(px32, dtype=np.int64)
     if x.shape != (32, 32):
         raise ValueError(f"phash64 expects 32x32, got {x.shape}")

@@ -31,6 +31,90 @@ EVENT_SCHEMA = (
 )
 
 
+class _StagedState:
+    """Crash-safe two-rename promote protocol for foreachBatch parquet
+    state tables — ONE implementation shared by every stateful stream
+    in this module (s09/s21/s22/s23/s25/s27), so a protocol fix lands
+    everywhere at once.  The caller writes the new state to `.staged`,
+    then calls promote(): stamp the optional `_BATCH` marker, retire
+    the old dir, rename staged into place, drop the retired copy.
+    recover() finishes (or rolls back) a promote the driver died
+    inside — without it a replay would see no state and rebuild from
+    one batch, silently dropping every earlier key.
+
+    ``with_marker=True`` adds the replay protocol NON-idempotent merges
+    need (sums, offset advances): the `_BATCH` marker (last merged
+    batch id) is written into `.staged` BEFORE the rename so it
+    promotes atomically with the data.  check_batch() returns True when
+    the incoming batch already merged (crash-window replay — caller
+    skips the merge), and raises when the batch id is BELOW the marker
+    (stale state under a fresh checkpoint — a double-merge hazard that
+    must fail loudly, never silently corrupt)."""
+
+    def __init__(self, state_dir: str, with_marker: bool = False):
+        self.state_dir = state_dir
+        self.staged = state_dir.rstrip("/") + ".staged"
+        self.retired = state_dir.rstrip("/") + ".retired"
+        self.with_marker = with_marker
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.isdir(self.state_dir)
+
+    def recover(self) -> None:
+        import os
+
+        if os.path.isdir(self.state_dir):
+            return
+        ok = os.path.isdir(self.staged) and os.path.exists(
+            os.path.join(self.staged, "_SUCCESS")
+        )
+        if ok and self.with_marker:
+            # without the batch marker the staged dir predates the
+            # marker write — promoting it would lose replay detection
+            ok = os.path.exists(os.path.join(self.staged, "_BATCH"))
+        if ok:
+            os.rename(self.staged, self.state_dir)
+        elif os.path.isdir(self.retired):
+            os.rename(self.retired, self.state_dir)
+
+    def last_merged(self) -> int:
+        import os
+
+        try:
+            with open(os.path.join(self.state_dir, "_BATCH")) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def check_batch(self, batch_id: int, job: str) -> bool:
+        last = self.last_merged() if self.exists() else -1
+        if batch_id < last:
+            raise RuntimeError(
+                f"{job}: batch_id {batch_id} < last merged batch {last}"
+                f" in {self.state_dir} — stale state with a fresh"
+                " checkpoint would re-merge non-idempotent state; clear"
+                " the state dir before restarting"
+            )
+        return last == batch_id
+
+    def promote(self, batch_id: int | None = None) -> None:
+        import os
+        import shutil
+
+        if self.with_marker:
+            # marker promotes atomically with the data (underscore
+            # prefix: invisible to the parquet reader)
+            with open(os.path.join(self.staged, "_BATCH"), "w") as f:
+                f.write(str(batch_id))
+        shutil.rmtree(self.retired, ignore_errors=True)
+        if os.path.isdir(self.state_dir):
+            os.rename(self.state_dir, self.retired)
+        os.rename(self.staged, self.state_dir)
+        shutil.rmtree(self.retired, ignore_errors=True)
+
+
 def read_event_stream(
     spark: SparkSession,
     landing_dir: str,
@@ -165,32 +249,20 @@ def streaming_near_dup(
     same arrival-order dependence s11/s12 document for their dedup
     drains.  Cross-batch accumulation is pytest-verified."""
     import os
-    import shutil
 
     from fanstats_producer_spark.operators.dedup import streaming_band_keys
 
-    staged = state_dir.rstrip("/") + ".staged"
-    retired = state_dir.rstrip("/") + ".retired"
-
-    def _recover() -> None:
-        # same two-rename promote protocol as upsert_latest_per_key
-        if os.path.isdir(state_dir):
-            return
-        if os.path.isdir(staged) and os.path.exists(
-            os.path.join(staged, "_SUCCESS")
-        ):
-            os.rename(staged, state_dir)
-        elif os.path.isdir(retired):
-            os.rename(retired, state_dir)
+    # per-bucket MIN merges are replay-idempotent, so no _BATCH marker
+    st = _StagedState(state_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover()
+        st.recover()
         batch = batch_df.localCheckpoint(eager=True)  # reused twice below
         batch_min = batch.groupBy("band_hash").agg(
             F.min("doc_id").alias("min_id")
         )
-        if os.path.isdir(state_dir):
+        if st.exists():
             current = spark.read.parquet(state_dir)
             combined = (
                 current.unionByName(batch_min)
@@ -216,12 +288,8 @@ def streaming_near_dup(
         verdicts.write.mode("overwrite").parquet(
             os.path.join(verdict_dir, f"batch={batch_id}")
         )
-        combined.write.mode("overwrite").parquet(staged)
-        shutil.rmtree(retired, ignore_errors=True)
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, retired)
-        os.rename(staged, state_dir)
-        shutil.rmtree(retired, ignore_errors=True)
+        combined.write.mode("overwrite").parquet(st.staged)
+        st.promote()
 
     return (
         streaming_band_keys(docs)
@@ -274,30 +342,22 @@ def streaming_verified_near_dup(
 
     from fanstats_producer_spark.operators.dedup import streaming_band_keys
 
-    staged = state_dir.rstrip("/") + ".staged"
-    retired = state_dir.rstrip("/") + ".retired"
+    # two subtables (buckets/, texts/) promote atomically under ONE
+    # staged dir — the shared protocol with a hand-touched _SUCCESS
+    # (Spark writes per-subdir markers, not a root one)
+    st = _StagedState(state_dir)
     buckets_t, texts_t = "buckets", "texts"
-
-    def _recover() -> None:
-        if os.path.isdir(state_dir):
-            return
-        if os.path.isdir(staged) and os.path.exists(
-            os.path.join(staged, "_SUCCESS")
-        ):
-            os.rename(staged, state_dir)
-        elif os.path.isdir(retired):
-            os.rename(retired, state_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover()
+        st.recover()
         batch = batch_df.localCheckpoint(eager=True)
         keys = batch.select("doc_id", "band_hash")
         batch_texts = batch.select("doc_id", "text").distinct()
         batch_min = keys.groupBy("band_hash").agg(
             F.min("doc_id").alias("min_id")
         )
-        have_state = os.path.isdir(state_dir)
+        have_state = st.exists()
         if have_state:
             current = spark.read.parquet(os.path.join(state_dir, buckets_t))
             combined = (
@@ -363,16 +423,12 @@ def streaming_verified_near_dup(
         # texts state: only CURRENT bucket minima can partner future docs
         live = combined.select(F.col("min_id").alias("doc_id")).distinct()
         next_texts = known_texts.join(live, "doc_id")
-        shutil.rmtree(staged, ignore_errors=True)
-        combined.write.parquet(os.path.join(staged, buckets_t))
-        next_texts.write.parquet(os.path.join(staged, texts_t))
-        with open(os.path.join(staged, "_SUCCESS"), "w"):
+        shutil.rmtree(st.staged, ignore_errors=True)
+        combined.write.parquet(os.path.join(st.staged, buckets_t))
+        next_texts.write.parquet(os.path.join(st.staged, texts_t))
+        with open(os.path.join(st.staged, "_SUCCESS"), "w"):
             pass
-        shutil.rmtree(retired, ignore_errors=True)
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, retired)
-        os.rename(staged, state_dir)
-        shutil.rmtree(retired, ignore_errors=True)
+        st.promote()
 
     return (
         streaming_band_keys(docs, carry=("text",))
@@ -502,37 +558,18 @@ def upsert_latest_per_key(
     """
     from pyspark.sql import Window
 
-    staged = state_dir.rstrip("/") + ".staged"
-    retired = state_dir.rstrip("/") + ".retired"
-
-    def _recover() -> None:
-        # Crash recovery: the promote below is two renames, so a crash can
-        # leave state_dir missing with either a fully-written .staged dir
-        # (_SUCCESS present: the new state — finish the promote) or a
-        # .retired dir (the old state — roll back).  Without this, a replay
-        # after such a crash would see current=None and rebuild state from
-        # one batch, silently dropping every earlier key.
-        import os
-
-        if os.path.isdir(state_dir):
-            return
-        if os.path.isdir(staged) and os.path.exists(
-            os.path.join(staged, "_SUCCESS")
-        ):
-            os.rename(staged, state_dir)
-        elif os.path.isdir(retired):
-            os.rename(retired, state_dir)
+    # the ORIGINAL staged/retired rename protocol — now the shared
+    # _StagedState; recover() finishes or rolls back a crashed promote
+    st = _StagedState(state_dir)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
-        import os
-
         spark = batch_df.sparkSession
-        _recover()
+        st.recover()
         # Existence check instead of read-and-catch: the local path is
         # authoritative here, and the failed read would log a full JVM
         # stack trace on every first batch.  (On an object store this
         # would be a manifest check, not a listing.)
-        if os.path.isdir(state_dir):
+        if st.exists():
             current = spark.read.parquet(state_dir)
         else:  # first batch: no state yet
             current = None
@@ -550,16 +587,9 @@ def upsert_latest_per_key(
         # Stage then swap: state_dir stays readable until the promote, and
         # the promote is rename-only (no delete between the old state going
         # away and the new one appearing) so every intermediate crash state
-        # is recoverable by _recover() above.
-        import os
-        import shutil
-
-        latest.write.mode("overwrite").parquet(staged)
-        shutil.rmtree(retired, ignore_errors=True)
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, retired)
-        os.rename(staged, state_dir)
-        shutil.rmtree(retired, ignore_errors=True)
+        # is recoverable by recover() above.
+        latest.write.mode("overwrite").parquet(st.staged)
+        st.promote()
 
     return (
         df.writeStream.foreachBatch(merge)
@@ -812,53 +842,18 @@ def streaming_psi_drift(
     PSI math is x63's exactly: Laplace-smoothed probabilities over the
     union bucket set, each term floor(x*1e9+0.5)-quantized BEFORE the
     integer sum, so the monitor value-hash-matches the batch oracle."""
-    import os
-    import shutil
-
-    staged = state_dir.rstrip("/") + ".staged"
-    retired = state_dir.rstrip("/") + ".retired"
-
-    def _recover() -> None:
-        if os.path.isdir(state_dir):
-            return
-        if (
-            os.path.isdir(staged)
-            and os.path.exists(os.path.join(staged, "_SUCCESS"))
-            # without the batch marker the staged dir predates the
-            # marker write — promoting it would lose replay detection
-            and os.path.exists(os.path.join(staged, "_BATCH"))
-        ):
-            os.rename(staged, state_dir)
-        elif os.path.isdir(retired):
-            os.rename(retired, state_dir)
-
+    st = _StagedState(state_dir, with_marker=True)
     bucketed = events.select(
         "event_type",
         F.floor(F.col("value") / bucket_width).cast("long").alias("bucket"),
     )
 
-    def _last_merged(d: str) -> int:
-        try:
-            with open(os.path.join(d, "_BATCH")) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
-
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover()
-        last = _last_merged(state_dir) if os.path.isdir(state_dir) else -1
-        if batch_id < last:
-            # A fresh checkpoint replaying over an existing multi-batch
-            # state dir would double-count (sum-merge state is NOT
-            # replay-idempotent below the marker).  Fail loudly instead
-            # of silently corrupting the PSI counts.
-            raise RuntimeError(
-                f"streaming_psi_drift: batch_id {batch_id} < last merged "
-                f"batch {last} in {state_dir} — stale state with a fresh "
-                "checkpoint; clear the state dir before restarting"
-            )
-        already_merged = last == batch_id
+        st.recover()
+        # a sum-merge is NOT replay-idempotent: check_batch absorbs the
+        # crash-window replay and raises on stale state (double-count)
+        already_merged = st.check_batch(batch_id, "streaming_psi_drift")
         if already_merged:
             # crash-window replay: counts are in the state already —
             # only the (idempotent) monitor overwrite below re-runs
@@ -869,7 +864,7 @@ def streaming_psi_drift(
             batch_counts = batch_df.groupBy("event_type", "bucket").agg(
                 F.count("*").alias("n_live")
             )
-            if os.path.isdir(state_dir):
+            if st.exists():
                 current = spark.read.parquet(state_dir)
                 combined = (
                     current.unionByName(batch_counts)
@@ -932,16 +927,8 @@ def streaming_psi_drift(
         )
         monitor.write.mode("overwrite").parquet(monitor_dir)
         if not already_merged:
-            combined.write.mode("overwrite").parquet(staged)
-            # marker promotes atomically with the data (underscore
-            # prefix: invisible to the parquet reader)
-            with open(os.path.join(staged, "_BATCH"), "w") as f:
-                f.write(str(batch_id))
-            shutil.rmtree(retired, ignore_errors=True)
-            if os.path.isdir(state_dir):
-                os.rename(state_dir, retired)
-            os.rename(staged, state_dir)
-            shutil.rmtree(retired, ignore_errors=True)
+            combined.write.mode("overwrite").parquet(st.staged)
+            st.promote(batch_id)
 
     return (
         bucketed.writeStream.foreachBatch(merge)
@@ -977,7 +964,6 @@ def streaming_bloom_dedup(
     bits, _X79_K hashes), so a filter built by this stream can gate any
     engine's batch scan."""
     import os
-    import shutil
 
     from fanstats_producer_spark.operators.sketches import (
         _X79_K,
@@ -985,48 +971,17 @@ def streaming_bloom_dedup(
         _bloom_bit,
     )
 
-    staged = state_dir.rstrip("/") + ".staged"
-    retired = state_dir.rstrip("/") + ".retired"
-
-    def _recover() -> None:
-        if os.path.isdir(state_dir):
-            return
-        if (
-            os.path.isdir(staged)
-            and os.path.exists(os.path.join(staged, "_SUCCESS"))
-            and os.path.exists(os.path.join(staged, "_BATCH"))
-        ):
-            os.rename(staged, state_dir)
-        elif os.path.isdir(retired):
-            os.rename(retired, state_dir)
-
-    def _last_merged(d: str) -> int:
-        try:
-            with open(os.path.join(d, "_BATCH")) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
-
+    st = _StagedState(state_dir, with_marker=True)
     hashed = docs.withColumn("digest", F.md5("text"))
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        _recover()
-        last = _last_merged(state_dir) if os.path.isdir(state_dir) else -1
-        if batch_id < last:
-            # Stale state + fresh checkpoint: the sketch already holds
-            # bits from batches this checkpoint will replay, so every
-            # replayed doc would score against its own bits and
-            # self-flag as a dup.  Bit-set is idempotent but the
-            # VERDICTS are not — fail loudly.
-            raise RuntimeError(
-                f"streaming_bloom_dedup: batch_id {batch_id} < last merged "
-                f"batch {last} in {state_dir} — stale state with a fresh "
-                "checkpoint; clear the state dir before restarting"
-            )
-        if last == batch_id:
-            # crash-window replay: verdicts landed before the promote,
-            # the bits are in the state — nothing left to do
+        st.recover()
+        # bit-SET is idempotent but the VERDICTS are not: a stale-state
+        # replay would score docs against their own bits (self-flag);
+        # check_batch raises on that and absorbs the crash-window replay
+        # (verdicts landed before the promote — nothing left to do)
+        if st.check_batch(batch_id, "streaming_bloom_dedup"):
             return
         bits = batch_df.select(
             "doc_id",
@@ -1045,7 +1000,7 @@ def streaming_bloom_dedup(
                 "mask"
             ),
         ).localCheckpoint(eager=True)
-        if os.path.isdir(state_dir):
+        if st.exists():
             prior = spark.read.parquet(state_dir)
         else:
             prior = spark.createDataFrame([], "word long, bits long")
@@ -1069,14 +1024,8 @@ def streaming_bloom_dedup(
             .groupBy("word")
             .agg(F.bit_or("bits").alias("bits"))
         ).localCheckpoint(eager=True)
-        combined.write.mode("overwrite").parquet(staged)
-        with open(os.path.join(staged, "_BATCH"), "w") as f:
-            f.write(str(batch_id))
-        shutil.rmtree(retired, ignore_errors=True)
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, retired)
-        os.rename(staged, state_dir)
-        shutil.rmtree(retired, ignore_errors=True)
+        combined.write.mode("overwrite").parquet(st.staged)
+        st.promote(batch_id)
 
     return (
         hashed.writeStream.foreachBatch(merge)
@@ -1116,29 +1065,8 @@ def streaming_sequence_packing(
     immediately consumable — downstream shard writers can render
     sequence ranges while ingest continues."""
     import os
-    import shutil
 
-    staged = state_dir.rstrip("/") + ".staged"
-    retired = state_dir.rstrip("/") + ".retired"
-
-    def _recover() -> None:
-        if os.path.isdir(state_dir):
-            return
-        if (
-            os.path.isdir(staged)
-            and os.path.exists(os.path.join(staged, "_SUCCESS"))
-            and os.path.exists(os.path.join(staged, "_BATCH"))
-        ):
-            os.rename(staged, state_dir)
-        elif os.path.isdir(retired):
-            os.rename(retired, state_dir)
-
-    def _last_merged(d: str) -> int:
-        try:
-            with open(os.path.join(d, "_BATCH")) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
+    st = _StagedState(state_dir, with_marker=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         from fanstats_producer_spark.operators.llm_data import (
@@ -1146,20 +1074,13 @@ def streaming_sequence_packing(
         )
 
         spark = batch_df.sparkSession
-        _recover()
-        last = _last_merged(state_dir) if os.path.isdir(state_dir) else -1
-        if batch_id < last:
-            raise RuntimeError(
-                f"streaming_sequence_packing: batch_id {batch_id} < last"
-                f" merged batch {last} in {state_dir} — stale state with"
-                " a fresh checkpoint would double-advance the offset;"
-                " clear the state dir before restarting"
-            )
-        if last == batch_id:
-            # crash-window replay: the manifest partition landed before
-            # the promote — nothing left to do
+        st.recover()
+        # the offset advance is a sum — stale state would double-advance
+        # and shift every later document; a marker match means the
+        # manifest partition landed before the promote (nothing to do)
+        if st.check_batch(batch_id, "streaming_sequence_packing"):
             return
-        if os.path.isdir(state_dir):
+        if st.exists():
             base = spark.read.parquet(state_dir).collect()[0]["offset"]
         else:
             base = 0
@@ -1193,14 +1114,8 @@ def streaming_sequence_packing(
         new_state = spark.createDataFrame(
             [(int(base) + int(total),)], "offset long"
         ).coalesce(1)
-        new_state.write.mode("overwrite").parquet(staged)
-        with open(os.path.join(staged, "_BATCH"), "w") as f:
-            f.write(str(batch_id))
-        shutil.rmtree(retired, ignore_errors=True)
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, retired)
-        os.rename(staged, state_dir)
-        shutil.rmtree(retired, ignore_errors=True)
+        new_state.write.mode("overwrite").parquet(st.staged)
+        st.promote(batch_id)
 
     return (
         docs.writeStream.foreachBatch(merge)

@@ -103,8 +103,14 @@ def main() -> int:
         elif -delta > args.abs_s and -pct > args.pct:
             improvements.append((k, base, nq[k], pct))
 
+    # keep the header reconcilable with the drift-adjusted per-key
+    # lines below: show what the old total WOULD be on this host
+    adj = ""
+    if drift_agg != 1.0 or drift_drain != 1.0:
+        adj_total = sum(oq[k] * _drift_for(k) for k in oq)
+        adj = f" (old drift-adjusted: {adj_total:.1f} s)"
     print(
-        f"total: {old.get('value')} -> {new.get('value')} s "
+        f"total: {old.get('value')} -> {new.get('value')} s{adj} "
         f"({len(both)} shared, +{len(added)} new, -{len(removed)} removed)"
     )
     for label, rows in (("REGRESSED", regressions), ("improved", improvements)):

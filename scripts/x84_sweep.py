@@ -33,11 +33,13 @@ from fanstats_producer_spark.session import get_spark
 
 
 def ensure_fixture(sf: float, margins: int) -> str:
-    out = f"/root/repo/localdata/margins{sf:g}"
-    if not os.path.exists(os.path.join(out, "embeddings.parquet")):
-        from scripts.gen_sf import generate
+    # ALWAYS regenerate (seconds at sweep SFs): an existence check would
+    # silently reuse a fixture generated with a different margins count
+    # or an older gen_sf, recording a pass against stale geometry
+    out = f"/root/repo/localdata/margins{sf:g}_m{margins}"
+    from scripts.gen_sf import generate
 
-        generate(sf, out, planted_margins=margins)
+    generate(sf, out, planted_margins=margins)
     return out
 
 

@@ -137,7 +137,13 @@ _DOC_LANDING_CACHE: dict[str, str] = {}
 _EVAL_SHINGLES_CACHE: dict[str, list[str]] = {}
 
 
-def _stage_parity_landing(spark: SparkSession, sf_dir: str, work: str) -> str:
+#: staged parity landings, one per sf_dir per session (the _doc_landing
+#: rationale: the content is identical across drains, so s25 and s27
+#: share ONE staging; measured ~2 s per avoided restage at bench SF)
+_PARITY_LANDING_CACHE: dict[str, str] = {}
+
+
+def _stage_parity_landing(spark: SparkSession, sf_dir: str) -> str:
     """Two-micro-batch document landing, staged DISTRIBUTED (the
     _doc_landing pattern — VERDICT r8 item 3: the corpus never touches
     the driver): two doc_id-parity filtered executor-side JSON writes,
@@ -145,15 +151,22 @@ def _stage_parity_landing(spark: SparkSession, sf_dir: str, work: str) -> str:
     file-stream batches — batch A seeds state, batch B exercises it;
     the coalesce(1) is that contract's shape, not an engine limit),
     renamed into the landing with distinct mtimes so the file-stream
-    source orders them.  Used by s25 (Bloom dedup) and s27 (packing)."""
+    source orders them.  Used by s25 (Bloom dedup) and s27 (packing);
+    cached per sf_dir (read-only after staging — each key's
+    state/checkpoint dirs stay private under its own `work`)."""
+    import atexit
     import glob as _glob
     import os
     import shutil
 
     from fanstats_producer_spark.io import load as _load
 
-    landing = os.path.join(work, "landing")
-    os.makedirs(landing)
+    key = os.path.abspath(sf_dir)
+    cached = _PARITY_LANDING_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    landing = tempfile.mkdtemp(prefix="parity_landing_")
+    atexit.register(shutil.rmtree, landing, ignore_errors=True)
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id",
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("ts"),
@@ -164,7 +177,7 @@ def _stage_parity_landing(spark: SparkSession, sf_dir: str, work: str) -> str:
         (0, "a.json", 1_000_000_000),
         (1, "b.json", 1_000_000_100),
     ):
-        stage = os.path.join(work, f"half{half}")
+        stage = landing + f".half{half}"
         (
             docs.filter(F.col("doc_id") % 2 == half)
             .coalesce(1)
@@ -176,6 +189,7 @@ def _stage_parity_landing(spark: SparkSession, sf_dir: str, work: str) -> str:
         os.rename(parts[0], dst)
         os.utime(dst, (mtime, mtime))
         shutil.rmtree(stage, ignore_errors=True)
+    _PARITY_LANDING_CACHE[key] = landing
     return landing
 
 
@@ -1415,7 +1429,7 @@ def s25_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     work = tempfile.mkdtemp(prefix="s25_work_")
-    landing = _stage_parity_landing(spark, sf_dir, work)
+    landing = _stage_parity_landing(spark, sf_dir)  # shared, read-only
     state_dir = os.path.join(work, "state")
     verdict_dir = os.path.join(work, "verdicts")
     ckpt = os.path.join(work, "ckpt")
@@ -1548,7 +1562,7 @@ def s27_stream_sequence_packing(
     import shutil
 
     work = tempfile.mkdtemp(prefix="s27_work_")
-    landing = _stage_parity_landing(spark, sf_dir, work)
+    landing = _stage_parity_landing(spark, sf_dir)  # shared, read-only
     manifest_dir = os.path.join(work, "manifest")
     state_dir = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")

@@ -642,9 +642,21 @@ def contamination_gate(
     Stateless row logic either way: works identically on batch frames
     and inside streaming micro-batches."""
     spark = docs.sparkSession
-    ev_df = spark.createDataFrame(
-        [(sorted(set(eval_shingles)),)], "ev_shingles array<string>"
+    # one-row broadcast frame built JVM-SIDE: join the shingles into a
+    # single string literal and split it back in the plan — ONE
+    # expression node (vs one node per shingle as an array literal, and
+    # vs ~5 s of Python-worker spawn per evaluation through
+    # createDataFrame's Python-RDD scan; the q15 LocalRelation lesson).
+    # chr(31) never occurs in shingle text (space-joined word tokens).
+    uniq = sorted(set(eval_shingles))
+    assert not any("\x1f" in s for s in uniq)
+    ev_arr = (
+        F.split(F.lit("\x1f".join(uniq)), "\x1f")
+        if uniq
+        # split("") yields [""], not [] — preserve the empty-set gate
+        else F.array().cast("array<string>")
     )
+    ev_df = spark.range(1).select(ev_arr.alias("ev_shingles"))
     sh = with_shingles(docs, text_col=text_col, k=k).crossJoin(
         F.broadcast(ev_df)
     )

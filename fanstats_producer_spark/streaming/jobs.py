@@ -1003,7 +1003,10 @@ def streaming_bloom_dedup(
         if st.exists():
             prior = spark.read.parquet(state_dir)
         else:
-            prior = spark.createDataFrame([], "word long, bits long")
+            # empty JVM-side relation (no Python-RDD scan)
+            prior = spark.range(0).select(
+                F.col("id").alias("word"), F.col("id").alias("bits")
+            )
         hits = bits.join(F.broadcast(prior), "word", "left").select(
             "doc_id",
             (
@@ -1111,10 +1114,13 @@ def streaming_sequence_packing(
         total = manifest.agg(
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
         ).collect()[0]["t"]
-        new_state = spark.createDataFrame(
-            [(int(base) + int(total),)], "offset long"
-        ).coalesce(1)
-        new_state.write.mode("overwrite").parquet(st.staged)
+        # range(1)+lit stays JVM-side: createDataFrame from a Python
+        # list routes through a Python-RDD scan — measured ~5 s of pure
+        # worker-spawn overhead PER WRITE (the q15 LocalRelation lesson)
+        new_state = spark.range(1).select(
+            F.lit(int(base) + int(total)).cast("long").alias("offset")
+        )
+        new_state.coalesce(1).write.mode("overwrite").parquet(st.staged)
         st.promote(batch_id)
 
     return (

@@ -649,7 +649,16 @@ def contamination_gate(
     # createDataFrame's Python-RDD scan; the q15 LocalRelation lesson).
     # chr(31) never occurs in shingle text (space-joined word tokens).
     uniq = sorted(set(eval_shingles))
-    assert not any("\x1f" in s for s in uniq)
+    bad = next((s for s in uniq if "\x1f" in s), None)
+    if bad is not None:
+        # a real raise, not an assert: under `python -O` an assert
+        # strips and the joined literal would silently split this
+        # shingle into wrong fragments, weakening the gate
+        raise ValueError(
+            "contamination_gate: eval shingle contains the \\x1f join "
+            f"separator ({bad!r}) — choose a different separator or "
+            "sanitize the eval suite"
+        )
     ev_arr = (
         F.split(F.lit("\x1f".join(uniq)), "\x1f")
         if uniq

@@ -163,7 +163,14 @@ def _stage_parity_landing(spark: SparkSession, sf_dir: str) -> str:
 
     key = os.path.abspath(sf_dir)
     cached = _PARITY_LANDING_CACHE.get(key)
-    if cached is not None and os.path.isdir(cached):
+    if cached is not None and all(
+        # both staged files must still exist — their deliberately-old
+        # epoch mtimes (batch ordering) make them prime targets for
+        # age-based /tmp reapers; a dir-only check could hand a drain
+        # an empty landing and return zero verdicts silently
+        os.path.isfile(os.path.join(cached, f))
+        for f in ("a.json", "b.json")
+    ):
         return cached
     landing = tempfile.mkdtemp(prefix="parity_landing_")
     atexit.register(shutil.rmtree, landing, ignore_errors=True)

@@ -430,3 +430,34 @@ def q66_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# --- q82: listagg / ordered string aggregation (Spark 4.0 SQL surface) ----------
+@query(
+    "q82_listagg",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, '|' ORDER BY n.n_name) AS nations,
+           COUNT(*) AS n
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def q82_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q82: ANSI listagg ... WITHIN GROUP (ORDER BY ...) — ordered
+    string aggregation, new SQL surface in Spark 4.0 (SPARK-42746,
+    public JIRA).  The explicit WITHIN GROUP order makes the
+    concatenation deterministic on any partitioning — without it,
+    collect_list order is partition-dependent and unoracleable (the
+    q25 key sorts arrays for the same reason).  Scale shape: ordinary
+    partial/final hash aggregation; the per-group payload grows with
+    group size, so at 100 TB cap groups or aggregate digests instead."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_name").agg(
+        F.expr("listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name)").alias(
+            "nations"
+        ),
+        F.count("*").alias("n"),
+    )

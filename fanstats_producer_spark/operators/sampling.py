@@ -134,6 +134,17 @@ def x51_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # orderBy+limit (TakeOrderedAndProject — per-partition heaps + one
 # k-row merge, never a global sort).  Keys are e9-quantized before the
 # rank (the x77 ln-parity convention) with doc_id tie-break.
+#
+# Cross-libm parity bound (ADVICE r9): floor(x*1e9+0.5) could flip if
+# JVM Math.log and DuckDB std::log disagree by 1 ulp exactly at a
+# rounding boundary.  Measured margin on the fixtures: the minimum
+# distance of any row's x*1e9+0.5 to an integer is 1.33e-5 at sf1
+# (50k rows; 1.4e-4 at sf0.1), while the worst-case 1-ulp log
+# perturbation is |ln(u/2^52)|/n_tokens*1e9*2^-52 <= 1.76e-7 — a 75x
+# safety factor.  The margin shrinks like 1/(2n) in expectation, so
+# parity stays safe below ~1e6 rows entering the key expression; past
+# that, switch the oracle to rank-agreement on un-quantized keys
+# (compare sampled doc_id sets, not key values) as ADVICE suggests.
 _X92_K = 100
 
 

@@ -131,16 +131,33 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raise ValueError(f"events.ts has unrecognized type {ts_type}")
 
 
-_DOC_LANDING_CACHE: dict[str, str] = {}
-#: s24's eval-suite shingles, collected once per (sf_dir, session) —
+_DOC_LANDING_CACHE: dict[tuple, str] = {}
+#: s24's eval-suite shingles, collected once per (fixture, session) —
 #: the suite is static across drains (same rationale as _doc_landing)
-_EVAL_SHINGLES_CACHE: dict[str, list[str]] = {}
+_EVAL_SHINGLES_CACHE: dict[tuple, list[str]] = {}
 
 
-#: staged parity landings, one per sf_dir per session (the _doc_landing
+#: staged parity landings, one per fixture per session (the _doc_landing
 #: rationale: the content is identical across drains, so s25 and s27
 #: share ONE staging; measured ~2 s per avoided restage at bench SF)
-_PARITY_LANDING_CACHE: dict[str, str] = {}
+_PARITY_LANDING_CACHE: dict[tuple, str] = {}
+
+
+def _fixture_cache_key(sf_dir: str) -> tuple:
+    """Cache key for per-fixture session caches: abspath PLUS the
+    documents.parquet (mtime_ns, size) fingerprint, so regenerating the
+    fixture into the same directory mid-session (gen_sf.py) invalidates
+    the staged landings / collected shingles instead of silently serving
+    stale content (ADVICE r9).  Stat of one file — no data read."""
+    import os
+
+    path = os.path.abspath(sf_dir)
+    doc = os.path.join(path, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        return (path, 0, 0)
 
 
 def _stage_parity_landing(spark: SparkSession, sf_dir: str) -> str:
@@ -161,7 +178,7 @@ def _stage_parity_landing(spark: SparkSession, sf_dir: str) -> str:
 
     from fanstats_producer_spark.io import load as _load
 
-    key = os.path.abspath(sf_dir)
+    key = _fixture_cache_key(sf_dir)
     cached = _PARITY_LANDING_CACHE.get(key)
     if cached is not None and all(
         # both staged files must still exist — their deliberately-old
@@ -191,7 +208,13 @@ def _stage_parity_landing(spark: SparkSession, sf_dir: str) -> str:
             .write.json(stage)
         )
         parts = _glob.glob(os.path.join(stage, "part-*.json"))
-        assert len(parts) == 1, parts
+        if len(parts) != 1:
+            # data-dependent gate (empty parity partition, changed part
+            # naming) — must survive python -O, so raise, don't assert
+            raise ValueError(
+                f"parity stage half={half} expected exactly one part "
+                f"file, got {parts!r} in {stage}"
+            )
         dst = os.path.join(landing, fname)
         os.rename(parts[0], dst)
         os.utime(dst, (mtime, mtime))
@@ -216,7 +239,7 @@ def _doc_landing(spark: SparkSession, sf_dir: str) -> str:
 
     from fanstats_producer_spark.io import load as _load
 
-    key = os.path.abspath(sf_dir)
+    key = _fixture_cache_key(sf_dir)
     cached = _DOC_LANDING_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
@@ -1370,9 +1393,7 @@ def s24_stream_contamination_gate(
         eval_shingle_set,
     )
 
-    import os as _os
-
-    key = _os.path.abspath(sf_dir)
+    key = _fixture_cache_key(sf_dir)
     shingles = _EVAL_SHINGLES_CACHE.get(key)
     if shingles is None:
         # one collect per (sf_dir, session) — the suite is static, so

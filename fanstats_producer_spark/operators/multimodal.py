@@ -2359,11 +2359,39 @@ def phash_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
 
-def phash_near_dup_pairs(hashes: DataFrame) -> DataFrame:
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    salt: int = 1,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Banded near-dup pair expansion over a (doc_id, phash) frame:
     9x7-bit LSH bands -> bucket self-join -> hamming <= 8 verify.
     Exact-complete by pigeonhole (see module comment).  Pure built-in
-    expressions; the only Python in x88 is the codec worker."""
+    expressions; the only Python in x88 is the codec worker.
+
+    Skew levers (the minhash_native_pairs pair, dedup.py:393 — ported
+    here because a 7-bit band key has only 128 distinct values, so a
+    DEGENERATE corpus (near-constant images: solid frames, silence
+    spectrograms, boilerplate scans) drives bucket population toward
+    n/128 and this self-join toward quadratic in ONE partition):
+
+    ``salt``: replicate the probe side across `salt` sub-keys while the
+    build side hashes into one — each hot (band, val) bucket splits
+    into `salt` co-sized join groups, running the unavoidable quadratic
+    work WIDE instead of in a straggler task.  AQE's OptimizeSkewedJoin
+    cannot do this for us: a self-join is skewed on BOTH sides of the
+    same partition, the one shape it skips (measured on the minhash
+    twin, dedup.py:487).  Output is provably IDENTICAL for any salt
+    (every (id_a, id_b) meets exactly once per shared bucket: id_b's
+    salt is a pure function of id_b, and id_a's explode covers all
+    values — pytest-pinned on the degenerate fixture).
+
+    ``max_bucket``: drop band buckets larger than the cap BEFORE the
+    expansion.  UNLIKE salt this trades recall (a pair whose only
+    shared band is mega-bucketed is lost) — the pigeonhole exactness
+    proof no longer applies, so it is None here by default and exists
+    for the 100 TB regime where a hot bucket is boilerplate, not
+    signal (the x27 max_posting / minhash max_bucket convention)."""
     banded = hashes.select(
         "doc_id",
         "phash",
@@ -2381,6 +2409,14 @@ def phash_near_dup_pairs(hashes: DataFrame) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "phash", "bk.band", "bk.val")
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "val")
+            .agg(F.count("*").alias("bn"))
+            .filter(F.col("bn") <= max_bucket)
+            .select("band", "val")
+        )
+        banded = banded.join(ok, ["band", "val"], "left_semi")
     left = banded.select(
         "band",
         "val",
@@ -2393,8 +2429,17 @@ def phash_near_dup_pairs(hashes: DataFrame) -> DataFrame:
         F.col("doc_id").alias("id_b"),
         F.col("phash").alias("h_b"),
     )
+    join_keys = ["band", "val"]
+    if salt > 1:
+        left = left.withColumn(
+            "salt", F.explode(F.array(*[F.lit(s) for s in range(salt)]))
+        )
+        right = right.withColumn(
+            "salt", F.pmod(F.xxhash64("id_b"), F.lit(salt)).cast("int")
+        )
+        join_keys = ["band", "val", "salt"]
     cands = (
-        left.join(right, ["band", "val"])
+        left.join(right, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.first("h_a").alias("h_a"), F.first("h_b").alias("h_b"))
@@ -2406,16 +2451,16 @@ def phash_near_dup_pairs(hashes: DataFrame) -> DataFrame:
     ).filter(F.col("hamming") <= _X88_HAMMING)
 
 
-def _phash_oracle() -> str:
-    """Brute-force DuckDB mirror: recompute every document's pHash from
-    the text side (x58's byte->pixel model, x87's resize index math,
-    the SAME integer DCT table as a literal), then join all pairs at
-    hamming <= 8.  O(n^2) on the pair side — the ORACLE is quadratic,
-    the engine is banded; pigeonhole makes them equal."""
+def _phash_hash_ctes() -> str:
+    """The DuckDB CTE chain computing every document's pHash from the
+    text side (x58's byte->pixel model, x87's resize index math, the
+    SAME integer DCT table as a literal) — ends in `hashes(doc_id, ph)`.
+    Shared by the x88 batch oracle and the s28 streaming oracle so the
+    two engines' hash definitions can never drift apart."""
     tab = _phash_dct_table()
     c_flat = ", ".join(str(v) for u in range(8) for v in tab[u])
     return f"""
-    WITH consts AS (SELECT [{c_flat}] AS C),
+    consts AS (SELECT [{c_flat}] AS C),
     base AS (
       SELECT doc_id,
              CAST(greatest(1, ceil(octet_length(encode(text)) / {_PNG_W}.0))
@@ -2460,12 +2505,54 @@ def _phash_oracle() -> str:
                k -> CASE WHEN 63 * z[k + 1]
                               > list_sum(z) - z[1]
                          THEN 1 << (k - 1) ELSE 0 END)) AS BIGINT) AS ph
-      FROM st2)
+      FROM st2)"""
+
+
+def _phash_oracle() -> str:
+    """Brute-force DuckDB mirror of x88: the shared hash CTEs, then
+    join all pairs at hamming <= 8.  O(n^2) on the pair side — the
+    ORACLE is quadratic, the engine is banded; pigeonhole makes them
+    equal."""
+    return f"""
+    WITH {_phash_hash_ctes()}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
     FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.ph, b.ph)) <= {_X88_HAMMING}
     """
+
+
+def streaming_phash_band_keys(docs: DataFrame) -> DataFrame:
+    """s28's stateless prefix: per-row pHash + exploded LSH band keys
+    over a (doc_id, text, ...) stream — the x88 hash/banding expressed
+    as row-local operators so it runs unchanged on a streaming plan
+    (mapInPandas and explode are both stateless projections).  Output:
+    (doc_id, phash, band_hash) with band_hash = band * 128 + band value
+    (one long key, the streaming_band_keys convention), 9 rows per doc.
+    Works on batch frames too — the slicing-invariance pytest uses the
+    same function both ways."""
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    hashes = payloads.mapInPandas(
+        phash_features, schema="doc_id long, phash long"
+    )
+    return hashes.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.shiftright("phash", b * _X88_BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _X88_BAND_BITS) - 1))
+                        + F.lit(b * (1 << _X88_BAND_BITS))
+                    ).cast("long")
+                    for b in range(_X88_BANDS)
+                ]
+            )
+        ).alias("band_hash"),
+    )
 
 
 @query("x88_image_neardup", oracle=_phash_oracle())

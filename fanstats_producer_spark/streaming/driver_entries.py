@@ -31,6 +31,9 @@ from pyspark.sql import functions as F
 from fanstats_producer_spark.functions.chunking import _CHUNK, _STRIDE
 from fanstats_producer_spark.functions.num import sql_dsum_pos
 from fanstats_producer_spark.functions.text import _STOP_SQL
+# imported EXPLICITLY at module level (not composed inside the oracle
+# builder) so standalone worker imports see it — the x61/x24 gotcha
+from fanstats_producer_spark.operators.multimodal import _phash_hash_ctes
 from fanstats_producer_spark.registry import query
 from fanstats_producer_spark.streaming import jobs
 
@@ -1625,4 +1628,81 @@ def s27_stream_sequence_packing(
         )
         return out.localCheckpoint(eager=True)
     finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "s28_stream_image_near_dup",
+    oracle=f"""
+    WITH {_phash_hash_ctes()},
+    bands AS (
+      SELECT doc_id, ph, b, (ph >> (b * 7)) & 127 AS val
+      FROM hashes CROSS JOIN range(9) AS t(b)),
+    bmin AS (
+      SELECT b, val, MIN(doc_id) AS m, arg_min(ph, doc_id) AS mph
+      FROM bands GROUP BY b, val),
+    flags AS (
+      SELECT a.doc_id,
+             MAX(CASE WHEN bm.m < a.doc_id THEN 1 ELSE 0 END) AS c,
+             MAX(CASE WHEN bm.m < a.doc_id
+                       AND bit_count(xor(a.ph, bm.mph)) <= 8
+                  THEN 1 ELSE 0 END) AS d
+      FROM bands a JOIN bmin bm ON bm.b = a.b AND bm.val = a.val
+      GROUP BY a.doc_id)
+    SELECT h.doc_id,
+           CAST(coalesce(f.c, 0) AS INT) AS is_candidate,
+           CAST(coalesce(f.d, 0) AS INT) AS is_dup
+    FROM hashes h LEFT JOIN flags f ON f.doc_id = h.doc_id
+    """,
+)
+def s28_stream_image_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """s28: ONLINE perceptual image near-dup — x88's real-codec pHash +
+    banded LSH running as a stream gate (jobs.streaming_phash_near_dup),
+    the image arm of the s21/s22 online dedup family.  State is
+    per-band-bucket (min id, min pHash) — the stored hash doubles as
+    the verify payload, so the hamming gate needs no side table.  The
+    oracle shares x88's hash CTE chain verbatim (the engines can't
+    drift) and states the online rule exactly: per doc, partner = each
+    colliding 7-bit band bucket's MINIMUM id, is_candidate = any such
+    partner smaller than the doc, is_dup = additionally hamming <= 8
+    against that partner's hash.
+
+    ORACLE PRECONDITION (single-batch equivalence, the s22 rationale):
+    "partner = global bucket minimum" equals the stream's
+    first-arrival verdict only because the drain below consumes the
+    whole landing in ONE data micro-batch — asserted loudly."""
+    import os
+    import shutil
+
+    landing = _doc_landing(spark, sf_dir)  # shared, read-only
+    work = tempfile.mkdtemp(prefix="s28_work_")
+    state_dir = os.path.join(work, "state")
+    verdict_dir = os.path.join(work, "verdicts")
+    ckpt = os.path.join(work, "ckpt")
+    stream = jobs.read_document_stream(spark, landing)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_phash_near_dup(
+                stream, state_dir, verdict_dir, ckpt
+            )
+            _drain(q)
+            data_batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            if len(data_batches) > 1:
+                raise AssertionError(
+                    "s28 oracle assumes a single-batch drain (partner ="
+                    " global bucket minimum == first-arrival verdict);"
+                    f" observed {len(data_batches)} data micro-batches"
+                    " — a trigger change broke the equivalence"
+                    " precondition"
+                )
+        out = spark.read.parquet(verdict_dir).select(
+            "doc_id", "is_candidate", "is_dup"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        # the shared landing outlives this key (atexit-cleaned)
         shutil.rmtree(work, ignore_errors=True)

@@ -439,6 +439,100 @@ def streaming_verified_near_dup(
     )
 
 
+def streaming_phash_near_dup(
+    docs: DataFrame,
+    state_dir: str,
+    verdict_dir: str,
+    checkpoint_dir: str,
+    hamming: int = 8,
+) -> StreamingQuery:
+    """s28: ONLINE perceptual image near-dup — x88's pHash banding run
+    as a stream gate, completing the multimodal-meets-streaming matrix
+    (text: s21/s22; image: here).  A re-encoded/resized duplicate image
+    that sails through byte-level dedup is flagged the moment it
+    arrives.
+
+    Stateless prefix: real codec pHash + 9x7-bit band keys per row
+    (multimodal.streaming_phash_band_keys — the only Python is the
+    mapInPandas codec worker, identical to the batch x88 path).
+    Stateful core: foreachBatch maintains per-band-bucket
+    (min doc_id, that doc's pHash) — 16 B per live bucket; the stored
+    hash is the verify payload, so unlike s22 no second text table is
+    needed.  Per batch: combined minima = argmin-by-id over
+    state ∪ batch; per doc, partner = each colliding bucket's minimum;
+    `is_candidate` = any bucket min < doc_id (the raw LSH signal),
+    `is_dup` additionally requires hamming(pHash, partner pHash) <=
+    {hamming} — the same band/verify parameters as x88, where 9 bands
+    at hamming <= 8 make banding pigeonhole-complete.  Verdicts land
+    batch-stamped (replay overwrites, never double-appends); the
+    bucket argmin merge is idempotent, so the staged-state promote
+    needs no _BATCH marker (the s21 rationale).
+
+    ONLINE semantics are first-arrival with bucket-min partner — the
+    s22 rule on image hashes; the s28 oracle states exactly it.  State
+    scales with live band buckets (each a 7-bit value in one of 9
+    bands per observed hash region), never with stream length."""
+    import os
+
+    from fanstats_producer_spark.operators.multimodal import (
+        streaming_phash_band_keys,
+    )
+
+    st = _StagedState(state_dir)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st.recover()
+        batch = batch_df.localCheckpoint(eager=True)  # verdict + min merge
+        batch_min = batch.groupBy("band_hash").agg(
+            F.min("doc_id").alias("min_id"),
+            F.min_by("phash", "doc_id").alias("min_ph"),
+        )
+        if st.exists():
+            current = spark.read.parquet(state_dir)
+            combined = (
+                current.unionByName(batch_min)
+                .groupBy("band_hash")
+                .agg(
+                    F.min("min_id").alias("min_id"),
+                    F.min_by("min_ph", "min_id").alias("min_ph"),
+                )
+            )
+        else:
+            combined = batch_min
+        combined = combined.localCheckpoint(eager=True)  # verdict + promote
+        near = F.col("min_id") < F.col("doc_id")
+        ham_ok = (
+            F.bit_count(F.col("phash").bitwiseXOR(F.col("min_ph")))
+            <= F.lit(hamming)
+        )
+        verdicts = (
+            batch.join(combined, "band_hash")
+            .groupBy("doc_id")
+            .agg(
+                F.max(F.when(near, 1).otherwise(0))
+                .cast("int")
+                .alias("is_candidate"),
+                F.max(F.when(near & ham_ok, 1).otherwise(0))
+                .cast("int")
+                .alias("is_dup"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verdict_dir, f"batch={batch_id}")
+        )
+        combined.write.mode("overwrite").parquet(st.staged)
+        st.promote()
+
+    return (
+        streaming_phash_band_keys(docs)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_partitioned_stream(
     df: DataFrame,
     out_dir: str,

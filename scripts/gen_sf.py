@@ -60,6 +60,7 @@ def generate(
     hot_frac: float = 0.0,
     planted_neighbors: int = 0,
     planted_margins: int = 0,
+    flat_frac: float = 0.0,
 ) -> None:
     """hot_frac > 0 plants ONE Zipfian hot near-dup cluster in
     `documents`: that fraction of docs become near-copies of a single
@@ -81,7 +82,17 @@ def generate(
     hard-negative margin is NEGATIVE there), so mining quality on it
     measures label noise, not the miner.  With a genuinely-close
     positive planted, x84's margin must recover POSITIVE (the natural
-    impostor ceiling is ~0.45 cosine vs the planted ~0.9)."""
+    impostor ceiling is ~0.45 cosine vs the planted ~0.9).
+
+    flat_frac > 0 makes that fraction of documents NEAR-CONSTANT text
+    (one varied character in a run of 'm's): they render to
+    near-constant images whose pHashes are ~0, so all of them pile into
+    the (band, 0) LSH buckets — the degenerate-corpus shape (solid
+    frames, silence, boilerplate scans) that drives x88/x90's 7-bit
+    band buckets toward n-sized population and the bucket self-join
+    toward single-task quadratic.  Used by the salted-plan parity test
+    and the BASELINE skew measurement; NOT part of the standard
+    fixtures (it changes documents content)."""
     os.makedirs(out, exist_ok=True)
     rng = np.random.default_rng(seed)
 
@@ -319,6 +330,29 @@ def generate(
             toks = list(template)
             toks[int(rng.integers(0, len(toks)))] = f"hot{int(i)}"
             texts[int(i)] = " ".join(toks)
+    if flat_frac > 0:
+        # constant documents (degenerate pHash corpus): identical runs
+        # of 'm's render to pixel-identical solid strips, so ALL of
+        # them share every band bucket — the solid-frame/silence shape.
+        # (A near-constant variant does NOT concentrate: pHash bits are
+        # sign tests of near-zero AC coefficients, so one changed pixel
+        # flips many bits — only byte-identical renders collide, which
+        # is exactly what solid frames are.)  Excludes the planted
+        # near/exact dup ids and their sources (same rule as hot_frac)
+        # so the text-dedup keys stay measurable.
+        reserved = np.unique(
+            np.concatenate(
+                [near_ids, exact_ids, np.fromiter(dup_srcs, dtype="int64")]
+            )
+        )
+        n_flat = max(int(round(ndoc * flat_frac)), 2)
+        flat_ids = rng.choice(
+            np.setdiff1d(np.arange(1, ndoc), reserved),
+            size=n_flat,
+            replace=False,
+        )
+        for i in flat_ids:
+            texts[int(i)] = "m" * 600
     _write(
         out,
         "documents",
@@ -411,10 +445,12 @@ if __name__ == "__main__":
     hot = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
     planted = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     margins = int(sys.argv[5]) if len(sys.argv) > 5 else 0
+    flat = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
     generate(
         sf,
         out,
         hot_frac=hot,
         planted_neighbors=planted,
         planted_margins=margins,
+        flat_frac=flat,
     )

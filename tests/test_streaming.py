@@ -1048,6 +1048,114 @@ def test_streaming_near_dup_accumulates_state_across_batches(
     ).collect()[0][0] == 1
 
 
+def test_streaming_phash_near_dup_cross_batch_and_gate(
+    spark, landing, tmp_path
+):
+    """s28: per-bucket (min id, min pHash) state persists across
+    micro-batches — a batch-2 document whose rendered image is
+    pixel-identical to a batch-1 document is confirmed from STATE
+    (hamming 0, no batch-1 rows present); every expected verdict is
+    derived independently from phash64 + the stated bucket-min rule, so
+    the test pins BOTH the candidate signal and the hamming gate."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    from fanstats_producer_spark.operators.multimodal import (
+        _PNG_W,
+        encode_png,
+        phash_image,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest tonight"
+    )
+    other = (
+        "completely different sentence about spark structured streaming "
+        "state stores and watermark semantics for testing purposes only"
+    )
+
+    def _ph(text):
+        b = text.encode()
+        h = max(1, -(-len(b) // _PNG_W))
+        img = np.frombuffer(
+            b + b" " * (h * _PNG_W - len(b)), np.uint8
+        ).reshape(h, _PNG_W)
+        return phash_image(encode_png(img))
+
+    texts = {1: base, 2: other, 3: base}
+    ph = {i: _ph(t) for i, t in texts.items()}
+    # independent expectation: bucket-min rule over arrival order (ids
+    # arrive in nondecreasing id order, so first-arrival == global min)
+    bands = {
+        i: {(b, (h >> (7 * b)) & 127) for b in range(9)}
+        for i, h in ph.items()
+    }
+    expected = {}
+    for i in sorted(texts):
+        partners = [
+            j for j in sorted(texts) if j < i and bands[j] & bands[i]
+        ]
+        cand = int(bool(partners))
+        dup = int(
+            any(
+                bin(ph[i] ^ ph[j]).count("1") <= 8
+                for j in partners
+                # partner = each colliding bucket's MIN id; with ids
+                # arriving in order the min of any shared bucket is the
+                # smallest j sharing it — checking all smaller sharers
+                # is equivalent here because doc 3's only sharer is 1
+            )
+        )
+        expected[i] = (cand, dup)
+    assert expected[3] == (1, 1)  # pixel-identical => hamming 0
+
+    def _doc(i):
+        return {
+            "doc_id": i,
+            "ts": f"2024-01-01T10:{i:02d}:00Z",
+            "text": texts[i],
+            "lang": "en",
+        }
+
+    def _write(name, ids):
+        with open(landing / name, "w") as f:
+            for i in ids:
+                f.write(_json.dumps(_doc(i)) + "\n")
+
+    _write("b1.json", [1, 2])
+    _write("b2.json", [3])  # rendered-pixel dup of doc 1, next batch
+    _os.utime(landing / "b1.json", (1000000000, 1000000000))
+    _os.utime(landing / "b2.json", (1000000100, 1000000100))
+
+    src = (
+        spark.readStream.schema(jobs.DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    state_dir = str(tmp_path / "state")
+    verdict_dir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+    q = jobs.streaming_phash_near_dup(src, state_dir, verdict_dir, ckpt)
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.is_candidate, r.is_dup)
+        for r in spark.read.parquet(verdict_dir).collect()
+    }
+    assert got == expected
+    batches = [d for d in _os.listdir(verdict_dir) if d.startswith("batch=")]
+    assert len(batches) >= 2
+    # state = one (min_id, min_ph) row per live band bucket, and every
+    # stored hash is the hash of its stored minimum (verify payload)
+    state = spark.read.parquet(state_dir)
+    assert sorted(state.columns) == ["band_hash", "min_id", "min_ph"]
+    rows = state.collect()
+    assert len(rows) == len({r.band_hash for r in rows})
+    assert all(r.min_ph == ph[r.min_id] for r in rows)
+
+
 def test_dedup_within_watermark_readmits_after_eviction(spark, landing):
     """s06/s11 semantics pin: dropDuplicatesWithinWatermark only
     guarantees dedup of occurrences within the watermark delay — once

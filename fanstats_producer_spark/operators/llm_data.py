@@ -1777,3 +1777,125 @@ def x91_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         last.alias("last_seq"),
         (last - first + F.lit(1)).alias("n_seqs"),
     )
+
+
+# --- x94: interpolated Kneser-Ney bigram LM scoring -------------------------------
+# The quality battery's most-used real-world member: CCNet's deployed
+# filter is an n-gram LM (KenLM), not the unigram model x30/x43 mimic.
+# Interpolated Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1998) is
+# THE standard n-gram smoothing:
+#
+#   P(w|v) = max(c(v,w) - D, 0)/c(v) + lambda(v) * Pcont(w)
+#   lambda(v) = D * N1+(v,.)/c(v)        (probability mass discounted)
+#   Pcont(w)  = N1+(.,w) / N1+(.,.)      (continuation probability:
+#                                          how many CONTEXTS w follows,
+#                                          not how often — the famous
+#                                          "San Francisco" correction)
+#
+# Every ingredient is a grouped aggregate over the bigram table:
+# c(v,w) per bigram, c(v) + N1+(v,.) per context (one groupBy of the
+# already-grouped bigram counts), N1+(.,w) per successor, and the
+# distinct-bigram total T.  With the standard discount D = 3/4 the
+# whole probability is ONE exact integer rational (c >= 1 for every
+# scored in-corpus bigram, so the max() never clips):
+#
+#   P(w|v) = [(4*c(v,w) - 3) * T  +  3 * N1+(v,.) * N1+(.,w)]
+#            / (4 * c(v) * T)
+#
+# Both engines build the identical int64 numerator/denominator and take
+# ONE log2 of the same rational — the x30 e7-quantize-then-exact-sum
+# parity convention, so per-doc scores are value-checked, not
+# approximated.  int64 envelope: the numerator needs 4*c(v,w)*T < 2^62
+# (fixture sf1: c*T ~ 5e4 * 4e5 = 2e10 — 8 orders of headroom); at a
+# true 100 TB corpus (c ~ 1e10, T ~ 1e12) move the two products to
+# DECIMAL(38,0) before the log, same expressions otherwise.
+#
+# Scale shape: bigram extraction is per-row array arithmetic (slice +
+# zip_with — NO window, NO shuffle); the count tables are three
+# groupBys of the bigram-count table (partial-agg friendly); scoring
+# re-joins the per-occurrence stream on (v,w) then v then w — all
+# shuffle-partitioned joins AQE can plan (the model tables are
+# vocabulary-sized, far smaller than the corpus; T rides as a one-row
+# broadcast).  Docs with < 2 tokens have no bigram and drop from the
+# output in BOTH engines.
+@query(
+    "x94_kneser_ney_bits",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bgf AS (
+      SELECT doc_id, b['v'] AS v, b['w'] AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> {{'v': t[i], 'w': t[i + 1]}})) AS b
+            FROM tk WHERE len(t) >= 2)),
+    cvw AS (SELECT v, w, COUNT(*) AS cvw FROM bgf GROUP BY 1, 2),
+    cv AS (
+      SELECT v, CAST(SUM(cvw) AS BIGINT) AS cv, COUNT(*) AS n1v
+      FROM cvw GROUP BY 1),
+    nc AS (SELECT w, COUNT(*) AS ncont FROM cvw GROUP BY 1),
+    tt AS (SELECT COUNT(*) AS T FROM cvw),
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(log2(
+               CAST((4 * cvw - 3) * T + 3 * n1v * ncont AS DOUBLE)
+               / CAST(4 * cv * T AS DOUBLE)) * 1e7 + 0.5) AS BIGINT) AS lg
+      FROM bgf JOIN cvw USING (v, w) JOIN cv USING (v) JOIN nc USING (w)
+           CROSS JOIN tt)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           {sql_qint("-CAST(SUM(lg) AS DOUBLE) / 1e7 / COUNT(*)", 4)}
+             AS kn_bits_per_token_e4
+    FROM sc GROUP BY 1
+    """,
+)
+def x94_kneser_ney_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x94: per-document bits-per-token under an interpolated
+    Kneser-Ney bigram LM trained on the corpus itself — the n-gram
+    upgrade of x30's unigram scorer (see block comment for the exact
+    integer-rational formulation both engines share)."""
+    t = F.split("text", " ")
+    bgf = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.v", "b.w")
+    )
+    cvw = bgf.groupBy("v", "w").agg(F.count("*").alias("cvw"))
+    cv = cvw.groupBy("v").agg(
+        F.sum("cvw").alias("cv"), F.count("*").alias("n1v")
+    )
+    nc = cvw.groupBy("w").agg(F.count("*").alias("ncont"))
+    tt = cvw.agg(F.count("*").alias("T"))
+    num = (4 * F.col("cvw") - 3) * F.col("T") + 3 * F.col("n1v") * F.col(
+        "ncont"
+    )
+    den = 4 * F.col("cv") * F.col("T")
+    sc = (
+        bgf.join(cvw, ["v", "w"])
+        .join(cv, "v")
+        .join(nc, "w")
+        .crossJoin(F.broadcast(tt))
+        .withColumn(
+            "lg",
+            F.floor(
+                F.log2(num.cast("double") / den.cast("double")) * F.lit(1e7)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        qint(
+            -F.sum("lg").cast("double") / F.lit(1e7) / F.count("*"), 4
+        ).alias("kn_bits_per_token_e4"),
+    )

@@ -1055,6 +1055,137 @@ def semantic_decontam_gate(vectors: DataFrame, evs_row: DataFrame) -> Column:
     )
 
 
+def semantic_decontam_crossjoin(
+    vectors: DataFrame, evals: DataFrame, scorer: str = "sql"
+) -> DataFrame:
+    """x66's CODEGEN'D decision form — the large-eval-suite arm of the
+    decontamination gate (VERDICT r9 watch item 1 / ask 4).
+
+    `semantic_decontam_gate` reduces a broadcast eval ARRAY with an
+    interpreted per-row HOF: constant in corpus size but linear
+    interpreted work in eval-suite size (~8k interpreted ops/row at 20
+    evals — fine; 400k/row at 1,000 evals — the regime the x78
+    interpreted-HOF rule forbids).  Here the eval set stays a FRAME:
+    broadcast hash join fans each arriving vector out to one row per
+    eval, the cosine runs in whole-stage-codegen'd columnar kernels,
+    and the nearest eval folds back with one struct-min aggregate on
+    (1e6 - sim_e6, eval_id) — lexicographic min == best similarity
+    with eval_id tie-break, the same integer-exact decision as the HOF
+    form, so the two arms are interchangeable bit-for-bit.
+
+    `evals` columns: (eval_id, ev array<double>).  Works on batch
+    frames; streams use it per micro-batch in foreachBatch (a streaming
+    plan cannot host the groupBy re-aggregate in append mode, and the
+    verdict is per-arriving-row anyway, so batch-local aggregation is
+    semantically exact — batch-slicing-invariant like the HOF arm).
+
+    MEASURED (round 10, local[32], forced outputs): at 1k evals × 1k
+    vectors the HOF and cross-join arms are EQUAL (1.8 vs 2.0 s), and
+    at 10k × 10k both take ~125 s — the r9 "interpreted HOF" premise
+    does not reproduce on Spark 4.1 (both arms are expression-tree
+    bound on the per-pair cosine).  The lever that actually serves
+    large eval suites is ``scorer="blas"`` (the x61 semdedup pattern):
+    the eval matrix collects ONCE to the driver (it is the SMALL side
+    — 1e5 × 64 doubles = 51 MB; a ValueError guards the contract),
+    broadcasts, and each mapInPandas batch scores 1024-row blocks with
+    one float64 matmul — measured 125 s → 1.9 s at 10k × 10k, with
+    the SAME composite-integer decision (floor(sim·1e6+0.5),
+    (1e6−sim_e6)·1e10+eval_id argmin) so verdicts match the SQL arms
+    on every fixture (parity pytest).  Like x61, the registered keys
+    keep the fold-exact SQL arm because the oracle contract is
+    bit-parity: the matmul reassociates the 64-term dot sum, which is
+    allowed to differ from the SQL fold in the last ulp and could in
+    principle flip an e6 floor boundary — measured zero flips on the
+    fixtures, but "measured zero" is weaker than "provably zero"."""
+    if scorer == "blas":
+        return _decontam_blas(vectors, evals)
+    scored = vectors.join(F.broadcast(evals)).select(
+        "vec_id",
+        "eval_id",
+        (F.lit(1_000_000) - qint(cosine(F.col("embedding"), F.col("ev"))))
+        .alias("d"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min(F.struct("d", "eval_id")).alias("b")
+    )
+    sim = F.lit(1_000_000) - F.col("b.d")
+    return best.select(
+        "vec_id",
+        F.col("b.eval_id").alias("nearest_eval_id"),
+        sim.alias("max_sim_e6"),
+        (sim >= F.lit(_X66_THRESH_E6)).cast("int").alias("contaminated"),
+    )
+
+
+#: BLAS-arm guard: the eval suite must be the SMALL side — 2e5 x 64
+#: float64 = 102 MB on the driver/executors; beyond that, shard the
+#: suite and union the per-shard verdicts (min composite re-reduces)
+_DECONTAM_MAX_EVALS = 200_000
+
+
+def _decontam_blas(vectors: DataFrame, evals: DataFrame) -> DataFrame:
+    """semantic_decontam_crossjoin(scorer="blas"): eval matrix as one
+    broadcast numpy array, per-batch 1024-row-block float64 matmul
+    against it, composite-integer argmin decode — see the caller's
+    docstring for the measured 65× at 10k evals and the ulp caveat."""
+    import numpy as np
+
+    rows = evals.select("eval_id", "ev").collect()
+    if len(rows) > _DECONTAM_MAX_EVALS:
+        raise ValueError(
+            f"blas decontam arm collected {len(rows)} eval vectors >"
+            f" {_DECONTAM_MAX_EVALS}; shard the suite and union the"
+            " per-shard verdicts instead"
+        )
+    ids = np.asarray([r["eval_id"] for r in rows], dtype=np.int64)
+    m = np.asarray([r["ev"] for r in rows], dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    spark = vectors.sparkSession
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_m = spark.sparkContext.broadcast(m.T.copy())  # (dim, n_eval)
+
+    def score(batches):
+        import pandas as pd
+
+        mt, eids = b_m.value, b_ids.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for lo in range(0, len(pdf), 1024):
+                blk = pdf.iloc[lo : lo + 1024]
+                v = np.stack(blk["embedding"].to_numpy()).astype(
+                    np.float64
+                )
+                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                sim = v @ mt
+                q = np.floor(sim * 1e6 + 0.5).astype(np.int64)
+                comp = (1_000_000 - q) * 10_000_000_000 + eids[None, :]
+                best = comp.min(axis=1)
+                s = 1_000_000 - best // 10_000_000_000
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": blk["vec_id"].to_numpy(),
+                            "nearest_eval_id": best % 10_000_000_000,
+                            "max_sim_e6": s,
+                            "contaminated": (
+                                s >= _X66_THRESH_E6
+                            ).astype("int32"),
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return vectors.select("vec_id", "embedding").mapInPandas(
+        score,
+        schema=(
+            "vec_id long, nearest_eval_id long, max_sim_e6 long,"
+            " contaminated int"
+        ),
+    )
+
+
 def eval_matrix_row(emb: DataFrame, n_eval: int = _X66_N_EVAL) -> DataFrame:
     """The broadcastable one-row eval matrix for semantic_decontam_gate:
     array_sort(collect_list(struct(eval_id, ev))) — deterministic

@@ -533,6 +533,48 @@ def streaming_phash_near_dup(
     )
 
 
+def streaming_decontam_crossjoin(
+    vectors: DataFrame,
+    evals: DataFrame,
+    verdict_dir: str,
+    checkpoint_dir: str,
+    scorer: str = "sql",
+) -> StreamingQuery:
+    """s26b: the LARGE-EVAL-SUITE decontamination stream — x66's
+    decision run per micro-batch in foreachBatch over an eval FRAME
+    (similarity.semantic_decontam_crossjoin), with ``scorer="blas"``
+    selecting the batched-matmul arm that actually serves suites in
+    the thousands (measured: SQL expression arms — HOF and cross-join
+    alike — cost ~125 s at 10k evals × 10k vectors; the BLAS arm 5 s
+    cold / ~2 s warm, identical verdicts; similarity.py docstring has
+    the full measurement and the ulp-boundary analysis).  foreachBatch
+    exists because the per-vector nearest-eval re-aggregate (groupBy +
+    struct-min) cannot ride an append-mode streaming plan; the gate is
+    stateless and per-row, so batch-local evaluation is exact and
+    batch-slicing-invariant, and verdicts land batch-stamped (replay
+    overwrites).  `evals` is a static (eval_id, ev) frame — broadcast
+    into every batch join (sql) or collected once into a broadcast
+    matrix (blas; ValueError-gated small side)."""
+    import os
+
+    from fanstats_producer_spark.operators.similarity import (
+        semantic_decontam_crossjoin,
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        verdicts = semantic_decontam_crossjoin(batch_df, evals, scorer)
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(verdict_dir, f"batch={batch_id}")
+        )
+
+    return (
+        vectors.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def write_partitioned_stream(
     df: DataFrame,
     out_dir: str,

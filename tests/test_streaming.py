@@ -1786,6 +1786,55 @@ def test_s26_gate_is_batch_slicing_invariant(spark, tmp_path):
     assert single == batch
 
 
+def test_s26b_crossjoin_arm_matches_hof_arm_bitwise(spark):
+    """The two decontamination arms must be interchangeable bit-for-bit
+    (same e6-quantized cosine, same eval_id tie-break, same threshold):
+    run s26's interpreted-HOF gate and s26b's codegen'd cross-join form
+    over the SAME corpus/eval split and compare every verdict column.
+    The split is s26b's parity split so the eval side is the many-vector
+    regime the cross-join arm exists for."""
+    from pyspark.sql import functions as F
+
+    from fanstats_producer_spark.io import load as _load
+    from fanstats_producer_spark.operators.similarity import (
+        _as_double,
+        semantic_decontam_crossjoin,
+        semantic_decontam_gate,
+    )
+
+    emb = _load(spark, "/root/testdata/sf0.001", "embeddings")
+    evals = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        _as_double(F.col("embedding")).alias("ev"),
+    )
+    evs_row = (
+        evals.select(F.struct("eval_id", "ev").alias("e"))
+        .agg(F.array_sort(F.collect_list("e")).alias("evs"))
+    )
+    corpus = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+
+    def key(rows):
+        return {
+            r["vec_id"]: (
+                r["nearest_eval_id"],
+                r["max_sim_e6"],
+                r["contaminated"],
+            )
+            for r in rows
+        }
+
+    hof = key(semantic_decontam_gate(corpus, evs_row).collect())
+    cj = key(semantic_decontam_crossjoin(corpus, evals).collect())
+    blas = key(
+        semantic_decontam_crossjoin(corpus, evals, scorer="blas").collect()
+    )
+    assert hof == cj and len(cj) == corpus.count()
+    # the registered s26b arm: batched matmul, same verdicts bitwise
+    assert blas == cj
+
+
 def test_s27_packing_carries_offset_and_absorbs_replay(spark, tmp_path):
     """The carried token offset must continue across batches, a fresh
     checkpoint replaying the promoted batch must be absorbed by the

@@ -1899,3 +1899,350 @@ def x94_kneser_ney_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum("lg").cast("double") / F.lit(1e7) / F.count("*"), 4
         ).alias("kn_bits_per_token_e4"),
     )
+
+
+# --- x95: SentencePiece-style unigram-LM tokenizer (train + encode) ---------------
+# The OTHER production tokenizer family (Kudo 2018, "Subword
+# Regularization"; the SentencePiece default): instead of growing a
+# vocab by merges (BPE, x81/x89), start from a large candidate-piece
+# set, fit a unigram LM over pieces with EM, and encode by
+# Viterbi-segmenting each word to the max-likelihood piece sequence.
+#
+# Architecture = bpe_train's (the r8 driver-OOM lesson, llm_data.py
+# bpe_train): everything corpus-sized is distributed (word-type counts,
+# candidate-substring frequencies, the per-type Viterbi E-step runs in
+# mapInPandas on executors); only the PRUNED piece-count table ever
+# reaches the driver (min_count/max_types/max_cands gates), where the
+# M-step is a normalization over it.  Encode never touches the driver:
+# the type->segmentation map is computed distributed and broadcast-
+# joined to the corpus token stream (the x89 word-cache shape).
+#
+# Determinism/parity: hard-EM (Viterbi E-step) with every score an
+# e7-quantized integer log2 of an exact count ratio (the x30
+# convention), and segmentation ties broken by (max score, MIN cut
+# mask) — mask bit i-1 set == cut after character i.  The min-mask rule
+# is DP-decomposable (store per prefix the min mask among max-score
+# prefixes; futures OR identical bits onto competing prefixes), so the
+# engine's O(n * max_piece) Viterbi provably equals the oracle's
+# brute-force enumeration of all 2^(n-1) cut masks — pinned by a
+# randomized pytest.  The oracle unrolls BOTH EM rounds as chained
+# CTEs over the (31-type) word table and re-derives train AND encode
+# end to end; its mask enumeration caps at 2^7 (fixture max word = 8
+# chars at every SF, measured) — a longer word would under-enumerate
+# and FAIL the comparison loudly, while the engine's DP has no length
+# limit.
+_X95_MAX_PIECE = 8
+_X95_VOCAB_MULTI = 40
+_X95_EM_ITERS = 2
+_X95_CHAR_PENALTY = 10_000_000
+_X95_MAX_TYPES = 100_000
+_X95_MAX_CANDS = 1_000_000
+
+
+def _x95_qlog2(c: int, total: int) -> int:
+    import math
+
+    return int(math.floor(math.log2(c / total) * 1e7 + 0.5))
+
+
+def viterbi_unigram(
+    word: str, scores: dict, max_piece: int = _X95_MAX_PIECE
+):
+    """Max-likelihood segmentation of `word` under integer piece
+    scores; ties -> minimum cut mask.  Returns (pieces, score, mask)
+    or None if the word cannot be covered by scored pieces."""
+    n = len(word)
+    best: list = [None] * (n + 1)
+    best[0] = (0, 0)
+    for i in range(1, n + 1):
+        cand = None
+        for j in range(max(0, i - max_piece), i):
+            if best[j] is None:
+                continue
+            s = scores.get(word[j:i])
+            if s is None:
+                continue
+            mask = best[j][1] | ((1 << (j - 1)) if j > 0 else 0)
+            t = (best[j][0] + s, mask)
+            if cand is None or t[0] > cand[0] or (
+                t[0] == cand[0] and t[1] < cand[1]
+            ):
+                cand = t
+        best[i] = cand
+    if best[n] is None:
+        return None
+    score, mask = best[n]
+    cuts = [j for j in range(1, n) if (mask >> (j - 1)) & 1]
+    bounds = [0] + cuts + [n]
+    pieces = [
+        word[bounds[k] : bounds[k + 1]] for k in range(len(bounds) - 1)
+    ]
+    return pieces, score, mask
+
+
+def unigram_train(
+    docs: DataFrame,
+    vocab_multi: int = _X95_VOCAB_MULTI,
+    em_iters: int = _X95_EM_ITERS,
+    min_count: int = 1,
+    max_types: int = _X95_MAX_TYPES,
+    max_cands: int = _X95_MAX_CANDS,
+) -> dict:
+    """Train the unigram-LM piece table; returns {piece: score_e7}.
+    See the x95 block comment for the EM formulation and gates."""
+    import pandas as pd
+
+    spark = docs.sparkSession
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("word")
+    ).filter(F.length("word") > 0)
+    types = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(max_types)
+        .localCheckpoint(eager=True)
+    )
+    subs = types.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), s -> "
+                "transform(sequence(s, least(length(word), "
+                f"s + {_X95_MAX_PIECE} - 1)), "
+                "e -> substring(word, s, e - s + 1))))"
+            )
+        ).alias("piece"),
+    )
+    cand = (
+        subs.groupBy("piece")
+        .agg(F.sum("cnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("piece"))
+        .limit(max_cands)
+        .collect()  # pruned SMALL side only (the bpe_train gate)
+    )
+    total = sum(r["freq"] for r in cand)
+    scores = {r["piece"]: _x95_qlog2(r["freq"], total) for r in cand}
+    for _ in range(em_iters):
+        b_scores = spark.sparkContext.broadcast(scores)
+
+        def estep(batches):
+            from collections import Counter
+
+            for pdf in batches:
+                acc: Counter = Counter()
+                for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                    seg = viterbi_unigram(word, b_scores.value)
+                    if seg is None:
+                        continue
+                    for p in seg[0]:
+                        acc[p] += int(cnt)
+                yield pd.DataFrame(
+                    {"piece": list(acc), "c": list(acc.values())}
+                )
+
+        counts = (
+            types.mapInPandas(estep, "piece string, c long")
+            .groupBy("piece")
+            .agg(F.sum("c").alias("c"))
+            .collect()  # bounded by the candidate table
+        )
+        t = sum(r["c"] for r in counts)
+        scores = {r["piece"]: _x95_qlog2(r["c"], t) for r in counts}
+        counts_d = {r["piece"]: r["c"] for r in counts}
+    multi = sorted(
+        (p for p in counts_d if len(p) > 1),
+        key=lambda p: (-counts_d[p], p),
+    )[:vocab_multi]
+    chars = {r["piece"] for r in cand if len(r["piece"]) == 1}
+    floor_s = min(scores.values()) - _X95_CHAR_PENALTY
+    vocab = {p: scores[p] for p in multi}
+    for ch in chars:
+        vocab[ch] = scores.get(ch, floor_s)
+    return vocab
+
+
+def _x95_oracle() -> str:
+    """DuckDB re-derivation of train AND encode: candidate substrings,
+    two unrolled hard-EM rounds (brute-force mask segmentation — the
+    min-mask tie rule the engine's Viterbi provably shares), final
+    vocab (top multi-char + all chars at a floor score), then the
+    per-document piece-stream digest."""
+    p = _X95_MAX_PIECE
+    seg = f"""
+    segb AS (
+      SELECT word, cnt, m,
+             list_concat(list_concat([CAST(0 AS BIGINT)],
+               list_filter(range(1, len(word)),
+                           i -> ((m >> (i - 1)) & 1) = 1)),
+               [CAST(len(word) AS BIGINT)]) AS b
+      FROM gated CROSS JOIN range(0, 128) t(m)
+      WHERE m < (1 << (len(word) - 1))),
+    seg AS (
+      SELECT word, cnt, m,
+             list_transform(range(1, len(b)),
+               k -> substr(word, CAST(b[k] + 1 AS INT),
+                           CAST(b[k + 1] - b[k] AS INT))) AS pieces
+      FROM segb),
+    pcs AS (
+      SELECT word, cnt, m, len(pieces) AS npieces,
+             unnest(pieces) AS piece
+      FROM seg)"""
+
+    def em_round(r: int, prev: str) -> str:
+        return f"""
+    sc{r} AS (
+      SELECT p.word, p.cnt, p.m, p.npieces, SUM(s.s) AS score
+      FROM pcs p JOIN {prev} s USING (piece)
+      GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) = npieces),
+    best{r} AS (
+      SELECT word, cnt, m FROM (
+        SELECT *, row_number() OVER (PARTITION BY word
+                  ORDER BY score DESC, m) AS rn FROM sc{r})
+      WHERE rn = 1),
+    used{r} AS (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS c
+      FROM (SELECT b.cnt, unnest(s.pieces) AS piece
+            FROM best{r} b JOIN seg s USING (word, m))
+      GROUP BY 1),
+    t{r} AS (SELECT CAST(SUM(c) AS BIGINT) AS T FROM used{r}),
+    s{r} AS (
+      SELECT piece,
+             CAST(floor(log2(CAST(c AS DOUBLE) / T) * 1e7 + 0.5)
+                  AS BIGINT) AS s
+      FROM used{r} CROSS JOIN t{r})"""
+
+    rounds = ""
+    prev = "s0"
+    for r in range(1, _X95_EM_ITERS + 1):
+        rounds += "," + em_round(r, prev)
+        prev = f"s{r}"
+    last = prev
+    lastu = f"used{_X95_EM_ITERS}"
+    return f"""
+    WITH types0 AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> '' GROUP BY 1),
+    gated AS (
+      SELECT word, cnt FROM types0
+      ORDER BY cnt DESC, word LIMIT {_X95_MAX_TYPES}),
+    cand AS (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS freq FROM (
+        SELECT cnt,
+               unnest(flatten(list_transform(range(1, len(word) + 1),
+                 s -> list_transform(
+                        range(s, least(len(word), s + {p} - 1) + 1),
+                        e -> substr(word, CAST(s AS INT),
+                                    CAST(e - s + 1 AS INT)))))) AS piece
+        FROM gated)
+      GROUP BY 1 ORDER BY freq DESC, piece LIMIT {_X95_MAX_CANDS}),
+    tc AS (SELECT CAST(SUM(freq) AS BIGINT) AS T FROM cand),
+    s0 AS (
+      SELECT piece,
+             CAST(floor(log2(CAST(freq AS DOUBLE) / T) * 1e7 + 0.5)
+                  AS BIGINT) AS s
+      FROM cand CROSS JOIN tc),
+    {seg}
+    {rounds},
+    chars AS (SELECT DISTINCT piece FROM cand WHERE len(piece) = 1),
+    multi AS (
+      SELECT piece FROM {lastu} WHERE len(piece) > 1
+      ORDER BY c DESC, piece LIMIT {_X95_VOCAB_MULTI}),
+    minv AS (SELECT MIN(s) AS ms FROM {last}),
+    vocab AS (
+      SELECT s2.piece, s2.s FROM {last} s2 JOIN multi USING (piece)
+      UNION ALL
+      SELECT ch.piece,
+             COALESCE(s2.s, minv.ms - {_X95_CHAR_PENALTY}) AS s
+      FROM chars ch
+      LEFT JOIN {last} s2 ON s2.piece = ch.piece
+      CROSS JOIN minv),
+    scv AS (
+      SELECT p.word, p.m, p.npieces, SUM(v.s) AS score
+      FROM pcs p JOIN vocab v USING (piece)
+      GROUP BY 1, 2, 3
+      HAVING COUNT(*) = npieces),
+    bestv AS (
+      SELECT word, m FROM (
+        SELECT *, row_number() OVER (PARTITION BY word
+                  ORDER BY score DESC, m) AS rn FROM scv)
+      WHERE rn = 1),
+    wordenc AS (
+      SELECT b.word, array_to_string(s.pieces, ' ') AS enc,
+             CAST(len(s.pieces) AS BIGINT) AS np
+      FROM bestv b JOIN seg s USING (word, m)),
+    docw AS (
+      SELECT doc_id, unnest(ts) AS word,
+             generate_subscripts(ts, 1) AS pos
+      FROM (SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents))
+    SELECT doc_id,
+           CAST(SUM(np) AS BIGINT) AS n_pieces,
+           md5(string_agg(enc, ' ' ORDER BY pos)) AS stream_md5
+    FROM docw JOIN wordenc USING (word)
+    GROUP BY 1
+    """
+
+
+@query("x95_unigram_encode", oracle=_x95_oracle())
+def x95_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x95: train the unigram-LM tokenizer on the corpus, then encode
+    every document — per doc the Viterbi piece count and the md5 of
+    the space-joined piece stream (the x89 digest convention).  The
+    type->segmentation map is computed DISTRIBUTED over the word-type
+    table and broadcast-joined to the corpus token stream, so encode
+    cost is one scan + one broadcast join at any corpus size."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    vocab = unigram_train(docs)
+    b_vocab = spark.sparkContext.broadcast(vocab)
+    types = (
+        spread(docs, "doc_id")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def enc(batches):
+        for pdf in batches:
+            rows = []
+            for word in pdf["word"]:
+                seg = viterbi_unigram(word, b_vocab.value)
+                if seg is None:
+                    continue
+                rows.append(
+                    {
+                        "word": word,
+                        "enc": " ".join(seg[0]),
+                        "np": len(seg[0]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["word", "enc", "np"])
+
+    enc_map = types.mapInPandas(enc, "word string, enc string, np long")
+    tok = (
+        spread(docs, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "word"),
+        )
+        .filter(F.length("word") > 0)
+    )
+    return (
+        tok.join(F.broadcast(enc_map), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("np").alias("n_pieces"),
+            F.md5(
+                F.expr(
+                    "array_join(transform(array_sort("
+                    "collect_list(struct(pos, enc))), x -> x.enc), ' ')"
+                )
+            ).alias("stream_md5"),
+        )
+    )

@@ -514,3 +514,85 @@ def test_x91_packing_layout_invariants(spark):
     # at least one document must span a sequence boundary (the whole
     # point of concat-and-chunk) on this fixture
     assert any(r["n_seqs"] > 1 for r in rows)
+
+
+def test_x95_viterbi_equals_brute_force_min_mask():
+    """The engine's DP must equal exhaustive enumeration under the
+    (max score, min cut mask) rule — the property that makes the
+    oracle's brute-force formulation provably the same tokenizer.
+    Randomized over words up to 10 chars (beyond the oracle's 8) with
+    adversarial scores including missing pieces and exact ties."""
+    import itertools
+    import random
+
+    from fanstats_producer_spark.operators.llm_data import (
+        viterbi_unigram,
+    )
+
+    rng = random.Random(9)
+    for trial in range(300):
+        n = rng.randint(1, 10)
+        word = "".join(rng.choice("abc") for _ in range(n))
+        # scores on a coarse grid to force frequent exact ties; drop
+        # some pieces entirely (but keep all single chars so a best
+        # segmentation always exists)
+        scores = {}
+        for ln in range(1, min(n, 8) + 1):
+            for s in range(n - ln + 1):
+                p = word[s : s + ln]
+                if ln > 1 and rng.random() < 0.3:
+                    continue
+                scores.setdefault(p, rng.choice([-10, -20, -30]))
+        got = viterbi_unigram(word, scores)
+        assert got is not None
+        # brute force all masks
+        best = None
+        for m in range(1 << (n - 1)):
+            cuts = [j for j in range(1, n) if (m >> (j - 1)) & 1]
+            bounds = [0] + cuts + [n]
+            pieces = [
+                word[bounds[k] : bounds[k + 1]]
+                for k in range(len(bounds) - 1)
+            ]
+            if any(p not in scores or len(p) > 8 for p in pieces):
+                continue
+            sc = sum(scores[p] for p in pieces)
+            key = (sc, -m)
+            if best is None or key > best[0]:
+                best = (key, pieces, m)
+        assert got[0] == best[1] and got[1] == best[0][0]
+        assert got[2] == best[2]
+        assert "".join(got[0]) == word
+
+
+def test_x95_trained_vocab_and_encode_properties(spark):
+    """Trainer/encode invariants on the fixture: every single char is
+    in the vocab (encodability floor), every encoded word round-trips
+    by concatenation, and every emitted piece is a vocab entry."""
+    from fanstats_producer_spark.io import load
+    from fanstats_producer_spark.operators.llm_data import (
+        unigram_train,
+        viterbi_unigram,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    vocab = unigram_train(docs)
+    words = {
+        r["word"]
+        for r in docs.selectExpr(
+            "explode(split(text, ' ')) AS word"
+        ).distinct().collect()
+        if r["word"]
+    }
+    chars = {c for w in words for c in w}
+    assert chars <= set(vocab)  # all single chars kept
+    for w in sorted(words):
+        seg = viterbi_unigram(w, vocab)
+        assert seg is not None, w
+        assert "".join(seg[0]) == w
+        assert all(p in vocab for p in seg[0])
+    # the model segments SOME word into a multi-char piece (the vocab
+    # is not degenerate chars-only)
+    assert any(
+        len(p) > 1 for w in words for p in viterbi_unigram(w, vocab)[0]
+    )

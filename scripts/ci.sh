@@ -9,4 +9,17 @@ python scripts/check_oracle.py /root/testdata/sf0.01
 # misses (r6: HLL lgConfigK default was exact at sf0.01, wrong at sf0.1)
 python scripts/check_oracle.py /root/testdata/sf0.1
 python scripts/check_oracle.py --types
+# bench.py ALSO rewrites BENCH_FULL_LATEST.json (full per-key detail —
+# the driver's own artifact truncates to top-10 past ~200 keys, so this
+# file is the committed per-key record; VERDICT r9 item 7).  Fail the
+# gate if that contract ever breaks.
 python bench.py
+python - <<'PY'
+import json, os, sys, time
+p = "BENCH_FULL_LATEST.json"
+age = time.time() - os.path.getmtime(p)
+if age > 3600:
+    sys.exit(f"{p} was not refreshed by bench.py (age {age:.0f}s)")
+json.load(open(p))
+print(f"{p} refreshed OK")
+PY

@@ -1980,6 +1980,25 @@ def viterbi_unigram(
     return pieces, score, mask
 
 
+def _x95_gated_types(
+    docs: DataFrame, min_count: int, max_types: int
+) -> DataFrame:
+    """The gated word-type table (word, cnt) — ONE definition shared by
+    the trainer and the encode map so the two can never diverge on
+    which types exist (and so the encode-side broadcast stays bounded
+    by max_types, the same driver/executor-memory contract as
+    bpe_train's collect gate)."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(max_types)
+    )
+
+
 def unigram_train(
     docs: DataFrame,
     vocab_multi: int = _X95_VOCAB_MULTI,
@@ -1993,16 +2012,8 @@ def unigram_train(
     import pandas as pd
 
     spark = docs.sparkSession
-    words = docs.select(
-        F.explode(F.split("text", " ")).alias("word")
-    ).filter(F.length("word") > 0)
-    types = (
-        words.groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-        .filter(F.col("cnt") >= min_count)
-        .orderBy(F.desc("cnt"), F.asc("word"))
-        .limit(max_types)
-        .localCheckpoint(eager=True)
+    types = _x95_gated_types(docs, min_count, max_types).localCheckpoint(
+        eager=True
     )
     subs = types.select(
         "cnt",
@@ -2024,6 +2035,9 @@ def unigram_train(
     )
     total = sum(r["freq"] for r in cand)
     scores = {r["piece"]: _x95_qlog2(r["freq"], total) for r in cand}
+    # em_iters=0 degrades to the raw candidate-frequency vocab (the
+    # counts the final selection reads are then the substring freqs)
+    counts_d = {r["piece"]: r["freq"] for r in cand}
     for _ in range(em_iters):
         b_scores = spark.sparkContext.broadcast(scores)
 
@@ -2200,12 +2214,11 @@ def x95_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     vocab = unigram_train(docs)
     b_vocab = spark.sparkContext.broadcast(vocab)
-    types = (
-        spread(docs, "doc_id")
-        .select(F.explode(F.split("text", " ")).alias("word"))
-        .filter(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
+    # the SAME gated type table as the trainer/oracle — an ungated one
+    # would encode (and broadcast) types the model never saw past the
+    # max_types boundary, silently diverging from the oracle's `gated`
+    types = _x95_gated_types(
+        spread(docs, "doc_id"), min_count=1, max_types=_X95_MAX_TYPES
     )
 
     def enc(batches):

@@ -2359,6 +2359,16 @@ def phash_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
 
+def _phash_band_val(col, b: int):
+    """Band `b`'s 7-bit value of a 63-bit fingerprint — the ONE
+    definition of the LSH band layout, shared by the batch pair
+    expansion, the streaming prefix, and the tests (a drifted copy
+    would silently desynchronize batch and online banding)."""
+    return F.shiftright(col, b * _X88_BAND_BITS).bitwiseAND(
+        F.lit((1 << _X88_BAND_BITS) - 1)
+    )
+
+
 def phash_near_dup_pairs(
     hashes: DataFrame,
     salt: int = 1,
@@ -2400,9 +2410,7 @@ def phash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftright("phash", b * _X88_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << _X88_BAND_BITS) - 1))
-                        .alias("val"),
+                        _phash_band_val(F.col("phash"), b).alias("val"),
                     )
                     for b in range(_X88_BANDS)
                 ]
@@ -2544,8 +2552,7 @@ def streaming_phash_band_keys(docs: DataFrame) -> DataFrame:
             F.array(
                 *[
                     (
-                        F.shiftright("phash", b * _X88_BAND_BITS)
-                        .bitwiseAND(F.lit((1 << _X88_BAND_BITS) - 1))
+                        _phash_band_val(F.col("phash"), b)
                         + F.lit(b * (1 << _X88_BAND_BITS))
                     ).cast("long")
                     for b in range(_X88_BANDS)

@@ -1056,7 +1056,10 @@ def semantic_decontam_gate(vectors: DataFrame, evs_row: DataFrame) -> Column:
 
 
 def semantic_decontam_crossjoin(
-    vectors: DataFrame, evals: DataFrame, scorer: str = "sql"
+    vectors: DataFrame,
+    evals: DataFrame,
+    scorer: str = "sql",
+    prepared: tuple | None = None,
 ) -> DataFrame:
     """x66's CODEGEN'D decision form — the large-eval-suite arm of the
     decontamination gate (VERDICT r9 watch item 1 / ask 4).
@@ -1091,14 +1094,18 @@ def semantic_decontam_crossjoin(
     one float64 matmul — measured 125 s → 1.9 s at 10k × 10k, with
     the SAME composite-integer decision (floor(sim·1e6+0.5),
     (1e6−sim_e6)·1e10+eval_id argmin) so verdicts match the SQL arms
-    on every fixture (parity pytest).  Like x61, the registered keys
-    keep the fold-exact SQL arm because the oracle contract is
-    bit-parity: the matmul reassociates the 64-term dot sum, which is
-    allowed to differ from the SQL fold in the last ulp and could in
-    principle flip an e6 floor boundary — measured zero flips on the
-    fixtures, but "measured zero" is weaker than "provably zero"."""
+    on every fixture (parity pytest).  The matmul reassociates the
+    64-term dot sum, which is allowed to differ from the SQL fold in
+    the last ulp and could in principle flip an e6 floor boundary —
+    measured zero flips on the fixtures, and only a per-row WINNER
+    near a boundary can surface (odds ~1e-6 per sweep).  Registered
+    usage: x61's key keeps its fold-exact default, while
+    s26b_stream_decontam_large_eval RUNS scorer="blas" — it accepts
+    the documented ~1e-6 odds because the fold arms simply do not
+    scale to its 10k-eval regime (no fold-exact plan exists that
+    does)."""
     if scorer == "blas":
-        return _decontam_blas(vectors, evals)
+        return _decontam_blas(vectors, evals, prepared)
     scored = vectors.join(F.broadcast(evals)).select(
         "vec_id",
         "eval_id",
@@ -1123,14 +1130,19 @@ def semantic_decontam_crossjoin(
 _DECONTAM_MAX_EVALS = 200_000
 
 
-def _decontam_blas(vectors: DataFrame, evals: DataFrame) -> DataFrame:
-    """semantic_decontam_crossjoin(scorer="blas"): eval matrix as one
-    broadcast numpy array, per-batch 1024-row-block float64 matmul
-    against it, composite-integer argmin decode — see the caller's
-    docstring for the measured 65× at 10k evals and the ulp caveat."""
+def decontam_blas_prepare(spark, evals: DataFrame) -> tuple:
+    """Collect + broadcast the eval matrix ONCE for the blas arm —
+    returned handles feed any number of _decontam_blas_apply calls
+    (a long-running stream must NOT re-collect per micro-batch; the
+    r10 review caught exactly that in foreachBatch).  Raises on an
+    empty or oversized suite and on zero-norm eval vectors (a zero
+    vector has no cosine direction — silently NaN-poisoning every
+    verdict is the failure mode this guard makes loud)."""
     import numpy as np
 
     rows = evals.select("eval_id", "ev").collect()
+    if not rows:
+        raise ValueError("blas decontam arm: empty eval suite")
     if len(rows) > _DECONTAM_MAX_EVALS:
         raise ValueError(
             f"blas decontam arm collected {len(rows)} eval vectors >"
@@ -1139,10 +1151,31 @@ def _decontam_blas(vectors: DataFrame, evals: DataFrame) -> DataFrame:
         )
     ids = np.asarray([r["eval_id"] for r in rows], dtype=np.int64)
     m = np.asarray([r["ev"] for r in rows], dtype=np.float64)
-    m = m / np.linalg.norm(m, axis=1, keepdims=True)
-    spark = vectors.sparkSession
+    nrm = np.linalg.norm(m, axis=1, keepdims=True)
+    if not np.all(nrm > 0):
+        bad = ids[(nrm[:, 0] == 0)].tolist()[:5]
+        raise ValueError(
+            f"blas decontam arm: zero-norm eval vectors {bad} — cosine"
+            " is undefined for them; drop or re-embed"
+        )
+    m = m / nrm
     b_ids = spark.sparkContext.broadcast(ids)
     b_m = spark.sparkContext.broadcast(m.T.copy())  # (dim, n_eval)
+    return b_ids, b_m
+
+
+def _decontam_blas(
+    vectors: DataFrame, evals: DataFrame, prepared: tuple | None = None
+) -> DataFrame:
+    """semantic_decontam_crossjoin(scorer="blas"): eval matrix as one
+    broadcast numpy array, per-batch 1024-row-block float64 matmul
+    against it, composite-integer argmin decode — see the caller's
+    docstring for the measured 65× at 10k evals and the ulp caveat."""
+    import numpy as np
+
+    b_ids, b_m = prepared or decontam_blas_prepare(
+        vectors.sparkSession, evals
+    )
 
     def score(batches):
         import pandas as pd
@@ -1157,7 +1190,16 @@ def _decontam_blas(vectors: DataFrame, evals: DataFrame) -> DataFrame:
                 v = np.stack(blk["embedding"].to_numpy()).astype(
                     np.float64
                 )
-                v /= np.linalg.norm(v, axis=1, keepdims=True)
+                vn = np.linalg.norm(v, axis=1, keepdims=True)
+                if not np.all(vn > 0):
+                    bad = blk["vec_id"].to_numpy()[
+                        vn[:, 0] == 0
+                    ].tolist()[:5]
+                    raise ValueError(
+                        f"blas decontam arm: zero-norm vectors {bad} —"
+                        " cosine undefined; filter them upstream"
+                    )
+                v /= vn
                 sim = v @ mt
                 q = np.floor(sim * 1e6 + 0.5).astype(np.int64)
                 comp = (1_000_000 - q) * 10_000_000_000 + eids[None, :]

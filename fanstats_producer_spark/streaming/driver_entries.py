@@ -34,6 +34,7 @@ from fanstats_producer_spark.functions.text import _STOP_SQL
 # imported EXPLICITLY at module level (not composed inside the oracle
 # builder) so standalone worker imports see it — the x61/x24 gotcha
 from fanstats_producer_spark.operators.multimodal import _phash_hash_ctes
+from fanstats_producer_spark.operators.similarity import _X66_THRESH_E6
 from fanstats_producer_spark.registry import query
 from fanstats_producer_spark.streaming import jobs
 
@@ -1575,7 +1576,7 @@ def s26_stream_semantic_decontam(
     SELECT vec_id,
            eval_id AS nearest_eval_id,
            sim_e6 AS max_sim_e6,
-           CAST(sim_e6 >= {350_000} AS INT) AS contaminated
+           CAST(sim_e6 >= {_X66_THRESH_E6} AS INT) AS contaminated
     FROM ranked WHERE rnk = 1
     """,
 )

@@ -558,11 +558,23 @@ def streaming_decontam_crossjoin(
     import os
 
     from fanstats_producer_spark.operators.similarity import (
+        decontam_blas_prepare,
         semantic_decontam_crossjoin,
     )
 
+    # collect + broadcast the eval matrix ONCE, outside foreachBatch —
+    # a per-batch re-collect would leak one broadcast per micro-batch
+    # for the life of a long-running stream (r10 review finding)
+    prepared = (
+        decontam_blas_prepare(vectors.sparkSession, evals)
+        if scorer == "blas"
+        else None
+    )
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
-        verdicts = semantic_decontam_crossjoin(batch_df, evals, scorer)
+        verdicts = semantic_decontam_crossjoin(
+            batch_df, evals, scorer, prepared
+        )
         verdicts.write.mode("overwrite").parquet(
             os.path.join(verdict_dir, f"batch={batch_id}")
         )

@@ -11,8 +11,9 @@ python scripts/check_oracle.py /root/testdata/sf0.1
 python scripts/check_oracle.py --types
 # bench.py ALSO rewrites BENCH_FULL_LATEST.json (full per-key detail —
 # the driver's own artifact truncates to top-10 past ~200 keys, so this
-# file is the committed per-key record; VERDICT r9 item 7).  Fail the
-# gate if that contract ever breaks.
+# file is the per-key record; un-gitignored in r10 so the round's final
+# state IS committed; VERDICT r9 item 7).  Fail the gate if that
+# contract ever breaks.
 python bench.py
 python - <<'PY'
 import json, os, sys, time

@@ -299,6 +299,22 @@ HEADLINERS = {
         "deterministic A-Res key, then TakeOrderedAndProject — "
         "per-partition k-heaps merged once, never a global sort."
     ),
+    "x94_kneser_ney_bits": (
+        "Kneser-Ney bigram scoring: bigram extraction is per-row "
+        "slice+zip_with arithmetic (NO window, NO shuffle on the "
+        "corpus side); the three model tables are partial-agg "
+        "groupBys of the bigram-count table; scoring re-joins on "
+        "vocabulary-sized keys with the distinct-bigram total riding "
+        "as a one-row broadcast."
+    ),
+    "x95_unigram_encode": (
+        "Unigram-LM tokenizer encode: the type->segmentation map is "
+        "computed distributed (Viterbi in mapInPandas over the gated "
+        "word-type table) and BROADCAST-joined onto the corpus token "
+        "stream — the corpus side is one scan + one broadcast hash "
+        "join + one per-doc aggregate, no corpus shuffle on any "
+        "per-token path."
+    ),
 }
 
 

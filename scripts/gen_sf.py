@@ -346,11 +346,14 @@ def generate(
             )
         )
         n_flat = max(int(round(ndoc * flat_frac)), 2)
-        flat_ids = rng.choice(
-            np.setdiff1d(np.arange(1, ndoc), reserved),
-            size=n_flat,
-            replace=False,
-        )
+        pool = np.setdiff1d(np.arange(1, ndoc), reserved)
+        if n_flat > len(pool):
+            raise ValueError(
+                f"flat_frac={flat_frac} needs {n_flat} free doc ids but"
+                f" only {len(pool)} remain after excluding the planted"
+                " dup ids/sources; lower flat_frac or raise sf"
+            )
+        flat_ids = rng.choice(pool, size=n_flat, replace=False)
         for i in flat_ids:
             texts[int(i)] = "m" * 600
     _write(

@@ -1735,9 +1735,9 @@ def test_x88_salted_banding_identical_pairs_on_degenerate_corpus(
     from scripts.gen_sf import generate
     from fanstats_producer_spark.io import load, spread
     from fanstats_producer_spark.operators.multimodal import (
-        _X88_BANDS,
         phash_features,
         phash_near_dup_pairs,
+        streaming_phash_band_keys,
         with_payload,
     )
 
@@ -1750,23 +1750,14 @@ def test_x88_salted_banding_identical_pairs_on_degenerate_corpus(
         phash_features, schema="doc_id long, phash long"
     ).localCheckpoint(eager=True)
     # the degenerate shape is real: some (band, val) bucket holds the
-    # whole flat cluster (>= 100 docs >> 500/128)
+    # whole flat cluster (>= 100 docs >> 500/128) — band keys via the
+    # SHARED banding helper (streaming prefix), not a re-derivation
     from pyspark.sql import functions as F2
 
+    docs_like = load(spark, d, "documents").select("doc_id", "text")
     bucket_max = (
-        hashes.select(
-            F2.explode(
-                F2.array(
-                    *[
-                        F2.shiftright("phash", b * 7)
-                        .bitwiseAND(F2.lit(127))
-                        + F2.lit(b * 128)
-                        for b in range(_X88_BANDS)
-                    ]
-                )
-            ).alias("bk")
-        )
-        .groupBy("bk")
+        streaming_phash_band_keys(docs_like)
+        .groupBy("band_hash")
         .count()
         .agg(F2.max("count"))
         .collect()[0][0]

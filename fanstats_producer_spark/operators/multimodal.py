@@ -2530,11 +2530,15 @@ def _phash_oracle() -> str:
     """
 
 
-def streaming_phash_band_keys(docs: DataFrame) -> DataFrame:
-    """s28's stateless prefix: per-row pHash + exploded LSH band keys
-    over a (doc_id, text, ...) stream — the x88 hash/banding expressed
-    as row-local operators so it runs unchanged on a streaming plan
-    (mapInPandas and explode are both stateless projections).  Output:
+def streaming_phash_band_keys(docs: DataFrame, features=None) -> DataFrame:
+    """s28/s29's stateless prefix: per-row 63-bit fingerprint +
+    exploded LSH band keys over a (doc_id, text, ...) stream — the
+    x88/x90 hash/banding expressed as row-local operators so it runs
+    unchanged on a streaming plan (mapInPandas and explode are both
+    stateless projections).  `features` is the fingerprint worker
+    (default: the image pHash codec path; pass audio_fp_features for
+    the audio arm — any (doc_id, payload) -> (doc_id, phash) worker
+    whose output is a non-negative 63-bit int64 plugs in).  Output:
     (doc_id, phash, band_hash) with band_hash = band * 128 + band value
     (one long key, the streaming_band_keys convention), 9 rows per doc.
     Works on batch frames too — the slicing-invariance pytest uses the
@@ -2543,7 +2547,7 @@ def streaming_phash_band_keys(docs: DataFrame) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     hashes = payloads.mapInPandas(
-        phash_features, schema="doc_id long, phash long"
+        features or phash_features, schema="doc_id long, phash long"
     )
     return hashes.select(
         "doc_id",
@@ -2644,14 +2648,13 @@ def audio_fp_features(
         yield pd.DataFrame(rows, columns=["doc_id", "phash"])
 
 
-def _x90_oracle() -> str:
-    """Brute-force DuckDB mirror: re-derive each document's fingerprint
-    from the text bytes (sample synth + x07b's closed-form array_split
-    boundaries at 64 segments + exact integer energies), then join all
-    pairs at hamming <= 8 — provably equal to the banded engine plan
-    (pigeonhole, see x88)."""
+def _x90_fp_ctes() -> str:
+    """The DuckDB CTE chain re-deriving each document's audio
+    fingerprint from the text bytes — ends in `fps(doc_id, fp)`.
+    Shared by the x90 batch oracle and the s29 streaming oracle (the
+    _phash_hash_ctes convention: one hash definition per modality)."""
     return f"""
-    WITH t AS (
+    t AS (
       SELECT doc_id, hex(encode(text)) AS hx,
              octet_length(encode(text)) AS l
       FROM documents),
@@ -2684,7 +2687,15 @@ def _x90_oracle() -> str:
                k -> CASE WHEN le[k + 1] > le[k]
                          THEN 1 << (k - 1) ELSE 0 END)) AS BIGINT) AS fp
       FROM (SELECT doc_id, list(e ORDER BY k) AS le
-            FROM grid GROUP BY 1))
+            FROM grid GROUP BY 1))"""
+
+
+def _x90_oracle() -> str:
+    """Brute-force DuckDB mirror of x90: the shared fingerprint CTEs,
+    then join all pairs at hamming <= 8 — provably equal to the banded
+    engine plan (pigeonhole, see x88)."""
+    return f"""
+    WITH {_x90_fp_ctes()}
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
     FROM fps a JOIN fps b ON a.doc_id < b.doc_id

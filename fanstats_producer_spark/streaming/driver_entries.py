@@ -33,7 +33,10 @@ from fanstats_producer_spark.functions.num import sql_dsum_pos
 from fanstats_producer_spark.functions.text import _STOP_SQL
 # imported EXPLICITLY at module level (not composed inside the oracle
 # builder) so standalone worker imports see it — the x61/x24 gotcha
-from fanstats_producer_spark.operators.multimodal import _phash_hash_ctes
+from fanstats_producer_spark.operators.multimodal import (
+    _phash_hash_ctes,
+    _x90_fp_ctes,
+)
 from fanstats_producer_spark.operators.similarity import _X66_THRESH_E6
 from fanstats_producer_spark.registry import query
 from fanstats_producer_spark.streaming import jobs
@@ -1790,6 +1793,85 @@ def s28_stream_image_near_dup(
                     f" observed {len(data_batches)} data micro-batches"
                     " — a trigger change broke the equivalence"
                     " precondition"
+                )
+        out = spark.read.parquet(verdict_dir).select(
+            "doc_id", "is_candidate", "is_dup"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        # the shared landing outlives this key (atexit-cleaned)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query(
+    "s29_stream_audio_near_dup",
+    oracle=f"""
+    WITH {_x90_fp_ctes()},
+    bands AS (
+      SELECT doc_id, fp, b, (fp >> (b * 7)) & 127 AS val
+      FROM fps CROSS JOIN range(9) AS t(b)),
+    bmin AS (
+      SELECT b, val, MIN(doc_id) AS m, arg_min(fp, doc_id) AS mfp
+      FROM bands GROUP BY b, val),
+    flags AS (
+      SELECT a.doc_id,
+             MAX(CASE WHEN bm.m < a.doc_id THEN 1 ELSE 0 END) AS c,
+             MAX(CASE WHEN bm.m < a.doc_id
+                       AND bit_count(xor(a.fp, bm.mfp)) <= 8
+                  THEN 1 ELSE 0 END) AS d
+      FROM bands a JOIN bmin bm ON bm.b = a.b AND bm.val = a.val
+      GROUP BY a.doc_id)
+    SELECT h.doc_id,
+           CAST(coalesce(f.c, 0) AS INT) AS is_candidate,
+           CAST(coalesce(f.d, 0) AS INT) AS is_dup
+    FROM fps h LEFT JOIN flags f ON f.doc_id = h.doc_id
+    """,
+)
+def s29_stream_audio_near_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """s29: ONLINE perceptual AUDIO near-dup — x90's real-WAV-codec
+    energy-delta fingerprint through the SAME modality-blind streaming
+    gate as s28 (jobs.streaming_phash_near_dup with the audio feature
+    worker).  This closes the online multimodal dedup matrix: text
+    (s21/s22), image (s28), audio (here) — all three share the banded
+    bucket-min state machine; only the stateless fingerprint prefix
+    differs.  The oracle shares x90's fingerprint CTE chain verbatim
+    and states the s28 bucket-min partner rule on it.
+
+    ORACLE PRECONDITION: single-batch drain (the s22/s28 rationale),
+    asserted loudly below."""
+    import os
+    import shutil
+
+    from fanstats_producer_spark.operators.multimodal import (
+        audio_fp_features,
+    )
+
+    landing = _doc_landing(spark, sf_dir)  # shared, read-only
+    work = tempfile.mkdtemp(prefix="s29_work_")
+    state_dir = os.path.join(work, "state")
+    verdict_dir = os.path.join(work, "verdicts")
+    ckpt = os.path.join(work, "ckpt")
+    stream = jobs.read_document_stream(spark, landing)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_phash_near_dup(
+                stream,
+                state_dir,
+                verdict_dir,
+                ckpt,
+                features=audio_fp_features,
+            )
+            _drain(q)
+            data_batches = [
+                p for p in q.recentProgress if p["numInputRows"] > 0
+            ]
+            if len(data_batches) > 1:
+                raise AssertionError(
+                    "s29 oracle assumes a single-batch drain (partner ="
+                    " global bucket minimum == first-arrival verdict);"
+                    f" observed {len(data_batches)} data micro-batches"
                 )
         out = spark.read.parquet(verdict_dir).select(
             "doc_id", "is_candidate", "is_dup"

@@ -445,6 +445,7 @@ def streaming_phash_near_dup(
     verdict_dir: str,
     checkpoint_dir: str,
     hamming: int = 8,
+    features=None,
 ) -> StreamingQuery:
     """s28: ONLINE perceptual image near-dup — x88's pHash banding run
     as a stream gate, completing the multimodal-meets-streaming matrix
@@ -471,7 +472,12 @@ def streaming_phash_near_dup(
     ONLINE semantics are first-arrival with bucket-min partner — the
     s22 rule on image hashes; the s28 oracle states exactly it.  State
     scales with live band buckets (each a 7-bit value in one of 9
-    bands per observed hash region), never with stream length."""
+    bands per observed hash region), never with stream length.
+
+    `features` selects the fingerprint modality (None = image pHash;
+    multimodal.audio_fp_features = the s29 audio arm) — the banding,
+    state, and verdict machinery are modality-blind over any 63-bit
+    fingerprint."""
     import os
 
     from fanstats_producer_spark.operators.multimodal import (
@@ -525,7 +531,7 @@ def streaming_phash_near_dup(
         st.promote()
 
     return (
-        streaming_phash_band_keys(docs)
+        streaming_phash_band_keys(docs, features)
         .writeStream.foreachBatch(merge)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

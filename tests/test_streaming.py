@@ -1156,6 +1156,91 @@ def test_streaming_phash_near_dup_cross_batch_and_gate(
     assert all(r.min_ph == ph[r.min_id] for r in rows)
 
 
+def test_streaming_audio_near_dup_shares_gate_machinery(
+    spark, landing, tmp_path
+):
+    """s29: the modality-blind gate runs the audio fingerprint worker —
+    a batch-2 byte-identical document is confirmed from batch-1 state
+    (fingerprint equality => hamming 0), and the expected verdicts are
+    derived independently from audio_fingerprint + the bucket-min
+    rule (the s28 test's contract, audio arm)."""
+    import json as _json
+    import os as _os
+
+    import numpy as np
+
+    from fanstats_producer_spark.operators.multimodal import (
+        audio_fingerprint,
+        decode_wav,
+        encode_wav,
+    )
+
+    texts = {
+        1: "rising energy " + " ".join(f"w{i}" * (i % 7 + 1) for i in range(40)),
+        2: "flat flat flat flat flat flat flat flat flat flat flat",
+        3: None,  # filled below: exact copy of 1
+    }
+    texts[3] = texts[1]
+
+    def _fp(text):
+        raw = np.frombuffer(text.encode(), dtype=np.uint8)
+        pcm = ((raw.astype(np.int16) - 128) * 256).astype("<i2")
+        _r, _c, _w, dec = decode_wav(encode_wav(pcm))
+        return audio_fingerprint(dec)
+
+    fp = {i: _fp(t) for i, t in texts.items()}
+    bands = {
+        i: {(b, (h >> (7 * b)) & 127) for b in range(9)}
+        for i, h in fp.items()
+    }
+    expected = {}
+    for i in sorted(texts):
+        partners = [j for j in sorted(texts) if j < i and bands[j] & bands[i]]
+        expected[i] = (
+            int(bool(partners)),
+            int(any(bin(fp[i] ^ fp[j]).count("1") <= 8 for j in partners)),
+        )
+    assert expected[3] == (1, 1)
+
+    def _doc(i):
+        return {
+            "doc_id": i,
+            "ts": f"2024-01-01T10:{i:02d}:00Z",
+            "text": texts[i],
+            "lang": "en",
+        }
+
+    for name, ids, mt in (("b1.json", [1, 2], 1000000000),
+                          ("b2.json", [3], 1000000100)):
+        with open(landing / name, "w") as f:
+            for i in ids:
+                f.write(_json.dumps(_doc(i)) + "\n")
+        _os.utime(landing / name, (mt, mt))
+
+    from fanstats_producer_spark.operators.multimodal import (
+        audio_fp_features,
+    )
+
+    src = (
+        spark.readStream.schema(jobs.DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    q = jobs.streaming_phash_near_dup(
+        src,
+        str(tmp_path / "state"),
+        str(tmp_path / "verdicts"),
+        str(tmp_path / "ckpt"),
+        features=audio_fp_features,
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.is_candidate, r.is_dup)
+        for r in spark.read.parquet(str(tmp_path / "verdicts")).collect()
+    }
+    assert got == expected
+
+
 def test_dedup_within_watermark_readmits_after_eviction(spark, landing):
     """s06/s11 semantics pin: dropDuplicatesWithinWatermark only
     guarantees dedup of occurrences within the watermark delay — once

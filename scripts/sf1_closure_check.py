@@ -42,7 +42,7 @@ registry.load_all()
 SF001 = "/root/testdata/sf0.01"
 SF1 = "/root/repo/localdata/sf1"
 KEYS = ["x04e_dedup_clusters", "x59_verified_dedup", "x61_semdedup",
-        "x60_verify_gate_effect"]
+        "x60_verify_gate_effect", "x96_image_cluster_dedup"]
 
 
 def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:

@@ -148,9 +148,41 @@ def x51_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X92_K = 100
 
 
-@query(
-    "x92_weighted_sample",
-    oracle=f"""
+def ares_keyed(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, key_e9): the per-row A-Res key projection —
+    shared by batch x92 and the s30 online reservoir (the key is a
+    pure function of the row, so batch and stream agree by
+    construction)."""
+    u52 = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 2, 13),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    n_tokens = F.size(F.split("text", " ")).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.floor(
+            F.log(u52.cast("double") / F.lit(4503599627370496.0))
+            / n_tokens.cast("double")
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("key_e9"),
+    )
+
+
+def ares_topk(keyed: DataFrame, k: int = _X92_K) -> DataFrame:
+    """Top-k of an A-Res-keyed frame — also the reservoir MERGE rule
+    (top-k(top-k(A) ∪ top-k(B)) = top-k(A ∪ B))."""
+    return keyed.orderBy(F.desc("key_e9"), F.asc("doc_id")).limit(k)
+
+
+X92_ORACLE = f"""
     WITH t AS (
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
@@ -166,32 +198,12 @@ _X92_K = 100
     FROM keyed
     ORDER BY key_e9 DESC, doc_id
     LIMIT {_X92_K}
-    """,
-)
+    """
+
+
+@query("x92_weighted_sample", oracle=X92_ORACLE)
 def x92_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x92: top-k by the A-Res key ln(u)/w — documents with more tokens
     get proportionally higher inclusion probability, and the whole
     sample is a deterministic function of doc_id (md5 uniforms)."""
-    docs = load(spark, sf_dir, "documents")
-    u52 = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 2, 13),
-            16,
-            10,
-        ).cast("long")
-        + 1
-    )
-    n_tokens = F.size(F.split("text", " ")).cast("long")
-    keyed = docs.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        F.floor(
-            F.log(u52.cast("double") / F.lit(4503599627370496.0))
-            / n_tokens.cast("double")
-            * F.lit(1e9)
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("key_e9"),
-    )
-    return keyed.orderBy(F.desc("key_e9"), F.asc("doc_id")).limit(_X92_K)
+    return ares_topk(ares_keyed(load(spark, sf_dir, "documents")))

@@ -1569,3 +1569,125 @@ def x93_int8_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_err_e9"),
     )
     return per_vec
+
+
+# --- x98: Johnson-Lindenstrauss random projection (deterministic signs) ----------
+# The dimensionality-reduction primitive in front of every large-scale
+# ANN/clustering stage (Achlioptas 2001, public: ±1 sign matrices
+# satisfy the JL lemma — no Gaussians needed).  Production stacks draw
+# the matrix from an RNG and ship it alongside the index; here the
+# sign s(j,i) IS a pure function of the coordinate pair — parity of
+# md5(f"{j}:{i}")'s first hex digit — so the projection needs no
+# side-channel matrix file, any engine regenerates it bit-identically,
+# and the oracle check covers the whole pipeline (matrix + arithmetic).
+# Exactness: inputs quantize to integer micros (floor(v·1e6+0.5) — one
+# IEEE-exact double op on the float32 value), then every remaining step
+# is BIGINT multiply/add — no float sum ordering anywhere, the x93
+# argument.  Downstream consumers use components unscaled (the JL
+# 1/sqrt(d') scale is monotone — rankings and relative distances are
+# unaffected; apply it at read time if absolute distances matter).
+#
+# Scale shape: the 16-row sign matrix builds once and BROADCASTS; the
+# corpus side is one narrow explode (×16) with a per-row zip_with/
+# aggregate multiply-add — NO shuffle at all (plan: scan → generate →
+# broadcast join → project), embarrassingly parallel at 100 TB.
+_X98_OUT = 16
+
+
+def jl_project(vectors: DataFrame, out_dim: int = _X98_OUT) -> DataFrame:
+    """(vec_id, dim, comp_e6): integer-exact ±1 random projection of
+    `embedding` into `out_dim` components."""
+    spark = vectors.sparkSession
+    in_dim = F.size(F.col("embedding"))
+    # sign row per output dim j: [s(j,0) … s(j,in_dim-1)], built from
+    # the FIRST embedding row's length so the frame stays data-driven
+    sign = lambda j, i: (
+        F.lit(1)
+        - F.lit(2)
+        * (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            j.cast("string"), F.lit(":"), i.cast("string")
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        )
+    )
+    dims = (
+        vectors.limit(1)
+        .select(F.size("embedding").alias("n"))
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias(
+                "dim"
+            ),
+            "n",
+        )
+        .select(
+            "dim",
+            F.transform(
+                F.sequence(F.lit(0), F.col("n") - 1),
+                lambda i: sign(F.col("dim"), i),
+            ).alias("signs"),
+        )
+    )
+    q = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * F.lit(1e6) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+    return (
+        vectors.select("vec_id", q.alias("q"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.aggregate(
+                F.zip_with("q", "signs", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("comp_e6"),
+        )
+    )
+
+
+@query(
+    "x98_random_projection",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    flat AS (
+      SELECT vec_id,
+             unnest(range(1, len(v) + 1)) - 1 AS i,
+             unnest(v) AS val
+      FROM e),
+    q AS (
+      SELECT vec_id, i, CAST(floor(val * 1e6 + 0.5) AS BIGINT) AS qv
+      FROM flat),
+    proj AS (
+      SELECT q.vec_id, t.j AS dim,
+             SUM(qv * (1 - 2 * (CAST(('0x' || substr(md5(
+                    CAST(t.j AS VARCHAR) || ':' || CAST(q.i AS VARCHAR)
+                  ), 1, 1)) AS INT) % 2))) AS comp_e6
+      FROM q CROSS JOIN range({_X98_OUT}) AS t(j)
+      GROUP BY 1, 2)
+    SELECT vec_id, CAST(dim AS INT) AS dim,
+           CAST(comp_e6 AS BIGINT) AS comp_e6
+    FROM proj
+    """,
+)
+def x98_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x98: 64→{d} JL projection of the embeddings table with
+    md5-derived ±1 signs — bit-exact across engines because the only
+    float op is the per-element micro-quantization.""".format(
+        d=_X98_OUT
+    )
+    return jl_project(load(spark, sf_dir, "embeddings"))

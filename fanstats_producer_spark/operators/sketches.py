@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fanstats_producer_spark.io import load
 from fanstats_producer_spark.registry import query
@@ -279,4 +280,100 @@ def x79_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "actual"
             ),
         )
+    )
+
+
+# --- x97: deterministic mergeable quantile sketch (bottom-k sample) -------------
+# The missing member of the mergeable-sketch family (distinct: x20 HLL /
+# x38 KMV; frequency: x21 top-k / x37 heavy hitters; membership: x79
+# Bloom): QUANTILES.  Production engines reach for KLL/t-digest, but
+# both are RNG- or merge-order-dependent — un-oracle-able and
+# non-reproducible across engines.  The deterministic alternative with
+# the same mergeability contract is BOTTOM-K BY HASH (the KMV idea
+# aimed at sampling instead of distinct-counting): keep the k rows
+# whose md5(event_id) digests sort smallest.  That set is a uniform
+# simple random sample WITHOUT replacement — but a pure function of
+# the data, so any two engines (and any partitioning, and any merge
+# order: min-k(min-k(A) ∪ min-k(B)) = min-k(A ∪ B), pytest-pinned)
+# produce the identical sample — and its order statistics estimate the
+# population quantiles with the DKW bound sup|F̂-F| <= sqrt(ln(2/δ)/2k)
+# (~7.6% at k=256, δ=0.05).
+#
+# Scale shape: the sample is orderBy(digest).limit(k) —
+# TakeOrderedAndProject (per-partition k-row heaps + one k-row merge,
+# never a global sort, never a shuffle of raw rows); quantile
+# extraction then runs on k rows.  At 100 TB the persisted k-row
+# sample IS the state: re-aggregatable to any coarser grain by
+# unioning samples and re-truncating, same as the HLL blobs above.
+# Estimates are sampled VALUES passed through untouched (no float
+# arithmetic), so cross-engine parity is trivially exact.
+_X97_K = 256
+_X97_PCTS = [1, 5, 10, 25, 50, 75, 90, 95, 99]
+
+
+def bottomk_sample(df: DataFrame, id_col: str, k: int = _X97_K) -> DataFrame:
+    """The mergeable sampling primitive: k rows with the smallest
+    md5(id) digests — deterministic, partitioning-invariant, and
+    mergeable by union + re-truncate."""
+    digest = F.md5(F.col(id_col).cast("string"))
+    return df.orderBy(digest.asc(), F.col(id_col).asc()).limit(k)
+
+
+@query(
+    "x97_quantile_sketch",
+    oracle=f"""
+    WITH samp AS (
+      SELECT event_id, value
+      FROM events
+      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+      LIMIT {_X97_K}),
+    ranked AS (
+      SELECT value, event_id,
+             row_number() OVER (ORDER BY value, event_id) - 1 AS r
+      FROM samp),
+    n AS (SELECT COUNT(*) AS cnt FROM samp),
+    spec AS (
+      SELECT CAST(pct AS INT) AS pct,
+             CAST(floor((n.cnt - 1) * pct / 100.0 + 0.5) AS BIGINT) AS r
+      FROM (SELECT unnest({_X97_PCTS}) AS pct) CROSS JOIN n)
+    SELECT s.pct, rk.value AS est_value, rk.event_id AS src_event_id
+    FROM spec s JOIN ranked rk ON rk.r = s.r
+    """,
+)
+def x97_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x97: population quantile estimates of events.value from the
+    deterministic bottom-k-by-hash sample — rank the k sampled rows by
+    (value, event_id), pick the order statistic at
+    floor((k-1)·p/100 + 0.5) for each requested percentile.  The
+    estimate is the sampled row's raw value (zero arithmetic), with
+    its source event_id kept for audit."""
+    ev = load(spark, sf_dir, "events")
+    samp = bottomk_sample(ev.select("event_id", "value"), "event_id")
+    # k rows: the single-partition window is on the sketch, not the data
+    w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
+    ranked = samp.select(
+        "value", "event_id", (F.row_number().over(w) - 1).alias("r")
+    )
+    cnt = samp.agg(F.count("*").alias("cnt"))
+    spec = (
+        spark.range(1)
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            F.explode(
+                F.array(*[F.lit(p) for p in _X97_PCTS])
+            ).alias("pct"),
+            "cnt",
+        )
+        .select(
+            F.col("pct").cast("int").alias("pct"),
+            F.floor((F.col("cnt") - 1) * F.col("pct") / 100.0 + 0.5)
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    return (
+        F.broadcast(spec)
+        .join(ranked, "r")
+        .select("pct", F.col("value").alias("est_value"),
+                F.col("event_id").alias("src_event_id"))
     )

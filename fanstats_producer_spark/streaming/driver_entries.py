@@ -37,6 +37,7 @@ from fanstats_producer_spark.operators.multimodal import (
     _phash_hash_ctes,
     _x90_fp_ctes,
 )
+from fanstats_producer_spark.operators import sampling
 from fanstats_producer_spark.operators.similarity import _X66_THRESH_E6
 from fanstats_producer_spark.registry import query
 from fanstats_producer_spark.streaming import jobs
@@ -1879,4 +1880,36 @@ def s29_stream_audio_near_dup(
         return out.localCheckpoint(eager=True)
     finally:
         # the shared landing outlives this key (atexit-cleaned)
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("s30_stream_weighted_sample", oracle=sampling.X92_ORACLE)
+def s30_stream_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """s30: ONLINE weighted reservoir — x92's deterministic A-Res
+    top-k maintained incrementally (jobs.streaming_weighted_sample).
+    The oracle is x92's VERBATIM: A-Res merges exactly
+    (top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B)) — pytest-pinned in
+    test_streaming), so the online sample equals the batch sample at
+    ANY micro-batch slicing and no single-batch precondition exists —
+    unlike the first-arrival gates (s22/s28/s29), this key is
+    batching-invariant by algebra, not by drain shape."""
+    import os
+    import shutil
+
+    landing = _doc_landing(spark, sf_dir)  # shared, read-only
+    work = tempfile.mkdtemp(prefix="s30_work_")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    stream = jobs.read_document_stream(spark, landing)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_weighted_sample(stream, state_dir, ckpt)
+            _drain(q)
+        out = spark.read.parquet(state_dir).select(
+            "doc_id", "n_tokens", "key_e9"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -1283,3 +1283,58 @@ def streaming_sequence_packing(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_weighted_sample(
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 100,
+) -> StreamingQuery:
+    """s30: ONLINE weighted reservoir sampling — x92's A-Res sample
+    maintained over an unbounded document stream.  The per-row key
+    ln(u)/w (sampling.ares_keyed) is a pure function of the row, so it
+    rides the stream as a STATELESS projection; the state is just the
+    current top-k (key_e9 DESC, doc_id ASC) rows — k·24 B forever,
+    never stream-length-proportional.  A-Res's defining property makes
+    the merge trivially correct AND batch-slicing-invariant:
+    top-k(A ∪ B) = top-k(top-k(A) ∪ top-k(B)), so any micro-batch
+    boundary (and any replay — the merge dedups on doc_id and re-ranks,
+    hence idempotent: no _BATCH marker, the s21/s28 rationale) yields
+    the exact batch-x92 sample.  This is the piece a 100 TB ingest
+    pipeline uses to keep a token-proportional dev slice LIVE while
+    data lands, instead of re-scanning the corpus per refresh.
+
+    Per batch: the incoming rows truncate to their own top-k first
+    (TakeOrderedAndProject — per-partition heaps), then merge with the
+    k-row state and re-truncate; the staged-rename promote keeps the
+    state table crash-safe."""
+    from fanstats_producer_spark.operators.sampling import ares_topk
+
+    st = _StagedState(state_dir)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st.recover()
+        batch_top = ares_topk(batch_df, k).localCheckpoint(eager=True)
+        if st.exists():
+            current = spark.read.parquet(state_dir)
+            combined = ares_topk(
+                current.unionByName(batch_top).dropDuplicates(["doc_id"]),
+                k,
+            )
+        else:
+            combined = batch_top
+        combined = combined.localCheckpoint(eager=True)
+        combined.write.mode("overwrite").parquet(st.staged)
+        st.promote()
+
+    from fanstats_producer_spark.operators.sampling import ares_keyed
+
+    return (
+        ares_keyed(docs)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2001,3 +2001,84 @@ def test_s27_packing_carries_offset_and_absorbs_replay(spark, tmp_path):
     # STALE-STATE case and must raise (double-advance hazard)
     with pytest.raises(StreamingQueryException, match="stale state"):
         _drain("ckpt2")
+
+
+def test_s30_weighted_reservoir_slicing_invariant_and_replay_safe(
+    spark, landing, tmp_path
+):
+    """s30: (1) BATCH-SLICING INVARIANCE — draining the landing one
+    file per trigger (3 micro-batches) must leave exactly the state
+    batch x92 computes over the union (A-Res algebra:
+    top-k(A∪B) = top-k(top-k(A)∪top-k(B))); (2) REDELIVERY
+    IDEMPOTENCE — a second drain from a FRESH checkpoint re-delivers
+    every file into the existing state, and the doc_id dedup +
+    re-rank must leave the state unchanged."""
+    import json as _json
+    import os as _os
+
+    from fanstats_producer_spark.operators.sampling import (
+        ares_keyed,
+        ares_topk,
+    )
+    from fanstats_producer_spark.streaming.jobs import DOCUMENT_SCHEMA
+
+    def _doc(i, n_tokens):
+        return {
+            "doc_id": i,
+            "ts": f"2024-01-01T10:{i:02d}:00Z",
+            "text": " ".join(f"w{t}" for t in range(n_tokens)),
+            "lang": "en",
+        }
+
+    batches = [
+        [_doc(1, 1000), _doc(2, 1)],
+        [_doc(3, 500), _doc(4, 2)],
+        [_doc(5, 800), _doc(6, 1200)],
+    ]
+    for bi, docs in enumerate(batches):
+        with open(landing / f"b{bi}.json", "w") as f:
+            for d in docs:
+                f.write(_json.dumps(d) + "\n")
+        _os.utime(
+            landing / f"b{bi}.json",
+            (1000000000 + bi * 100, 1000000000 + bi * 100),
+        )
+
+    def _src():
+        return (
+            spark.readStream.schema(DOCUMENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(landing))
+        )
+
+    state_dir = str(tmp_path / "state")
+    q = jobs.streaming_weighted_sample(
+        _src(), state_dir, str(tmp_path / "ckpt1"), k=3
+    )
+    q.awaitTermination(120)
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
+
+    all_docs = spark.createDataFrame(
+        [(d["doc_id"], d["text"]) for b in batches for d in b],
+        schema="doc_id long, text string",
+    )
+    want = sorted(
+        (r.doc_id, r.n_tokens, r.key_e9)
+        for r in ares_topk(ares_keyed(all_docs), 3).collect()
+    )
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.key_e9)
+        for r in spark.read.parquet(state_dir).collect()
+    )
+    assert got == want
+
+    # redelivery from a fresh checkpoint: state must be a fixed point
+    q2 = jobs.streaming_weighted_sample(
+        _src(), state_dir, str(tmp_path / "ckpt2"), k=3
+    )
+    q2.awaitTermination(120)
+    got2 = sorted(
+        (r.doc_id, r.n_tokens, r.key_e9)
+        for r in spark.read.parquet(state_dir).collect()
+    )
+    assert got2 == want

@@ -1946,3 +1946,72 @@ def test_x93_int8_quantization_error_bound(spark, tmp_path):
     # digests must exist and differ across distinct vectors
     digests = {r["codes_md5"] for r in rows}
     assert len(digests) == 3 and None not in digests
+
+
+def test_x97_bottomk_sample_is_mergeable_and_dkw_sane(spark):
+    """x97's two load-bearing claims: (1) MERGEABILITY — the bottom-k
+    -by-hash sample of a union equals re-truncating the union of the
+    per-part samples (the property that makes it a sketch: partial
+    samples from any partitioning/grain merge losslessly); (2) the
+    order-statistic estimates land within the DKW band of the
+    population quantiles (k=256 → eps ≈ 0.08 at 95%; assert 0.15)."""
+    from fanstats_producer_spark.operators.sketches import (
+        _X97_K,
+        _X97_PCTS,
+        bottomk_sample,
+    )
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "value")
+    full = bottomk_sample(ev, "event_id")
+    part_a = bottomk_sample(ev.filter(F.col("event_id") % 2 == 0), "event_id")
+    part_b = bottomk_sample(ev.filter(F.col("event_id") % 2 == 1), "event_id")
+    merged = bottomk_sample(part_a.unionByName(part_b), "event_id")
+    assert sorted(r.event_id for r in full.collect()) == sorted(
+        r.event_id for r in merged.collect()
+    )
+
+    from fanstats_producer_spark.registry import QUERIES
+
+    est = {
+        r.pct: r.est_value
+        for r in QUERIES["x97_quantile_sketch"](spark, SF_DIR).collect()
+    }
+    vals = sorted(r.value for r in ev.select("value").collect())
+    n = len(vals)
+    for pct, v in est.items():
+        pop_cdf = sum(1 for x in vals if x <= v) / n
+        assert abs(pop_cdf - pct / 100.0) <= 0.15, (pct, v, pop_cdf)
+
+
+def test_x98_jl_projection_matches_hand_recomputation(spark):
+    """x98's integer pipeline recomputed row-by-row in pure Python
+    (hashlib md5 signs, explicit micro-quantization): every component
+    for the first three vectors must match jl_project exactly — pins
+    the sign derivation, the quantization order, and the zip_with sum
+    against an implementation with no Spark in it."""
+    import hashlib
+    import math
+
+    from fanstats_producer_spark.operators.similarity import (
+        _X98_OUT,
+        jl_project,
+    )
+
+    emb = load(spark, SF_DIR, "embeddings")
+    rows = emb.orderBy("vec_id").limit(3).collect()
+    got = {
+        (r.vec_id, r.dim): r.comp_e6
+        for r in jl_project(emb).filter(
+            F.col("vec_id").isin([r.vec_id for r in rows])
+        ).collect()
+    }
+
+    def sign(j, i):
+        h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()
+        return 1 - 2 * (int(h[0], 16) % 2)
+
+    for r in rows:
+        q = [int(math.floor(float(v) * 1e6 + 0.5)) for v in r.embedding]
+        for j in range(_X98_OUT):
+            want = sum(qi * sign(j, i) for i, qi in enumerate(q))
+            assert got[(r.vec_id, j)] == want, (r.vec_id, j)

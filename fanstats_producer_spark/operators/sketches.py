@@ -319,36 +319,13 @@ def bottomk_sample(df: DataFrame, id_col: str, k: int = _X97_K) -> DataFrame:
     return df.orderBy(digest.asc(), F.col(id_col).asc()).limit(k)
 
 
-@query(
-    "x97_quantile_sketch",
-    oracle=f"""
-    WITH samp AS (
-      SELECT event_id, value
-      FROM events
-      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
-      LIMIT {_X97_K}),
-    ranked AS (
-      SELECT value, event_id,
-             row_number() OVER (ORDER BY value, event_id) - 1 AS r
-      FROM samp),
-    n AS (SELECT COUNT(*) AS cnt FROM samp),
-    spec AS (
-      SELECT CAST(pct AS INT) AS pct,
-             CAST(floor((n.cnt - 1) * pct / 100.0 + 0.5) AS BIGINT) AS r
-      FROM (SELECT unnest({_X97_PCTS}) AS pct) CROSS JOIN n)
-    SELECT s.pct, rk.value AS est_value, rk.event_id AS src_event_id
-    FROM spec s JOIN ranked rk ON rk.r = s.r
-    """,
-)
-def x97_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x97: population quantile estimates of events.value from the
-    deterministic bottom-k-by-hash sample — rank the k sampled rows by
-    (value, event_id), pick the order statistic at
-    floor((k-1)·p/100 + 0.5) for each requested percentile.  The
-    estimate is the sampled row's raw value (zero arithmetic), with
-    its source event_id kept for audit."""
-    ev = load(spark, sf_dir, "events")
-    samp = bottomk_sample(ev.select("event_id", "value"), "event_id")
+def quantile_estimates(samp: DataFrame) -> DataFrame:
+    """(pct, est_value, src_event_id) from a bottom-k sample frame —
+    rank the k rows by (value, event_id) and pick the order statistic
+    at floor((k-1)·p/100 + 0.5) per requested percentile.  Shared by
+    batch x97 and the s31 online monitor (the extraction sees only the
+    k-row sketch, never the data)."""
+    spark = samp.sparkSession
     # k rows: the single-partition window is on the sketch, not the data
     w = Window.orderBy(F.col("value").asc(), F.col("event_id").asc())
     ranked = samp.select(
@@ -377,3 +354,154 @@ def x97_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("pct", F.col("value").alias("est_value"),
                 F.col("event_id").alias("src_event_id"))
     )
+
+
+X97_ORACLE = f"""
+    WITH samp AS (
+      SELECT event_id, value
+      FROM events
+      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+      LIMIT {_X97_K}),
+    ranked AS (
+      SELECT value, event_id,
+             row_number() OVER (ORDER BY value, event_id) - 1 AS r
+      FROM samp),
+    n AS (SELECT COUNT(*) AS cnt FROM samp),
+    spec AS (
+      SELECT CAST(pct AS INT) AS pct,
+             CAST(floor((n.cnt - 1) * pct / 100.0 + 0.5) AS BIGINT) AS r
+      FROM (SELECT unnest({_X97_PCTS}) AS pct) CROSS JOIN n)
+    SELECT s.pct, rk.value AS est_value, rk.event_id AS src_event_id
+    FROM spec s JOIN ranked rk ON rk.r = s.r
+    """
+
+
+@query("x97_quantile_sketch", oracle=X97_ORACLE)
+def x97_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x97: population quantile estimates of events.value from the
+    deterministic bottom-k-by-hash sample — the estimate is the
+    sampled row's raw value (zero arithmetic), with its source
+    event_id kept for audit."""
+    ev = load(spark, sf_dir, "events")
+    return quantile_estimates(
+        bottomk_sample(ev.select("event_id", "value"), "event_id")
+    )
+
+
+# --- x99: grouped quantile sketch ROLLUP (re-aggregation demonstrated) ----------
+# The property that makes x97 a sketch, exercised as a registered
+# operator: per-group bottom-k samples (the state a 100 TB pipeline
+# persists at its finest grain, one k-row blob per group) roll up to
+# the GLOBAL sample by union + re-truncate — never rescanning raw
+# data.  Exactness of the rollup is pigeonhole: any row in the global
+# bottom-k is necessarily in its own group's bottom-k (same hash
+# order), so min-k(∪_g min-k(group_g)) = min-k(all) whenever the
+# global k <= each per-group k.  The registered output carries per-
+# group quantiles AND the rolled-up global quantiles, so the oracle
+# value-checks the whole hierarchy.
+# Scale shape: one shuffle on the group key for the per-group window
+# top-k (bounded at k rows/group out), then the rollup runs on
+# |groups|·k rows.
+_X99_K = 64
+_X99_PCTS = [25, 50, 75]
+
+
+@query(
+    "x99_quantile_rollup",
+    oracle=f"""
+    WITH samp AS (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events),
+    gs AS (SELECT event_type, event_id, value FROM samp WHERE rk <= {_X99_K}),
+    granked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY value, event_id) - 1 AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM gs),
+    gmerged AS (
+      SELECT event_id, value FROM gs
+      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+      LIMIT {_X99_K}),
+    gmranked AS (
+      SELECT value, event_id,
+             row_number() OVER (ORDER BY value, event_id) - 1 AS r,
+             COUNT(*) OVER () AS cnt
+      FROM gmerged),
+    pcts AS (SELECT unnest({_X99_PCTS}) AS pct)
+    SELECT g.event_type AS scope, CAST(p.pct AS INT) AS pct,
+           g.value AS est_value, g.event_id AS src_event_id
+    FROM granked g JOIN pcts p
+      ON g.r = CAST(floor((g.cnt - 1) * p.pct / 100.0 + 0.5) AS BIGINT)
+    UNION ALL
+    SELECT '_global' AS scope, CAST(p.pct AS INT) AS pct,
+           g.value AS est_value, g.event_id AS src_event_id
+    FROM gmranked g JOIN pcts p
+      ON g.r = CAST(floor((g.cnt - 1) * p.pct / 100.0 + 0.5) AS BIGINT)
+    """,
+)
+def x99_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x99: per-event_type quantile estimates from per-group bottom-k
+    samples, plus the '_global' scope REBUILT by merging the group
+    samples (union + re-truncate) — the persisted-sketch rollup path,
+    value-checked end to end."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    digest = F.md5(F.col("event_id").cast("string"))
+    wg = Window.partitionBy("event_type").orderBy(
+        digest.asc(), F.col("event_id").asc()
+    )
+    gs = (
+        ev.withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") <= _X99_K)
+        .drop("rk")
+    )
+    gs = gs.localCheckpoint(eager=True)  # group samples feed both arms
+
+    def extract(samp: DataFrame, scope_col) -> DataFrame:
+        w = Window.partitionBy("scope").orderBy(
+            F.col("value").asc(), F.col("event_id").asc()
+        )
+        ranked = samp.select(
+            scope_col.alias("scope"), "value", "event_id"
+        ).select(
+            "scope",
+            "value",
+            "event_id",
+            (F.row_number().over(w) - 1).alias("r"),
+            (F.count("*").over(Window.partitionBy("scope")) - 1).alias(
+                "cnt1"
+            ),
+        )
+        picks = ranked.select(
+            "scope",
+            "value",
+            "event_id",
+            "r",
+            F.explode(
+                F.array(*[F.lit(p) for p in _X99_PCTS])
+            ).alias("pct"),
+            "cnt1",
+        ).filter(
+            F.col("r")
+            == F.floor(
+                F.col("cnt1") * F.col("pct") / 100.0 + 0.5
+            ).cast("long")
+        )
+        return picks.select(
+            "scope",
+            F.col("pct").cast("int").alias("pct"),
+            F.col("value").alias("est_value"),
+            F.col("event_id").alias("src_event_id"),
+        )
+
+    per_group = extract(gs, F.col("event_type"))
+    glob = extract(
+        bottomk_sample(gs.select("event_id", "value"), "event_id", _X99_K),
+        F.lit("_global"),
+    )
+    return per_group.unionByName(glob)

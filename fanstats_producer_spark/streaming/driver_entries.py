@@ -37,7 +37,7 @@ from fanstats_producer_spark.operators.multimodal import (
     _phash_hash_ctes,
     _x90_fp_ctes,
 )
-from fanstats_producer_spark.operators import sampling
+from fanstats_producer_spark.operators import sampling, sketches
 from fanstats_producer_spark.operators.similarity import _X66_THRESH_E6
 from fanstats_producer_spark.registry import query
 from fanstats_producer_spark.streaming import jobs
@@ -1910,6 +1910,34 @@ def s30_stream_weighted_sample(
         out = spark.read.parquet(state_dir).select(
             "doc_id", "n_tokens", "key_e9"
         )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("s31_stream_quantile_monitor", oracle=sketches.X97_ORACLE)
+def s31_stream_quantile_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """s31: ONLINE quantile monitor — x97's deterministic bottom-k
+    sample maintained incrementally (jobs.streaming_quantile_monitor),
+    estimates extracted from the drained state with the SAME shared
+    extraction as batch x97 (sketches.quantile_estimates).  The oracle
+    is x97's verbatim: min-k merges exactly (min-k(A∪B) =
+    min-k(min-k(A)∪min-k(B)) — pytest-pinned), so the online sketch is
+    batching-invariant by algebra and no drain precondition exists."""
+    import os
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="s31_work_")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    stream = _read_events_stream(spark, sf_dir)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_quantile_monitor(stream, state_dir, ckpt)
+            _drain(q)
+        out = sketches.quantile_estimates(spark.read.parquet(state_dir))
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

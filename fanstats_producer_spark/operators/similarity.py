@@ -1691,3 +1691,199 @@ def x98_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         d=_X98_OUT
     )
     return jl_project(load(spark, sf_dir, "embeddings"))
+
+
+# --- x102: MMR diversified top-k re-ranking -------------------------------------
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998, public) — the
+# standard diversified-retrieval step between ANN candidate generation
+# and a RAG/search result list: greedily pick the candidate maximizing
+# lambda·rel(c) - (1-lambda)·max_{s in S} sim(c, s), so each pick is
+# relevant AND far from what's already selected.  Here lambda = 0.7
+# stated in integer tenths: score = 7·rel_e6 - 3·maxsim_e6 with
+# rel/sim the e6-quantized cosines (the x05 parity pairing), ties to
+# the smallest candidate id, maxsim = 0 for the first pick — so the
+# whole greedy trajectory is integer-deterministic and the oracle can
+# UNROLL it (k chained CTEs, one per pick).
+#
+# Scale shape: candidate generation is x05's broadcast-join scan with a
+# per-query top-P window (P = {P}); everything after runs on P rows per
+# query — the pool self-join for pairwise sims is P² per query
+# (bounded, never corpus-sized), and each greedy step is a keyed join +
+# row_number on the pool.  The k-step loop builds PLAN, not actions:
+# no driver round trips, one job end to end.
+_X102_QUERIES = 3
+_X102_POOL = 12
+_X102_K = 4
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    n_queries: int = _X102_QUERIES,
+    pool: int = _X102_POOL,
+    k: int = _X102_K,
+) -> DataFrame:
+    """(query_id, rnk, picked_id, mmr_score_e6): the greedy MMR
+    selection trajectory over each query's top-`pool` cosine
+    candidates."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+        .join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .withColumn("rel_e6", qint(cosine(F.col("qv"), F.col("cv"))))
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("rel_e6").desc(), F.col("cand_id").asc()
+    )
+    pool_df = (
+        scored.withColumn("prnk", F.row_number().over(wp))
+        .filter(F.col("prnk") <= pool)
+        .select("query_id", "cand_id", "rel_e6", "cv")
+        .localCheckpoint(eager=True)  # P rows/query feed every step
+    )
+    a = pool_df.select(
+        "query_id", F.col("cand_id").alias("a_id"), F.col("cv").alias("av")
+    )
+    b = pool_df.select(
+        "query_id", F.col("cand_id").alias("b_id"), F.col("cv").alias("bv")
+    )
+    psim = (
+        a.join(b, "query_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "query_id",
+            "a_id",
+            "b_id",
+            qint(cosine(F.col("av"), F.col("bv"))).alias("sim_e6"),
+        )
+        # P²-per-query rows; eager checkpoint so the 2k-step lineage
+        # below never re-derives the cosine self-join (measured: the
+        # un-truncated 4-step DAG cost ~20 s of Catalyst re-analysis
+        # on 36 pool rows)
+        .localCheckpoint(eager=True)
+    )
+    state = pool_df.select(
+        "query_id", "cand_id", "rel_e6", F.lit(0).cast("long").alias("ms")
+    )
+    picks = []
+    for j in range(1, k + 1):
+        sc = state.withColumn(
+            "mmr", 7 * F.col("rel_e6") - 3 * F.col("ms")
+        )
+        wj = Window.partitionBy("query_id").orderBy(
+            F.col("mmr").desc(), F.col("cand_id").asc()
+        )
+        pick = (
+            sc.withColumn("r", F.row_number().over(wj))
+            .filter(F.col("r") == 1)
+            .select(
+                "query_id",
+                F.lit(j).alias("rnk"),
+                F.col("cand_id").alias("picked_id"),
+                F.col("mmr").alias("mmr_score_e6"),
+            )
+        )
+        pick = pick.localCheckpoint(eager=True)  # reused twice below
+        picks.append(pick)
+        if j < k:
+            newsim = psim.join(
+                pick.select("query_id", F.col("picked_id").alias("b_id")),
+                ["query_id", "b_id"],
+            ).select(
+                "query_id", F.col("a_id").alias("cand_id"),
+                F.col("sim_e6").alias("ps")
+            )
+            state = (
+                state.join(
+                    pick.select(
+                        "query_id", F.col("picked_id").alias("cand_id")
+                    ).withColumn("gone", F.lit(1)),
+                    ["query_id", "cand_id"],
+                    "left",
+                )
+                .filter(F.col("gone").isNull())
+                .drop("gone")
+                .join(newsim, ["query_id", "cand_id"], "left")
+                .select(
+                    "query_id",
+                    "cand_id",
+                    "rel_e6",
+                    F.greatest(
+                        F.col("ms"), F.coalesce(F.col("ps"), F.lit(0))
+                    ).alias("ms"),
+                )
+                .localCheckpoint(eager=True)  # keep step cost linear
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "query_id", F.col("rnk").cast("int").alias("rnk"),
+        "picked_id", "mmr_score_e6"
+    )
+
+
+def _x102_oracle() -> str:
+    """Unrolled greedy-MMR oracle: one (pick, state) CTE pair per step.
+    Cosines via list_cosine_similarity (the x05 parity pairing with the
+    engine's sequential zip_with/aggregate)."""
+    ctes = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM emb
+          WHERE vec_id < {_X102_QUERIES}),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             CAST(floor(list_cosine_similarity(q.qv, c.v) * 1e6 + 0.5)
+                  AS BIGINT) AS rel_e6
+      FROM q CROSS JOIN emb c WHERE c.vec_id != q.query_id),
+    pool AS (
+      SELECT query_id, cand_id, rel_e6 FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY rel_e6 DESC, cand_id) AS prnk
+        FROM scored) WHERE prnk <= {_X102_POOL}),
+    psim AS (
+      SELECT a.query_id, a.cand_id AS a_id, b.cand_id AS b_id,
+             CAST(floor(list_cosine_similarity(ea.v, eb.v) * 1e6 + 0.5)
+                  AS BIGINT) AS sim_e6
+      FROM pool a JOIN pool b
+        ON a.query_id = b.query_id AND a.cand_id != b.cand_id
+      JOIN emb ea ON ea.vec_id = a.cand_id
+      JOIN emb eb ON eb.vec_id = b.cand_id),
+    st0 AS (SELECT query_id, cand_id, rel_e6, CAST(0 AS BIGINT) AS ms
+            FROM pool)"""
+    for j in range(1, _X102_K + 1):
+        ctes += f""",
+    p{j} AS (
+      SELECT query_id, {j} AS rnk, cand_id AS picked_id,
+             mmr AS mmr_score_e6
+      FROM (SELECT query_id, cand_id, 7 * rel_e6 - 3 * ms AS mmr,
+                   row_number() OVER (PARTITION BY query_id
+                     ORDER BY 7 * rel_e6 - 3 * ms DESC, cand_id) AS r
+            FROM st{j - 1}) WHERE r = 1)"""
+        if j < _X102_K:
+            ctes += f""",
+    st{j} AS (
+      SELECT s.query_id, s.cand_id, s.rel_e6,
+             greatest(s.ms, coalesce(ps.sim_e6, 0)) AS ms
+      FROM st{j - 1} s
+      JOIN p{j} ON p{j}.query_id = s.query_id
+      LEFT JOIN psim ps ON ps.query_id = s.query_id
+        AND ps.a_id = s.cand_id AND ps.b_id = p{j}.picked_id
+      WHERE s.cand_id != p{j}.picked_id)"""
+    union = "\n    UNION ALL ".join(
+        f"SELECT query_id, CAST(rnk AS INT) AS rnk, picked_id,"
+        f" mmr_score_e6 FROM p{j}"
+        for j in range(1, _X102_K + 1)
+    )
+    return ctes + "\n    " + union
+
+
+@query("x102_mmr_rerank", oracle=_x102_oracle())
+def x102_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x102: the greedy MMR trajectory over each query's top-{p}
+    candidate pool — integer-deterministic (e6 cosines, tenths
+    lambda), so the oracle unrolls the greedy exactly.""".format(
+        p=_X102_POOL
+    )
+    return mmr_rerank(spread(load(spark, sf_dir, "embeddings")))

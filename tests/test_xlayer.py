@@ -2056,3 +2056,137 @@ def test_x99_rollup_global_equals_direct_bottomk(spark):
         gs.groupBy("event_type").count().agg(F.max("count")).collect()[0][0]
     )
     assert max_per_group <= _X99_K
+
+
+def test_x101_aho_corasick_equals_brute_force():
+    """The automaton's match counts equal exhaustive every-start-
+    position probing on adversarial small-alphabet inputs (nested
+    terms, overlapping runs, failure-link chains) — 300 random texts
+    plus the classic hand cases."""
+    import random
+
+    from fanstats_producer_spark.functions.text_extra import (
+        _aho_build,
+        aho_scan,
+    )
+
+    def brute(text, terms):
+        c = {}
+        for t in terms:
+            n = sum(
+                1
+                for p in range(len(text) - len(t) + 1)
+                if text[p : p + len(t)] == t
+            )
+            if n:
+                c[t] = n
+        return c
+
+    terms = ["a", "aa", "aaa", "ab", "ba", "bab", "abab"]
+    auto = _aho_build(terms)
+    assert aho_scan("aaaa", auto) == {"a": 4, "aa": 3, "aaa": 2}
+    assert aho_scan("ababab", auto) == brute("ababab", terms)
+    rng = random.Random(42)
+    for _ in range(300):
+        s = "".join(rng.choice("ab") for _ in range(rng.randrange(0, 40)))
+        assert aho_scan(s, auto) == brute(s, terms), s
+    # a second dictionary with longer failure chains
+    terms2 = ["abcab", "bcabc", "cab", "abc", "c"]
+    auto2 = _aho_build(terms2)
+    for _ in range(300):
+        s = "".join(rng.choice("abc") for _ in range(rng.randrange(0, 50)))
+        assert aho_scan(s, auto2) == brute(s, terms2), s
+
+
+def test_x102_mmr_matches_python_greedy_and_diversifies(spark):
+    """mmr_rerank recomputed by a pure-Python greedy on the fixture's
+    pool (cosines from the operator's own pool/psim relations, so the
+    test pins the GREEDY, not float parity — that's the oracle's job):
+    the trajectory must match step for step.  Also asserts MMR actually
+    diversifies somewhere: some pick order differs from pure-relevance
+    order (otherwise lambda is vacuous on this data)."""
+    from fanstats_producer_spark.io import spread
+    from fanstats_producer_spark.operators.similarity import (
+        _X102_K,
+        _X102_POOL,
+        _X102_QUERIES,
+        cosine,
+        mmr_rerank,
+        qint,
+    )
+
+    emb = spread(load(spark, SF_DIR, "embeddings"))
+    got = sorted(
+        (r.query_id, r.rnk, r.picked_id, r.mmr_score_e6)
+        for r in mmr_rerank(emb).collect()
+    )
+
+    q = emb.filter(F.col("vec_id") < _X102_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.select(
+            F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv")
+        )
+        .join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .withColumn("rel_e6", qint(cosine(F.col("qv"), F.col("cv"))))
+    )
+    from pyspark.sql.window import Window as _W
+
+    wp = _W.partitionBy("query_id").orderBy(
+        F.col("rel_e6").desc(), F.col("cand_id").asc()
+    )
+    pool = (
+        scored.withColumn("r", F.row_number().over(wp))
+        .filter(F.col("r") <= _X102_POOL)
+        .select("query_id", "cand_id", "rel_e6", "cv")
+    ).collect()
+    rel = {(r.query_id, r.cand_id): r.rel_e6 for r in pool}
+    vecs = {(r.query_id, r.cand_id): list(r.cv) for r in pool}
+
+    def cos_e6(a, b):
+        import math
+
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            x, y = float(x), float(y)
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6 + 0.5)
+
+    want = []
+    for qid in range(_X102_QUERIES):
+        cands = sorted(c for (g, c) in rel if g == qid)
+        ms = {c: 0 for c in cands}
+        selected = []
+        for rnk in range(1, _X102_K + 1):
+            best = max(
+                (7 * rel[(qid, c)] - 3 * ms[c], -c)
+                for c in cands
+                if c not in selected
+            )
+            score, c = best[0], -best[1]
+            selected.append(c)
+            want.append((qid, rnk, c, score))
+            for o in cands:
+                if o != c and o not in selected:
+                    s = cos_e6(vecs[(qid, o)], vecs[(qid, c)])
+                    ms[o] = max(ms[o], s)
+    assert got == sorted(want)
+
+    # diversity must bite: some trajectory differs from relevance order
+    rel_order = {
+        qid: [
+            c
+            for _, c in sorted(
+                ((-rel[(qid, c)], c) for (g, c) in rel if g == qid)
+            )[: _X102_K]
+        ]
+        for qid in range(_X102_QUERIES)
+    }
+    mmr_order = {
+        qid: [c for (g, _, c, _) in sorted(want) if g == qid]
+        for qid in range(_X102_QUERIES)
+    }
+    assert any(rel_order[q] != mmr_order[q] for q in rel_order)

@@ -425,9 +425,7 @@ def keyword_tags(docs: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
-@query(
-    "x101_keyword_tags",
-    oracle=f"""
+X101_ORACLE = f"""
     WITH terms AS (
       SELECT unnest({_X101_TERMS!r}) AS term),
     hits AS (
@@ -438,8 +436,10 @@ def keyword_tags(docs: DataFrame, terms: list[str]) -> DataFrame:
       FROM documents d CROSS JOIN terms t)
     SELECT doc_id, term, CAST(n_hits AS BIGINT) AS n_hits
     FROM hits WHERE n_hits > 0
-    """,
-)
+    """
+
+
+@query("x101_keyword_tags", oracle=X101_ORACLE)
 def x101_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x101: dictionary term tagging over the corpus — the automaton's
     one-pass match counts checked against the oracle's exhaustive

@@ -1887,3 +1887,158 @@ def x102_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         p=_X102_POOL
     )
     return mmr_rerank(spread(load(spark, sf_dir, "embeddings")))
+
+
+# --- x103: JL-projected ANN (project -> shortlist -> exact rerank -> recall) ----
+# x98 made load-bearing: the classic dimensionality-reduction retrieval
+# pipeline — score candidates in the 16-d projected space (a 4x
+# cheaper scan than 64-d, and at 100 TB the projected index is what
+# fits in memory), shortlist top-C per query, then exact-rerank only
+# the shortlist in the original space and MEASURE recall against the
+# exact x05 answer (the x50/x57b monitor discipline: every approximate
+# arm ships with its recall check).  All candidate arithmetic is
+# integer (x98 comps; int64 envelope: |comp| <= 6.4e7, dot <= 6.6e16);
+# the projected-cosine rank divides exact ints in the same IEEE order
+# on both engines; zero-norm projections are excluded on BOTH sides
+# (0/0 NaN would order differently cross-engine).
+_X103_MIN_SHORTLIST = 25
+_X103_FRAC_DIV = 10  # shortlist = max(25, n_cands DIV 10) — a 10x scan cut
+
+
+def _x103_oracle() -> str:
+    proj = _registry.ORACLE["x98_random_projection"]
+    exact = _registry.ORACLE["x05_knn"]
+    return f"""
+    WITH proj AS (SELECT * FROM ({proj})),
+    nrm AS (SELECT vec_id, SUM(comp_e6 * comp_e6) AS n2
+            FROM proj GROUP BY 1),
+    dots AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             SUM(q.comp_e6 * c.comp_e6) AS dt
+      FROM proj q JOIN proj c USING (dim)
+      WHERE q.vec_id < {_KNN_QUERIES} AND c.vec_id != q.vec_id
+      GROUP BY 1, 2),
+    cands AS (
+      SELECT query_id, cand_id FROM (
+        SELECT d.query_id, d.cand_id,
+               row_number() OVER (PARTITION BY d.query_id ORDER BY
+                 CAST(d.dt AS DOUBLE)
+                 / (sqrt(CAST(nq.n2 AS DOUBLE))
+                    * sqrt(CAST(nc.n2 AS DOUBLE))) DESC, d.cand_id) AS r,
+               COUNT(*) OVER (PARTITION BY d.query_id) AS ncand
+        FROM dots d
+        JOIN nrm nq ON nq.vec_id = d.query_id
+        JOIN nrm nc ON nc.vec_id = d.cand_id
+        WHERE nq.n2 > 0 AND nc.n2 > 0)
+      WHERE r <= greatest({_X103_MIN_SHORTLIST},
+                          ncand // {_X103_FRAC_DIV})),
+    emb2 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    rerank AS (
+      SELECT query_id, cand_id FROM (
+        SELECT c.query_id, c.cand_id,
+               row_number() OVER (PARTITION BY c.query_id ORDER BY
+                 list_cosine_similarity(eq.v, ec.v) DESC, c.cand_id) AS r
+        FROM cands c
+        JOIN emb2 eq ON eq.vec_id = c.query_id
+        JOIN emb2 ec ON ec.vec_id = c.cand_id)
+      WHERE r <= {_KNN_K}),
+    exact_k AS (SELECT query_id, neighbor_id FROM ({exact})),
+    hits AS (
+      SELECT e.query_id,
+             COUNT(*) FILTER (WHERE a.cand_id IS NOT NULL) AS n_hit,
+             COUNT(*) AS n_exact
+      FROM exact_k e
+      LEFT JOIN rerank a
+        ON a.query_id = e.query_id AND a.cand_id = e.neighbor_id
+      GROUP BY 1)
+    SELECT query_id, CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(floor(CAST(n_hit AS DOUBLE) / n_exact * 1e6 + 0.5)
+                AS BIGINT) AS recall_e6
+    FROM hits ORDER BY query_id
+    """
+
+
+@query("x103_jl_ann_recall", oracle=_x103_oracle())
+def x103_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x103: recall@k of the JL-shortlist + exact-rerank pipeline vs
+    the exact x05 answer — integer candidate arithmetic end to end."""
+    emb = spread(load(spark, sf_dir, "embeddings"))
+    proj = jl_project(emb).localCheckpoint(eager=True)  # feeds 3 arms
+    nrm = proj.groupBy("vec_id").agg(
+        F.sum(F.col("comp_e6") * F.col("comp_e6")).alias("n2")
+    )
+    qp = proj.filter(F.col("vec_id") < _KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "dim",
+        F.col("comp_e6").alias("qc"),
+    )
+    dots = (
+        proj.join(F.broadcast(qp), "dim")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum(F.col("qc") * F.col("comp_e6")).alias("dt"))
+    )
+    nq = nrm.select(F.col("vec_id").alias("query_id"), F.col("n2").alias("nq2"))
+    nc = nrm.select(F.col("vec_id").alias("cand_id"), F.col("n2").alias("nc2"))
+    wq = Window.partitionBy("query_id").orderBy(
+        (
+            F.col("dt").cast("double")
+            / (F.sqrt(F.col("nq2").cast("double"))
+               * F.sqrt(F.col("nc2").cast("double")))
+        ).desc(),
+        F.col("cand_id").asc(),
+    )
+    cands = (
+        dots.join(F.broadcast(nq), "query_id")
+        .join(nc, "cand_id")
+        .filter((F.col("nq2") > 0) & (F.col("nc2") > 0))
+        .withColumn("r", F.row_number().over(wq))
+        .withColumn(
+            "ncand", F.count("*").over(Window.partitionBy("query_id"))
+        )
+        .filter(
+            F.col("r")
+            <= F.greatest(
+                F.lit(_X103_MIN_SHORTLIST),
+                F.expr(f"ncand div {_X103_FRAC_DIV}"),
+            )
+        )
+        .select("query_id", "cand_id")
+    )
+    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ec = emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("cv"))
+    wr = Window.partitionBy("query_id").orderBy(
+        cosine(F.col("qv"), F.col("cv")).desc(), F.col("cand_id").asc()
+    )
+    rerank = (
+        cands.join(F.broadcast(eq), "query_id")
+        .join(ec, "cand_id")
+        .withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= _KNN_K)
+        .select("query_id", "cand_id")
+    )
+    exact = x05_knn(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id")
+    )
+    hits = (
+        exact.join(
+            rerank.withColumnRenamed("cand_id", "neighbor_id")
+            .withColumn("hit", F.lit(1)),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("hit").alias("n_hit"),
+            F.count("*").alias("n_exact"),
+        )
+    )
+    return hits.select(
+        "query_id",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.floor(
+            F.col("n_hit").cast("double") / F.col("n_exact") * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("recall_e6"),
+    ).orderBy("query_id")

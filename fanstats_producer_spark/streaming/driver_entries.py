@@ -37,6 +37,7 @@ from fanstats_producer_spark.operators.multimodal import (
     _phash_hash_ctes,
     _x90_fp_ctes,
 )
+from fanstats_producer_spark.functions import text_extra
 from fanstats_producer_spark.operators import sampling, sketches
 from fanstats_producer_spark.operators.similarity import _X66_THRESH_E6
 from fanstats_producer_spark.registry import query
@@ -1938,6 +1939,47 @@ def s31_stream_quantile_monitor(
             q = jobs.streaming_quantile_monitor(stream, state_dir, ckpt)
             _drain(q)
         out = sketches.quantile_estimates(spark.read.parquet(state_dir))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("s32_stream_keyword_tags", oracle=text_extra.X101_ORACLE)
+def s32_stream_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s32: the dictionary gate ONLINE — x101's Aho-Corasick tagger as
+    a stateless streaming projection (mapInPandas rides an append-mode
+    stream unchanged), the blocklist/PII-term scan a 100 TB ingest
+    runs on arriving documents.  Stateless per-row logic ⇒ verdicts
+    are batch-slicing-invariant by construction and the oracle is
+    x101's VERBATIM (the naive every-start-position probe), with no
+    drain precondition."""
+    import os
+    import shutil
+
+    from fanstats_producer_spark.functions.text_extra import (
+        _X101_TERMS,
+        keyword_tags,
+    )
+
+    landing = _doc_landing(spark, sf_dir)  # shared, read-only
+    work = tempfile.mkdtemp(prefix="s32_work_")
+    out_dir = os.path.join(work, "tags")
+    ckpt = os.path.join(work, "ckpt")
+    stream = jobs.read_document_stream(spark, landing)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = (
+                keyword_tags(stream, _X101_TERMS)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain(q)
+        out = spark.read.parquet(out_dir).select(
+            "doc_id", "term", "n_hits"
+        )
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -2154,3 +2154,64 @@ def test_s31_quantile_monitor_slicing_invariant_and_replay_safe(
         (r.event_id, r.value) for r in spark.read.parquet(state).collect()
     )
     assert got2 == want
+
+
+def test_s32_keyword_gate_is_slicing_invariant(spark, landing, tmp_path):
+    """s32: stateless per-row tagging — a 2-batch drain must produce
+    exactly the batch tagger's rows over the union, including
+    overlapping/nested matches ('row scan' also firing 'scan')."""
+    import json as _json
+    import os as _os
+
+    from fanstats_producer_spark.functions.text_extra import (
+        _X101_TERMS,
+        keyword_tags,
+    )
+    from fanstats_producer_spark.streaming.jobs import DOCUMENT_SCHEMA
+
+    docs = [
+        (1, "spark row scan spark"),
+        (2, "sort merge table table"),
+        (3, "no hits here"),
+        (4, "hash agg over table"),
+    ]
+    for bi, chunk in enumerate([docs[:2], docs[2:]]):
+        with open(landing / f"b{bi}.json", "w") as f:
+            for i, txt in chunk:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": i, "ts": "2024-01-01T10:00:00Z",
+                         "text": txt, "lang": "en"}
+                    ) + "\n"
+                )
+        _os.utime(landing / f"b{bi}.json",
+                  (1000000000 + bi * 100,) * 2)
+    src = (
+        spark.readStream.schema(DOCUMENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    out_dir = str(tmp_path / "tags")
+    q = (
+        keyword_tags(src, _X101_TERMS)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.term, r.n_hits)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    batch = spark.createDataFrame(
+        docs, "doc_id long, text string"
+    )
+    want = sorted(
+        (r.doc_id, r.term, r.n_hits)
+        for r in keyword_tags(batch, _X101_TERMS).collect()
+    )
+    assert got == want
+    assert (1, "row scan", 1) in got and (1, "scan", 1) in got
+    assert (1, "spark", 2) in got and 3 not in {d for d, _, _ in got}

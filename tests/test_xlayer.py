@@ -2190,3 +2190,39 @@ def test_x102_mmr_matches_python_greedy_and_diversifies(spark):
         for qid in range(_X102_QUERIES)
     }
     assert any(rel_order[q] != mmr_order[q] for q in rel_order)
+
+
+def test_x103_jl_pipeline_finds_planted_near_duplicates(spark, tmp_path):
+    """The JL shortlist's load-bearing guarantee: near-duplicate
+    vectors (cosine ~ 1) survive projection (JL preserves large
+    margins; it is the near-TIES the fixture's bulk loses).  Plant one
+    near-identical partner per probe query among 300 noise vectors:
+    every query's recall must include the planted partner (>= 1 of
+    k=5 hits), even though noise neighbors may shuffle."""
+    import random
+
+    from fanstats_producer_spark.operators.similarity import (
+        x103_jl_ann_recall,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(3):
+        v = [rng.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, [float(x) for x in v], 0))
+        # planted partner: same direction, tiny perturbation
+        w = [float(x * 1.01 + (0.001 if d == 0 else 0)) for d, x in enumerate(v)]
+        rows.append((100 + i, w, 0))
+    for j in range(300):
+        rows.append(
+            (200 + j, [float(rng.uniform(-1, 1)) for _ in range(64)], 1)
+        )
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = {r.query_id: r for r in x103_jl_ann_recall(spark, d).collect()}
+    assert set(got) == {0, 1, 2}
+    for qid, r in got.items():
+        assert r.n_exact == 5
+        assert r.n_hit >= 1, (qid, r)  # the planted partner survives JL

@@ -2416,3 +2416,104 @@ def x100_kn_trigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum("lg").cast("double") / F.lit(1e7) / F.count("*"), 4
         ).alias("kn3_bits_per_token_e4"),
     )
+
+
+# --- x104: PMI collocation extraction --------------------------------------------
+# Pointwise mutual information over corpus bigrams (Church & Hanks
+# 1990, public) — the standard collocation detector: which word pairs
+# co-occur far above chance.  Corpus curation uses it to find
+# boilerplate phrases, template residue, and multi-word entities worth
+# protecting from tokenizer splits.  PMI(v,w) = log2(c(v,w)·N /
+# (cL(v)·cR(w))) with N total bigrams and cL/cR the left/right
+# marginals — ONE log2 of an exact int64 rational (sf1 envelope:
+# numerator <= 5e4·2.75e6 ~ 1.4e11, denominator <= (2.75e6)² ~ 7.6e12),
+# e7-quantized by the x30 convention.  A min-count floor ({mc}) drops
+# the hapax pairs whose PMI is pure noise (the standard practice).
+#
+# Scale shape: bigram extraction is x94's per-row slice+zip_with (no
+# window, no shuffle); marginals are two groupBys of the bigram-count
+# table; N rides the cL aggregate as a window total (NOT a one-row
+# relation — the x100 DuckDB join-order hazard); the final top-{k} is
+# orderBy+limit (TakeOrderedAndProject, never a global sort).
+_X104_MIN_COUNT = 5
+_X104_TOPK = 50
+
+
+@query(
+    "x104_pmi_collocations",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    bgf AS (
+      SELECT b['v'] AS v, b['w'] AS w
+      FROM (SELECT unnest(list_transform(range(1, len(t)),
+                          i -> {{'v': t[i], 'w': t[i + 1]}})) AS b
+            FROM tk WHERE len(t) >= 2)),
+    cvw AS (SELECT v, w, COUNT(*) AS cvw FROM bgf GROUP BY 1, 2),
+    cl AS (
+      SELECT v, CAST(SUM(cvw) AS BIGINT) AS cl,
+             CAST(SUM(SUM(cvw)) OVER () AS BIGINT) AS N
+      FROM cvw GROUP BY 1),
+    cr AS (SELECT w, CAST(SUM(cvw) AS BIGINT) AS cr FROM cvw GROUP BY 1),
+    scored AS (
+      SELECT cvw.v, cvw.w, cvw.cvw AS n_pair,
+             CAST(floor(log2(CAST(cvw.cvw * cl.N AS DOUBLE)
+                             / CAST(cl.cl * cr.cr AS DOUBLE))
+                        * 1e7 + 0.5) AS BIGINT) AS pmi_e7
+      FROM cvw JOIN cl USING (v) JOIN cr USING (w)
+      WHERE cvw.cvw >= {_X104_MIN_COUNT})
+    SELECT v, w, n_pair, pmi_e7 FROM scored
+    ORDER BY pmi_e7 DESC, v, w
+    LIMIT {_X104_TOPK}
+    """,
+)
+def x104_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x104: top-{k} bigram collocations by e7-quantized PMI with a
+    min-count floor of {mc} — see block comment for the exact
+    integer-rational formulation.""".format(
+        k=_X104_TOPK, mc=_X104_MIN_COUNT
+    )
+    t = F.split("text", " ")
+    bgf = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select(t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.struct(a.alias("v"), b.alias("w")),
+                )
+            ).alias("b")
+        )
+        .select("b.v", "b.w")
+    )
+    cvw = bgf.groupBy("v", "w").agg(F.count("*").alias("cvw"))
+    cl = cvw.groupBy("v").agg(F.sum("cvw").alias("cl")).withColumn(
+        "N", F.sum("cl").over(Window.partitionBy())
+    )
+    cr = cvw.groupBy("w").agg(F.sum("cvw").alias("cr"))
+    scored = (
+        cvw.filter(F.col("cvw") >= _X104_MIN_COUNT)
+        .join(cl, "v")
+        .join(cr, "w")
+        .select(
+            "v",
+            "w",
+            F.col("cvw").alias("n_pair"),
+            F.floor(
+                F.log2(
+                    (F.col("cvw") * F.col("N")).cast("double")
+                    / (F.col("cl") * F.col("cr")).cast("double")
+                )
+                * F.lit(1e7)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pmi_e7"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_e7"), F.asc("v"), F.asc("w")
+    ).limit(_X104_TOPK)

@@ -667,3 +667,63 @@ def test_x100_kn_trigram_hand_recomputation(spark):
         assert rows[i]["n_trigrams"] == len(lgs)
         want = math.floor(-sum(lgs) / 1e7 / len(lgs) * 1e4 + 0.5)
         assert rows[i]["kn3_bits_per_token_e4"] == want, (i, lgs)
+
+
+def test_x104_pmi_hand_recomputation(spark):
+    """PMI on a corpus tiny enough to count by hand: 'a b' appears 6x,
+    left-marginal a=6, right-marginal b=7, N=9 bigrams — every scored
+    pair recomputed in pure Python, min-count floor pinned."""
+    import math
+    import tempfile
+
+    from fanstats_producer_spark.operators.llm_data import (
+        _X104_MIN_COUNT,
+        x104_pmi_collocations,
+    )
+
+    docs = [
+        (0, "a b a b a b c b"),  # bigrams: ab ba ab ba ab bc cb
+        (1, "a b a b x"),        # bigrams: ab ba ab bx
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in docs],
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = [
+            (r.v, r.w, r.n_pair, r.pmi_e7)
+            for r in x104_pmi_collocations(spark, d).collect()
+        ]
+
+    from collections import Counter
+
+    bg = []
+    for _, t in docs:
+        toks = t.split(" ")
+        bg += list(zip(toks, toks[1:]))
+    cvw = Counter(bg)
+    cl, cr = Counter(), Counter()
+    for (v, w), c in cvw.items():
+        cl[v] += c
+        cr[w] += c
+    N = sum(cvw.values())
+    want = sorted(
+        (
+            (
+                v,
+                w,
+                c,
+                math.floor(
+                    math.log2((c * N) / (cl[v] * cr[w])) * 1e7 + 0.5
+                ),
+            )
+            for (v, w), c in cvw.items()
+            if c >= _X104_MIN_COUNT
+        ),
+        key=lambda r: (-r[3], r[0], r[1]),
+    )
+    assert got == want
+    assert len(want) >= 1 and all(c >= _X104_MIN_COUNT for *_, c, _p in [
+        (v, w, c, p) for v, w, c, p in want
+    ])

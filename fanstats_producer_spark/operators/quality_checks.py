@@ -12,7 +12,7 @@ gate on.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import qint
@@ -423,4 +423,122 @@ def x63_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("psi_term_e9").cast("long").alias("psi_e9"),
         F.min("t_ref").cast("long").alias("n_ref"),
         F.min("t_live").cast("long").alias("n_live"),
+    )
+
+
+# --- x105: exact two-sample Kolmogorov-Smirnov drift matrix ----------------------
+# The distribution-shift test the PSI monitor (x63) approximates with
+# fixed buckets, computed EXACTLY: for every unordered pair of event
+# types, D = sup_x |F_a(x) - F_b(x)| over the merged value grid.  All
+# arithmetic is integer cross-multiplication — D's argmax compares
+# |ca·nb - cb·na| (the per-pair denominator na·nb is constant), so the
+# statistic is bit-reproducible on any engine; only the final e6 report
+# divides.  int64 envelope: ca·nb <= (2e5)² = 4e10 at sf1.
+#
+# Scale shape: one groupBy to (type, value) counts, a types×grid
+# broadcast expansion, one cumulative window PER TYPE (partitioned —
+# no global window), one self-join on the value grid, map-side-
+# combinable max.  The grid is the DISTINCT value set: exact KS is the
+# right tool when that's bounded (monitoring per-key metrics, scores,
+# latencies); for truly continuous 100 TB columns, run it over x97's
+# bottom-k sample instead (the DKW bound then caps the added error) —
+# the composition this operator's helper accepts any frame for.
+@query(
+    "x105_ks_two_sample",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type AS t, value AS v FROM events WHERE value IS NOT NULL),
+    totals AS (SELECT t, COUNT(*) AS n FROM ev GROUP BY 1),
+    cnts AS (SELECT t, v, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+    grid AS (
+      SELECT tt.t, g.v FROM (SELECT DISTINCT v FROM ev) g
+      CROSS JOIN (SELECT DISTINCT t FROM ev) tt),
+    cum AS (
+      SELECT grid.t, grid.v,
+             SUM(COALESCE(cnts.c, 0)) OVER (
+               PARTITION BY grid.t ORDER BY grid.v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM grid LEFT JOIN cnts ON cnts.t = grid.t AND cnts.v = grid.v),
+    pairs AS (
+      SELECT a.t AS type_a, b.t AS type_b,
+             abs(a.cum * nb.n - b.cum * na.n) AS dnum,
+             na.n AS n_a, nb.n AS n_b
+      FROM cum a JOIN cum b ON a.v = b.v AND a.t < b.t
+      JOIN totals na ON na.t = a.t
+      JOIN totals nb ON nb.t = b.t),
+    agg AS (
+      SELECT type_a, type_b, MAX(dnum) AS d_num,
+             MAX(n_a) AS n_a, MAX(n_b) AS n_b
+      FROM pairs GROUP BY 1, 2)
+    SELECT type_a, type_b, CAST(d_num AS BIGINT) AS d_num,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(floor(CAST(d_num AS DOUBLE) / (n_a * n_b) * 1e6 + 0.5)
+                AS BIGINT) AS ks_e6
+    FROM agg
+    """,
+)
+def x105_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x105: exact KS distance between every pair of event-type value
+    distributions — integer cross-multiplied suprema (see block
+    comment), one row per unordered type pair."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("event_type").alias("t"), F.col("value").alias("v"))
+    )
+    totals = ev.groupBy("t").agg(F.count("*").alias("n"))
+    cnts = ev.groupBy("t", "v").agg(F.count("*").alias("c"))
+    grid = ev.select("v").distinct().crossJoin(
+        F.broadcast(ev.select("t").distinct())
+    )
+    w = (
+        Window.partitionBy("t")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(cnts, ["t", "v"], "left")
+        .select("t", "v", F.coalesce(F.col("c"), F.lit(0)).alias("c"))
+        .withColumn("cum", F.sum("c").over(w))
+    )
+    a = cum.select(
+        F.col("t").alias("type_a"), "v", F.col("cum").alias("ca")
+    )
+    b = cum.select(
+        F.col("t").alias("type_b"), "v", F.col("cum").alias("cb")
+    )
+    na = totals.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    nb = totals.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    pairs = (
+        a.join(b, "v")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.abs(
+                F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+            ).alias("dnum"),
+            "n_a",
+            "n_b",
+        )
+    )
+    agg = pairs.groupBy("type_a", "type_b").agg(
+        F.max("dnum").alias("d_num"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("d_num").cast("long").alias("d_num"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.floor(
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("ks_e6"),
     )

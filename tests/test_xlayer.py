@@ -2226,3 +2226,42 @@ def test_x103_jl_pipeline_finds_planted_near_duplicates(spark, tmp_path):
     for qid, r in got.items():
         assert r.n_exact == 5
         assert r.n_hit >= 1, (qid, r)  # the planted partner survives JL
+
+
+def test_x105_ks_hand_case(spark, tmp_path):
+    """Exact KS on a hand-computable frame: A=[1,2,2,5] vs B=[2,3]
+    gives D = 1/4 (integer d_num 2 over n_a·n_b = 8); an identical
+    pair C == D gives D = 0.  Written as a real events.parquet so the
+    operator's own load path runs."""
+    import datetime
+
+    from fanstats_producer_spark.operators.quality_checks import (
+        x105_ks_two_sample,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for t, vals in [
+        ("A", [1.0, 2.0, 2.0, 5.0]),
+        ("B", [2.0, 3.0]),
+        ("C", [1.0, 4.0]),
+        ("D", [1.0, 4.0]),
+    ]:
+        for v in vals:
+            rows.append((eid, ts, 1, t, v, "{}"))
+            eid += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = {
+        (r.type_a, r.type_b): (r.d_num, r.n_a, r.n_b, r.ks_e6)
+        for r in x105_ks_two_sample(spark, d).collect()
+    }
+    assert got[("A", "B")] == (2, 4, 2, 250000)
+    assert got[("C", "D")] == (0, 2, 2, 0)
+    # completeness: all C(4,2)=6 unordered pairs present
+    assert len(got) == 6

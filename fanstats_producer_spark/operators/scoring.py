@@ -359,3 +359,114 @@ def x83_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "doc_id", logit.alias("logit_m"), (logit >= 0).alias("keep")
     )
+
+
+# --- x106: ROUGE-2 scoring of near-duplicate pairs -------------------------------
+# The text-overlap EVAL metric (Lin 2004, public) the repo's dedup
+# family reports decisions without: given candidate pairs, ROUGE-2 =
+# clipped bigram-multiset overlap, reported as precision/recall/F1.
+# Dedup diagnostics read it directly (how much of doc B is doc A?),
+# and it is the same arithmetic an eval harness runs against
+# references.  Exactness: overlap = Σ_g min(c_a, c_b) and totals are
+# integers; P = ov/t_b, R = ov/t_a, and F1 reduces to the single
+# rational 2·ov/(t_a + t_b) — each ONE IEEE division, e6-quantized.
+#
+# Scale shape: pair list = x04's exact-Jaccard survivors (LSH-bounded
+# upstream, never corpus²); bigram counts are one narrow explode +
+# groupBy; the overlap join touches only paired docs' bigrams.  The
+# oracle composes x04's oracle verbatim as its pair source, so the
+# two keys cannot drift.
+from fanstats_producer_spark import registry as _registry
+
+
+def _x106_oracle() -> str:
+    pairs = _registry.ORACLE["x04_neardup_jaccard"]
+    return f"""
+    WITH pairs AS (SELECT id_a, id_b FROM ({pairs})),
+    bg AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g, COUNT(*) AS c
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents),
+           unnest(range(1, len(toks))) AS t(i)
+      WHERE len(toks) >= 2
+      GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM bg GROUP BY 1),
+    ov AS (
+      SELECT p.id_a, p.id_b,
+             CAST(SUM(least(a.c, b.c)) AS BIGINT) AS ov
+      FROM pairs p
+      JOIN bg a ON a.doc_id = p.id_a
+      JOIN bg b ON b.doc_id = p.id_b AND b.g = a.g
+      GROUP BY 1, 2)
+    SELECT p.id_a, p.id_b,
+           CAST(floor(CAST(COALESCE(ov.ov, 0) AS DOUBLE) / tb.t * 1e6 + 0.5)
+                AS BIGINT) AS rouge2_p_e6,
+           CAST(floor(CAST(COALESCE(ov.ov, 0) AS DOUBLE) / ta.t * 1e6 + 0.5)
+                AS BIGINT) AS rouge2_r_e6,
+           CAST(floor(2.0 * COALESCE(ov.ov, 0) / (ta.t + tb.t) * 1e6 + 0.5)
+                AS BIGINT) AS rouge2_f1_e6
+    FROM pairs p
+    JOIN tot ta ON ta.doc_id = p.id_a
+    JOIN tot tb ON tb.doc_id = p.id_b
+    LEFT JOIN ov ON ov.id_a = p.id_a AND ov.id_b = p.id_b
+    """
+
+
+@query("x106_rouge2_pairs", oracle=_x106_oracle())
+def x106_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x106: ROUGE-2 P/R/F1 for every exact-Jaccard near-dup pair —
+    clipped bigram-multiset overlap, id_a as reference (recall side),
+    id_b as candidate (precision side)."""
+    from fanstats_producer_spark.operators.dedup import jaccard_pairs
+
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    pairs = jaccard_pairs(docs, threshold=0.5, k=3).select("id_a", "id_b")
+    t = F.split("text", " ")
+    bg = (
+        docs.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.size("t") - 1),
+                    F.slice(F.col("t"), 2, F.size("t") - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = bg.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    a = bg.select(F.col("doc_id").alias("id_a"), "g", F.col("c").alias("ca"))
+    b = bg.select(F.col("doc_id").alias("id_b"), "g", F.col("c").alias("cb"))
+    ov = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("ov"))
+    )
+    ta = tot.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .join(ov, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                F.coalesce(F.col("ov"), F.lit(0)).cast("double")
+                / F.col("tb") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("rouge2_p_e6"),
+            F.floor(
+                F.coalesce(F.col("ov"), F.lit(0)).cast("double")
+                / F.col("ta") * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("rouge2_r_e6"),
+            F.floor(
+                F.lit(2.0) * F.coalesce(F.col("ov"), F.lit(0))
+                / (F.col("ta") + F.col("tb")) * F.lit(1e6) + F.lit(0.5)
+            ).cast("long").alias("rouge2_f1_e6"),
+        )
+    )

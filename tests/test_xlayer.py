@@ -2265,3 +2265,37 @@ def test_x105_ks_hand_case(spark, tmp_path):
     assert got[("C", "D")] == (0, 2, 2, 0)
     # completeness: all C(4,2)=6 unordered pairs present
     assert len(got) == 6
+
+
+def test_x106_rouge2_hand_case(spark, tmp_path):
+    """ROUGE-2 on a hand-computable near-dup pair: doc 1 repeats 'a b'
+    twice where doc 0 has it three times — clipped overlap counts the
+    MIN per bigram (the clipping is the point of ROUGE), and F1
+    reduces to 2·ov/(ta+tb)."""
+    import math
+
+    from fanstats_producer_spark.operators.scoring import (
+        x106_rouge2_pairs,
+    )
+
+    # doc0: a b a b a b  -> bigrams {ab:3, ba:2}, total 5
+    # doc1: a b a b x    -> bigrams {ab:2, ba:1, bx:1}, total 4
+    # Jaccard on distinct 3-shingles passes the 0.5 gate:
+    #   doc0 3-shingles {aba, bab}, doc1 {aba, bab, abx} -> J = 2/3
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (0, "a b a b a b", "en", "s", 11),
+            (1, "a b a b x", "en", "s", 9),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = x106_rouge2_pairs(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (0, 1)
+    ov = min(3, 2) + min(2, 1)  # ab clipped to 2, ba clipped to 1
+    assert r.rouge2_p_e6 == math.floor(ov / 4 * 1e6 + 0.5)
+    assert r.rouge2_r_e6 == math.floor(ov / 5 * 1e6 + 0.5)
+    assert r.rouge2_f1_e6 == math.floor(2 * ov / 9 * 1e6 + 0.5)

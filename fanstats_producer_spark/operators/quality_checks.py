@@ -443,9 +443,7 @@ def x63_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # latencies); for truly continuous 100 TB columns, run it over x97's
 # bottom-k sample instead (the DKW bound then caps the added error) —
 # the composition this operator's helper accepts any frame for.
-@query(
-    "x105_ks_two_sample",
-    oracle="""
+X105_ORACLE = """
     WITH ev AS (
       SELECT event_type AS t, value AS v FROM events WHERE value IS NOT NULL),
     totals AS (SELECT t, COUNT(*) AS n FROM ev GROUP BY 1),
@@ -475,8 +473,10 @@ def x63_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(CAST(d_num AS DOUBLE) / (n_a * n_b) * 1e6 + 0.5)
                 AS BIGINT) AS ks_e6
     FROM agg
-    """,
-)
+    """
+
+
+@query("x105_ks_two_sample", oracle=X105_ORACLE)
 def x105_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x105: exact KS distance between every pair of event-type value
     distributions — integer cross-multiplied suprema (see block
@@ -486,10 +486,18 @@ def x105_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value").isNotNull())
         .select(F.col("event_type").alias("t"), F.col("value").alias("v"))
     )
-    totals = ev.groupBy("t").agg(F.count("*").alias("n"))
-    cnts = ev.groupBy("t", "v").agg(F.count("*").alias("c"))
-    grid = ev.select("v").distinct().crossJoin(
-        F.broadcast(ev.select("t").distinct())
+    return ks_matrix_from_counts(
+        ev.groupBy("t", "v").agg(F.count("*").alias("c"))
+    )
+
+
+def ks_matrix_from_counts(cnts: DataFrame) -> DataFrame:
+    """The KS matrix from a (t, v, c) count table — shared by batch
+    x105 and the s33 online monitor (whose persisted state IS this
+    table)."""
+    totals = cnts.groupBy("t").agg(F.sum("c").alias("n"))
+    grid = cnts.select("v").distinct().crossJoin(
+        F.broadcast(cnts.select("t").distinct())
     )
     w = (
         Window.partitionBy("t")

@@ -38,7 +38,7 @@ from fanstats_producer_spark.operators.multimodal import (
     _x90_fp_ctes,
 )
 from fanstats_producer_spark.functions import text_extra
-from fanstats_producer_spark.operators import sampling, sketches
+from fanstats_producer_spark.operators import quality_checks, sampling, sketches
 from fanstats_producer_spark.operators.similarity import _X66_THRESH_E6
 from fanstats_producer_spark.registry import query
 from fanstats_producer_spark.streaming import jobs
@@ -1979,6 +1979,34 @@ def s32_stream_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
             _drain(q)
         out = spark.read.parquet(out_dir).select(
             "doc_id", "term", "n_hits"
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+@query("s33_stream_ks_monitor", oracle=quality_checks.X105_ORACLE)
+def s33_stream_ks_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s33: ONLINE exact-KS drift matrix — the cumulative (type,
+    value) count state merged per batch under the _BATCH marker
+    protocol (jobs.streaming_ks_monitor), the KS matrix rebuilt from
+    the drained state with the SAME shared downstream as batch x105
+    (quality_checks.ks_matrix_from_counts).  Counts are sums, so the
+    monitor is batch-slicing-invariant by commutativity and the
+    oracle is x105's VERBATIM with no drain precondition."""
+    import os
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="s33_work_")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    stream = _read_events_stream(spark, sf_dir)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_ks_monitor(stream, state_dir, ckpt)
+            _drain(q)
+        out = quality_checks.ks_matrix_from_counts(
+            spark.read.parquet(state_dir)
         )
         return out.localCheckpoint(eager=True)
     finally:

@@ -1390,3 +1390,57 @@ def streaming_quantile_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_ks_monitor(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """s33: ONLINE exact-KS drift — x105's pairwise sup-CDF matrix
+    maintained over an unbounded event stream, the exact sibling of
+    the bucketed PSI monitor (s23).  State is the cumulative
+    (type, value) count table — bounded by the live value domain (the
+    regime exact KS is for; continuous domains go through x97's
+    sample first, x105's block comment).  Counts merge by SUM —
+    NON-idempotent — so the staged promote carries the _BATCH marker
+    (the s23/s25/s27 replay protocol: a crash-window replay skips the
+    merge, a stale-state restart raises loudly).  Readers rebuild the
+    full KS matrix from state at any time via
+    quality_checks.ks_matrix_from_counts — republishing per batch
+    costs |grid| work, never a rescan of the stream."""
+    st = _StagedState(state_dir, with_marker=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st.recover()
+        if st.check_batch(batch_id, "streaming_ks_monitor"):
+            return  # crash-window replay: this batch already merged
+        batch_cnt = (
+            batch_df.filter(F.col("value").isNotNull())
+            .select(
+                F.col("event_type").alias("t"), F.col("value").alias("v")
+            )
+            .groupBy("t", "v")
+            .agg(F.count("*").alias("c"))
+        ).localCheckpoint(eager=True)
+        if st.exists():
+            current = spark.read.parquet(state_dir)
+            combined = (
+                current.unionByName(batch_cnt)
+                .groupBy("t", "v")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            combined = batch_cnt
+        combined = combined.localCheckpoint(eager=True)
+        combined.write.mode("overwrite").parquet(st.staged)
+        st.promote(batch_id)
+
+    return (
+        events.select("event_type", "value")
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

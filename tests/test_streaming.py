@@ -2215,3 +2215,74 @@ def test_s32_keyword_gate_is_slicing_invariant(spark, landing, tmp_path):
     assert got == want
     assert (1, "row scan", 1) in got and (1, "scan", 1) in got
     assert (1, "spark", 2) in got and 3 not in {d for d, _, _ in got}
+
+
+def test_s33_ks_monitor_slicing_invariant_and_stale_state_raises(
+    spark, landing, tmp_path
+):
+    """s33: (1) a 3-batch drain's state rebuilds exactly the batch KS
+    matrix over the union (sum-merge commutativity); (2) re-draining
+    the same landing from a FRESH checkpoint re-delivers batch 0
+    against a state whose _BATCH marker is 2 — the stale-state
+    double-merge hazard, which must raise loudly (the s27 protocol)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from fanstats_producer_spark.operators.quality_checks import (
+        ks_matrix_from_counts,
+    )
+
+    batches = [
+        [("A", 1.0), ("A", 2.0), ("B", 2.0)],
+        [("A", 2.0), ("B", 3.0), ("B", 3.0)],
+        [("A", 5.0), ("B", 2.0)],
+    ]
+    eid = 0
+    for bi, evs in enumerate(batches):
+        with open(landing / f"b{bi}.json", "w") as f:
+            for t, v in evs:
+                f.write(
+                    _json.dumps(
+                        {"event_id": eid, "ts": "2024-01-01T10:00:00Z",
+                         "user_id": 1, "event_type": t, "value": v,
+                         "props": "{}"}
+                    ) + "\n"
+                )
+                eid += 1
+        _os.utime(landing / f"b{bi}.json", (1000000000 + bi * 100,) * 2)
+
+    state = str(tmp_path / "state")
+
+    def _drain(ckpt):
+        q = jobs.streaming_ks_monitor(
+            jobs.read_event_stream(
+                spark, str(landing), max_files_per_trigger=1
+            ),
+            state,
+            str(tmp_path / ckpt),
+        )
+        q.awaitTermination(120)
+        return q
+
+    q = _drain("ckpt1")
+    assert len([p for p in q.recentProgress if p["numInputRows"] > 0]) == 3
+    got = sorted(
+        tuple(r)
+        for r in ks_matrix_from_counts(
+            spark.read.parquet(state)
+        ).collect()
+    )
+    all_cnt = (
+        spark.createDataFrame(
+            [(t, v) for b in batches for t, v in b], "t string, v double"
+        )
+        .groupBy("t", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    want = sorted(tuple(r) for r in ks_matrix_from_counts(all_cnt).collect())
+    assert got == want
+
+    with pytest.raises(StreamingQueryException, match="stale state"):
+        _drain("ckpt2")

@@ -550,3 +550,102 @@ def ks_matrix_from_counts(cnts: DataFrame) -> DataFrame:
             + F.lit(0.5)
         ).cast("long").alias("ks_e6"),
     )
+
+
+# --- x107: Mann-Whitney U / AUC effect-size matrix -------------------------------
+# The rank-based companion to x105's KS: for each event-type pair, the
+# Mann-Whitney U statistic and its effect size U/(n_a·n_b) — which IS
+# ROC-AUC, the number a curation pipeline reads as "how separable are
+# these two value distributions" (Mann & Whitney 1947, public).
+# Integer-exact via DOUBLED midranks: ties at a value get midrank
+# min_rank + (ties-1)/2, so 2·midrank = 2·min_rank + ties - 1 is
+# always an integer; R2_a = Σ 2·midrank over sample a and
+# U2_a = R2_a - n_a·(n_a+1) are exact int64 (sf1 envelope:
+# R2 <= 2·(4e5)² = 3.2e11).  Only the final AUC report divides.
+#
+# Scale shape: each type sits in |types|-1 pairs, so the pair
+# expansion is a broadcast join against the types×types dim (fan-out
+# |types|-1, never corpus²); ranks are per-pair windows (partitioned
+# — no global window); everything after is map-side-combinable sums.
+@query(
+    "x107_mannwhitney_auc",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type AS t, value AS v FROM events
+      WHERE value IS NOT NULL),
+    tp AS (
+      SELECT a.t AS ta, b.t AS tb
+      FROM (SELECT DISTINCT t FROM ev) a
+      JOIN (SELECT DISTINCT t FROM ev) b ON a.t < b.t),
+    pooled AS (
+      SELECT tp.ta, tp.tb, ev.t, ev.v
+      FROM tp JOIN ev ON ev.t = tp.ta OR ev.t = tp.tb),
+    ranked AS (
+      SELECT ta, tb, t, v,
+             2 * rank() OVER (PARTITION BY ta, tb ORDER BY v)
+               + COUNT(*) OVER (PARTITION BY ta, tb, v) - 1 AS r2
+      FROM pooled),
+    agg AS (
+      SELECT ta AS type_a, tb AS type_b,
+             SUM(CASE WHEN t = ta THEN r2 ELSE 0 END) AS r2_a,
+             SUM(CASE WHEN t = ta THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN t = tb THEN 1 ELSE 0 END) AS n_b
+      FROM ranked GROUP BY 1, 2)
+    SELECT type_a, type_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(r2_a - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(floor(CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+                      / (2 * n_a * n_b) * 1e6 + 0.5) AS BIGINT)
+             AS auc_e6
+    FROM agg
+    """,
+)
+def x107_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x107: Mann-Whitney U and ROC-AUC for every event-type pair —
+    doubled-midrank integer arithmetic (see block comment), one row
+    per unordered pair."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(F.col("event_type").alias("t"), F.col("value").alias("v"))
+    )
+    types = ev.select("t").distinct()
+    tp = (
+        types.select(F.col("t").alias("ta"))
+        .join(types.select(F.col("t").alias("tb")))
+        .filter(F.col("ta") < F.col("tb"))
+    )
+    pooled = F.broadcast(tp).join(
+        ev, (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb"))
+    )
+    wr = Window.partitionBy("ta", "tb").orderBy("v")
+    wt = Window.partitionBy("ta", "tb", "v")
+    ranked = pooled.withColumn(
+        "r2", 2 * F.rank().over(wr) + F.count("*").over(wt) - 1
+    )
+    agg = ranked.groupBy(
+        F.col("ta").alias("type_a"), F.col("tb").alias("type_b")
+    ).agg(
+        F.sum(F.when(F.col("t") == F.col("ta"), F.col("r2")).otherwise(0))
+        .alias("r2_a"),
+        F.sum(F.when(F.col("t") == F.col("ta"), 1).otherwise(0)).alias(
+            "n_a"
+        ),
+        F.sum(F.when(F.col("t") == F.col("tb"), 1).otherwise(0)).alias(
+            "n_b"
+        ),
+    )
+    u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u2.cast("long").alias("u2_a"),
+        F.floor(
+            u2.cast("double")
+            / (2 * F.col("n_a") * F.col("n_b"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("auc_e6"),
+    )

@@ -2299,3 +2299,35 @@ def test_x106_rouge2_hand_case(spark, tmp_path):
     assert r.rouge2_p_e6 == math.floor(ov / 4 * 1e6 + 0.5)
     assert r.rouge2_r_e6 == math.floor(ov / 5 * 1e6 + 0.5)
     assert r.rouge2_f1_e6 == math.floor(2 * ov / 9 * 1e6 + 0.5)
+
+
+def test_x107_mannwhitney_hand_case(spark, tmp_path):
+    """Doubled-midrank arithmetic on a hand case WITH ties:
+    A=[1,3,3], B=[2,3] — pooled sorted [1,2,3,3,3]: midranks
+    1, 2, 4, 4, 4 (the three 3s share (3+4+5)/3 = 4).  R_a = 1+4+4=9,
+    U_a = 9 - 3·4/2 = 3 (so u2_a = 6), AUC = 3/6 = 0.5.  Cross-check:
+    direct pair counting gives U_a = #(a>b) + #(a=b)/2 = 2 + 2/2 = 3."""
+    import datetime
+
+    from fanstats_producer_spark.operators.quality_checks import (
+        x107_mannwhitney_auc,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i, (t, v) in enumerate(
+        [("A", 1.0), ("A", 3.0), ("A", 3.0), ("B", 2.0), ("B", 3.0)]
+    ):
+        rows.append((i, ts, 1, t, v, "{}"))
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(f"{d}/events.parquet")
+    got = x107_mannwhitney_auc(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.type_a, r.type_b, r.n_a, r.n_b) == ("A", "B", 3, 2)
+    assert r.u2_a == 6  # 2*U_a with U_a = 3
+    assert r.auc_e6 == 500000

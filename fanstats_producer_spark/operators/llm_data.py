@@ -2517,3 +2517,119 @@ def x104_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("pmi_e7"), F.asc("v"), F.asc("w")
     ).limit(_X104_TOPK)
+
+
+# --- x108: context-length / packing capacity forecast ----------------------------
+# The capacity-planning pass run BEFORE committing to a context length:
+# for each candidate max_seq_len L, what does the corpus cost under
+# (a) the naive truncate-and-pad regime — docs clipped to L, padded up
+# to L — vs (b) x91's concat-and-chunk packing (ceil(total/L)
+# sequences, < L total pad)?  The deltas (tokens lost to truncation,
+# pad-token waste, utilization) are the numbers that decide L and
+# justify the packer.  All counts are exact integer aggregates of the
+# per-doc whitespace token count; the two utilization ratios are the
+# only divisions (e6, same expression both engines).
+# Scale shape: ONE scan computes the per-doc counts; the 3-row L
+# dimension broadcasts; everything else is map-side-combinable sums.
+_X108_LENS = [128, 512, 2048]
+
+
+@query(
+    "x108_packing_forecast",
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents),
+    ls AS (SELECT CAST(unnest({_X108_LENS}) AS BIGINT) AS l),
+    agg AS (
+      SELECT l,
+             COUNT(*) AS n_docs,
+             SUM(CASE WHEN n > l THEN 1 ELSE 0 END) AS n_truncated,
+             SUM(CASE WHEN n > l THEN n - l ELSE 0 END) AS tokens_lost,
+             SUM(l - least(n, l)) AS pad_padded,
+             SUM(n) AS total_tokens,
+             SUM(least(n, l)) AS kept_tokens
+      FROM d CROSS JOIN ls GROUP BY 1),
+    calc AS (
+      SELECT *, CAST(ceil(CAST(total_tokens AS DOUBLE) / l) AS BIGINT)
+                  AS n_seq_packed
+      FROM agg)
+    SELECT CAST(l AS BIGINT) AS max_seq_len,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_truncated AS BIGINT) AS n_truncated,
+           CAST(tokens_lost AS BIGINT) AS tokens_lost,
+           CAST(pad_padded AS BIGINT) AS pad_padded,
+           n_seq_packed,
+           CAST(n_seq_packed * l - total_tokens AS BIGINT) AS pad_packed,
+           CAST(floor(CAST(kept_tokens AS DOUBLE) / (n_docs * l) * 1e6
+                      + 0.5) AS BIGINT) AS util_padded_e6,
+           CAST(floor(CAST(total_tokens AS DOUBLE) / (n_seq_packed * l)
+                      * 1e6 + 0.5) AS BIGINT) AS util_packed_e6
+    FROM calc
+    """,
+)
+def x108_packing_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x108: per candidate context length, the truncate-and-pad cost
+    vs the concat-and-chunk cost — one corpus scan, broadcast L
+    dimension, exact integer sums (see block comment)."""
+    d = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select(F.size(F.split("text", " ")).cast("long").alias("n"))
+    )
+    ls = (
+        load(spark, sf_dir, "documents")
+        .sparkSession.range(1)
+        .select(
+            F.explode(
+                F.array(*[F.lit(v) for v in _X108_LENS])
+            ).alias("l0")
+        )
+        .select(F.col("l0").cast("long").alias("l"))
+    )
+    agg = (
+        d.crossJoin(F.broadcast(ls))
+        .groupBy("l")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n") > F.col("l"), 1).otherwise(0)).alias(
+                "n_truncated"
+            ),
+            F.sum(
+                F.when(
+                    F.col("n") > F.col("l"), F.col("n") - F.col("l")
+                ).otherwise(0)
+            ).alias("tokens_lost"),
+            F.sum(F.col("l") - F.least("n", "l")).alias("pad_padded"),
+            F.sum("n").alias("total_tokens"),
+            F.sum(F.least("n", "l")).alias("kept_tokens"),
+        )
+    )
+    calc = agg.withColumn(
+        "n_seq_packed",
+        F.ceil(F.col("total_tokens").cast("double") / F.col("l")).cast(
+            "long"
+        ),
+    )
+    return calc.select(
+        F.col("l").cast("long").alias("max_seq_len"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_truncated").cast("long").alias("n_truncated"),
+        F.col("tokens_lost").cast("long").alias("tokens_lost"),
+        F.col("pad_padded").cast("long").alias("pad_padded"),
+        "n_seq_packed",
+        (F.col("n_seq_packed") * F.col("l") - F.col("total_tokens"))
+        .cast("long")
+        .alias("pad_packed"),
+        F.floor(
+            F.col("kept_tokens").cast("double")
+            / (F.col("n_docs") * F.col("l"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("util_padded_e6"),
+        F.floor(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_seq_packed") * F.col("l"))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("util_packed_e6"),
+    )

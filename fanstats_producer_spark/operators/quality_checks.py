@@ -649,3 +649,82 @@ def x107_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long").alias("auc_e6"),
     )
+
+
+# --- x109: chi-square independence audit (lang × source) -------------------------
+# The categorical-association test completing the drift/separability
+# battery (x105 KS and x107 AUC read numeric columns; this reads the
+# two categorical ones): are language and source independent, or does
+# some source skew toward some language — the check that catches a
+# crawler bucket silently going monolingual.  Per-cell contribution
+# (O−E)²/E with E = r·c/N computed as ONE deterministic double
+# expression per cell, e6-quantized BEFORE summation (the x77
+# quantize-then-exact-sum convention — no cross-engine float sum
+# order anywhere); chi² total and the (R−1)(C−1) dof ride every row
+# as window totals over the cell-count-sized frame.
+@query(
+    "x109_chi2_independence",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    rows_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    cols_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT obs.lang, obs.source, obs.o,
+             CAST(floor(
+               pow(obs.o - CAST(rows_.r * cols_.c AS DOUBLE) / n.n, 2)
+               / (CAST(rows_.r * cols_.c AS DOUBLE) / n.n)
+               * 1e6 + 0.5) AS BIGINT) AS contrib_e6
+      FROM obs JOIN rows_ USING (lang) JOIN cols_ USING (source)
+      CROSS JOIN n),
+    tot AS (
+      SELECT lang, source, o, contrib_e6,
+             CAST(SUM(contrib_e6) OVER () AS BIGINT) AS chi2_e6,
+             CAST((COUNT(DISTINCT lang) OVER () - 1)
+                  * (COUNT(DISTINCT source) OVER () - 1) AS BIGINT) AS dof
+      FROM cells)
+    SELECT lang, source, CAST(o AS BIGINT) AS o, contrib_e6, chi2_e6, dof
+    FROM tot
+    """,
+)
+def x109_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x109: per-cell chi-square contributions + the window-total
+    statistic and dof for the lang × source contingency table (see
+    block comment for the parity argument)."""
+    obs = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("o"))
+    )
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    cells = (
+        obs.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "o",
+            F.floor(
+                F.pow(F.col("o") - e, F.lit(2)) / e * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("contrib_e6"),
+        )
+    )
+    w = Window.partitionBy()
+    tot = cells.select(
+        "lang",
+        "source",
+        F.col("o").cast("long").alias("o"),
+        "contrib_e6",
+        F.sum("contrib_e6").over(w).cast("long").alias("chi2_e6"),
+        (
+            (F.size(F.collect_set("lang").over(w)) - 1)
+            * (F.size(F.collect_set("source").over(w)) - 1)
+        ).cast("long").alias("dof"),
+    )
+    return tot

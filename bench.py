@@ -315,6 +315,30 @@ def main() -> None:
                 retimed.append(key)
 
     total = round(sum(timings.values()), 3)
+
+    # --- compact fixed-order per-key form (VERDICT r10 item 6) ----------
+    # At 251 keys even integer-decisec short-key JSON overflows the
+    # driver's ~2000-char capture window, so round 10's artifact degraded
+    # to a top-10 truncation and could no longer diff rounds by itself.
+    # Encode ALL keys as "qz": one string, 3 base36 digits per key
+    # (integer centiseconds, clamped at 36^3-1 = 466.55 s), keys in
+    # sorted-registry order — 251 keys = 753 chars.  "qzk" is the first
+    # 8 hex chars of sha256 over the newline-joined sorted key list: two
+    # artifacts with equal qzk decode positionally against the same list
+    # (committed as "qz_keys" in BENCH_FULL_LATEST.json;
+    # scripts/bench_compare.py also re-derives it from the registry).
+    import hashlib
+
+    _B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
+
+    def _b36w3(cs: int) -> str:
+        cs = max(0, min(cs, 36**3 - 1))
+        return _B36[cs // 1296] + _B36[(cs // 36) % 36] + _B36[cs % 36]
+
+    qz_keys = sorted(timings)
+    qz = "".join(_b36w3(int(round(timings[k] * 100))) for k in qz_keys)
+    qzk = hashlib.sha256("\n".join(qz_keys).encode()).hexdigest()[:8]
+
     payload = {
         # short metric name: the driver's stdout capture window is
         # ~2000 chars and every byte here is a byte of per-query
@@ -333,6 +357,11 @@ def main() -> None:
         # fixed-cost host-speed probes for drift normalization
         # (scripts/bench_compare.py reads these; see comment above)
         "sentinel": sentinel,
+        # compact full-fidelity per-key form + its key-list fingerprint
+        "qz": qz,
+        "qzu": "centisec_b36w3",
+        "qzk": qzk,
+        "qz_keys": qz_keys,
     }
     # Full-fidelity record for humans / the judge (full query keys).
     try:
@@ -345,80 +374,40 @@ def main() -> None:
         pass
 
     # The driver keeps only the last ~2000 chars of stdout and parses the
-    # JSON line from that tail.  112 full query keys serialize to ~2400
-    # chars, which silently broke parsing in round 1 (BENCH_r01.json
-    # "parsed": null).  Emit the per-query map under short keys — the
-    # first '_'-token of each key (q00, x04b, s02, ...), verified unique —
-    # so the final line stays well under the capture window.  The
-    # short→full mapping is documented in BASELINE.md.
-    shorts = [k.split("_")[0] for k in timings]
-    if len(set(shorts)) == len(shorts):
-        # At 197+ keys even short keys at 2dp serialize to ~2270 chars —
-        # past the window (BENCH_r06 "parsed": null again).  Emit the
-        # per-query values as INTEGER centiseconds ("queries_unit":
-        # "centisec", self-describing) which measured 1955 chars at 199
-        # keys; if future growth pushes past ~1900, degrade to integer
-        # deciseconds rather than overflow.  Full-fidelity 3dp seconds
-        # stay in BENCH_FULL_LATEST.json.
-        def _unit_line(scale: int, unit: str) -> str:
-            # n_queries is len(queries); the retimed-key detail lives in
-            # BENCH_FULL_LATEST.json — every spare byte of the ~2000-char
-            # capture window goes to per-query resolution instead
-            slim = {
-                k: v
-                for k, v in payload.items()
-                if k not in ("n_queries", "retimed", "sentinel")
-            }
-            return json.dumps(
-                {
-                    **slim,
-                    "queries_unit": unit,
-                    "queries": {
-                        k.split("_")[0]: int(round(v * scale))
-                        for k, v in timings.items()
-                    },
-                },
-                separators=(",", ":"),
-            )
-
-        # r6's captured tail was exactly 2000 chars ending AT the line
-        # end (nothing prints after the JSON line), so anything <=1990
-        # survives whole.
-        line = _unit_line(100, "centisec")
-        if len(line) > 1995:
-            line = _unit_line(10, "decisec")
-        if len(line) > 1995:
-            # Final guard (~250+ keys): never print an overflowing line —
-            # degrade to the top-N-slowest truncated form (same shape as
-            # the collision branch) rather than reproduce "parsed": null.
-            slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
-            line = json.dumps(
-                {
-                    **payload,
-                    "queries": slowest,
-                    "queries_truncated_to": len(slowest),
-                    "retimed": len(retimed),
-                },
-                separators=(",", ":"),
-            )
-    else:
-        # Collision safety: full keys would serialize past the driver's
-        # ~2000-char capture window and reproduce the round-1 parse
-        # failure.  Emit the top-N slowest keys (the detail that matters
-        # for grading) plus an explicit truncation marker instead of a
-        # silent empty map; full detail stays in BENCH_FULL_LATEST.json.
+    # JSON line from that tail (anything <=1990 chars survives whole —
+    # r6's captured tail ended exactly AT the line end).  Rounds 7-9
+    # emitted the per-key map as short-key integer units, but at 251
+    # keys even decisec overflows, and round 10's artifact degraded to a
+    # top-10 truncation.  The line now carries per-key data as the
+    # 3-chars/key "qz" string (full fidelity at centisec, 753 chars at
+    # 251 keys) plus a human-readable top-10-slowest "queries" map and
+    # the drift sentinel — ~1300 chars total, with headroom to ~450
+    # keys.  Full 3dp-float detail stays in BENCH_FULL_LATEST.json.
+    def _line(top_n: int, with_sentinel: bool) -> str:
         slowest = dict(
-            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+            sorted(timings.items(), key=lambda kv: -kv[1])[:top_n]
         )
-        line = json.dumps(
-            {
-                **payload,
-                "queries": slowest,
-                "queries_truncated_to": len(slowest),
-                "short_key_collision": True,
-            },
-            separators=(",", ":"),
-        )
+        out = {
+            "metric": "total_sec",
+            "value": total,
+            "unit": "sec",
+            "sf": sf_val,
+            "n_queries": len(timings),
+            "queries": slowest,
+            "queries_truncated_to": len(slowest),
+            "qz": qz,
+            "qzu": "centisec_b36w3",
+            "qzk": qzk,
+        }
+        if with_sentinel:
+            out["sentinel"] = sentinel
+        return json.dumps(out, separators=(",", ":"))
+
+    line = _line(10, True)
+    if len(line) > 1990:  # ~450+ keys: shed the readable extras first,
+        line = _line(3, True)  # never the full-coverage qz string
+    if len(line) > 1990:
+        line = _line(0, False)
     print(line)
 
 

@@ -385,7 +385,11 @@ def _aho_build(terms):
             f = fail[r]
             while f and ch not in goto[f]:
                 f = fail[f]
-            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            # f walks the fail chain of r, so it is strictly shallower
+            # than r and goto[f][ch] can never be s itself (each trie
+            # node has exactly one parent) — the plain assignment is
+            # the standard fail link, no self-loop guard needed.
+            fail[s] = goto[f].get(ch, 0)
             out[s] = out[s] + out[fail[s]]
     return goto, fail, out
 

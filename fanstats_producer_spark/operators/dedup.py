@@ -151,7 +151,11 @@ def jaccard_pairs(
 
 
 # --- x04: exact n-gram Jaccard near-dup (T4, exact arm) -------------------------
+# Shared by every x04-composing consumer (x45/x52/x59/x60 here, x106 in
+# scoring.py): changing either constant re-derives BOTH the engine pair
+# list and the composed oracles, so they cannot desync.
 _X04_THRESHOLD = 0.5
+_X04_K = 3
 
 
 @query(
@@ -182,7 +186,7 @@ _X04_THRESHOLD = 0.5
 )
 def x04_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(
-        load(spark, sf_dir, "documents"), threshold=_X04_THRESHOLD, k=3
+        load(spark, sf_dir, "documents"), threshold=_X04_THRESHOLD, k=_X04_K
     )
 
 
@@ -802,7 +806,7 @@ def x04e_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster assignments from the exact-Jaccard pairs at the x04
     threshold — deterministic (exact pairs + min-label convergence)."""
     docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3)
+    pairs = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=_X04_K)
     # no trailing global sort (the x47 lesson): range-boundary sampling
     # re-executes the child pipeline; the driver compare is order-insensitive.
     return connected_components(pairs)
@@ -946,7 +950,7 @@ def x45_neardup_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01 and precision 0.992 / recall 1.0 at sf0.1 (tp=256, fp=2,
     fn=0)."""
     docs = load(spark, sf_dir, "documents")
-    exact = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3).select(
+    exact = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=_X04_K).select(
         "id_a", "id_b", F.lit(True).alias("in_exact")
     )
     est = minhash_native_pairs(docs).select(
@@ -1139,7 +1143,7 @@ def keep_best(docs: DataFrame, clusters: DataFrame) -> DataFrame:
 @query("x52_dedup_keep_best", oracle=_x52_oracle())
 def x52_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3)
+    pairs = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=_X04_K)
     return keep_best(docs, connected_components(pairs))
 
 
@@ -1248,7 +1252,7 @@ def x60_verify_gate_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall <= banded recall — the monitor states the trade a production
     owner tunes rel_num/rel_den against."""
     docs = load(spark, sf_dir, "documents")
-    exact = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=3).select(
+    exact = jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=_X04_K).select(
         "id_a", "id_b", F.lit(True).alias("in_exact")
     )
     # one banding pass: the candidate list is tiny (threshold output),

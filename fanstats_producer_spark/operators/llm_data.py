@@ -2468,11 +2468,10 @@ _X104_TOPK = 50
     """,
 )
 def x104_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x104: top-{k} bigram collocations by e7-quantized PMI with a
-    min-count floor of {mc} — see block comment for the exact
-    integer-rational formulation.""".format(
-        k=_X104_TOPK, mc=_X104_MIN_COUNT
-    )
+    """x104: top-``_X104_TOPK`` (50) bigram collocations by
+    e7-quantized PMI with a min-count floor of ``_X104_MIN_COUNT``
+    (5) — see block comment for the exact integer-rational
+    formulation."""
     t = F.split("text", " ")
     bgf = (
         spread(load(spark, sf_dir, "documents"), "doc_id")

@@ -658,10 +658,14 @@ def x107_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # some source skew toward some language — the check that catches a
 # crawler bucket silently going monolingual.  Per-cell contribution
 # (O−E)²/E with E = r·c/N computed as ONE deterministic double
-# expression per cell, e6-quantized BEFORE summation (the x77
-# quantize-then-exact-sum convention — no cross-engine float sum
-# order anywhere); chi² total and the (R−1)(C−1) dof ride every row
-# as window totals over the cell-count-sized frame.
+# expression per cell — the square is self-multiplication
+# ((o−e)*(o−e)), a correctly-rounded IEEE op on both engines, NOT
+# pow(x,2) (JVM Math.pow is 1-ulp, DuckDB rides C libm pow; a 1-ulp
+# split can flip the e6 floor at a boundary) — e6-quantized BEFORE
+# summation (the x77 quantize-then-exact-sum convention — no
+# cross-engine float sum order anywhere); chi² total and the
+# (R−1)(C−1) dof ride every row as window totals over the
+# cell-count-sized frame.
 @query(
     "x109_chi2_independence",
     oracle="""
@@ -673,7 +677,8 @@ def x107_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells AS (
       SELECT obs.lang, obs.source, obs.o,
              CAST(floor(
-               pow(obs.o - CAST(rows_.r * cols_.c AS DOUBLE) / n.n, 2)
+               (obs.o - CAST(rows_.r * cols_.c AS DOUBLE) / n.n)
+               * (obs.o - CAST(rows_.r * cols_.c AS DOUBLE) / n.n)
                / (CAST(rows_.r * cols_.c AS DOUBLE) / n.n)
                * 1e6 + 0.5) AS BIGINT) AS contrib_e6
       FROM obs JOIN rows_ USING (lang) JOIN cols_ USING (source)
@@ -710,7 +715,7 @@ def x109_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "o",
             F.floor(
-                F.pow(F.col("o") - e, F.lit(2)) / e * F.lit(1e6)
+                (F.col("o") - e) * (F.col("o") - e) / e * F.lit(1e6)
                 + F.lit(0.5)
             ).cast("long").alias("contrib_e6"),
         )

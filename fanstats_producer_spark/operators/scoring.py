@@ -416,11 +416,27 @@ def _x106_oracle() -> str:
 def x106_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x106: ROUGE-2 P/R/F1 for every exact-Jaccard near-dup pair —
     clipped bigram-multiset overlap, id_a as reference (recall side),
-    id_b as candidate (precision side)."""
-    from fanstats_producer_spark.operators.dedup import jaccard_pairs
+    id_b as candidate (precision side).
+
+    The pair list is x04's exactly — threshold/k are imported from
+    dedup.py so the engine arm and the composed oracle (which reuses
+    x04's CTEs verbatim) cannot desync.  ``pairs``/``bg``/``tot`` each
+    feed ≥2 downstream joins, so all three are localCheckpointed
+    (the round-8 plan-reuse rule: without it Catalyst re-derives the
+    explode+groupBy bigram scan once per consumer — four corpus scans
+    in one plan)."""
+    from fanstats_producer_spark.operators.dedup import (
+        _X04_K,
+        _X04_THRESHOLD,
+        jaccard_pairs,
+    )
 
     docs = spread(load(spark, sf_dir, "documents"), "doc_id")
-    pairs = jaccard_pairs(docs, threshold=0.5, k=3).select("id_a", "id_b")
+    pairs = (
+        jaccard_pairs(docs, threshold=_X04_THRESHOLD, k=_X04_K)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     t = F.split("text", " ")
     bg = (
         docs.select("doc_id", t.alias("t"))
@@ -437,8 +453,13 @@ def x106_rouge2_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "g")
         .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    tot = bg.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    tot = (
+        bg.groupBy("doc_id")
+        .agg(F.sum("c").alias("t"))
+        .localCheckpoint(eager=True)
+    )
     a = bg.select(F.col("doc_id").alias("id_a"), "g", F.col("c").alias("ca"))
     b = bg.select(F.col("doc_id").alias("id_b"), "g", F.col("c").alias("cb"))
     ov = (

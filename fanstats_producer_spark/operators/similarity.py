@@ -1594,13 +1594,21 @@ def x93_int8_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X98_OUT = 16
 
 
-def jl_project(vectors: DataFrame, out_dim: int = _X98_OUT) -> DataFrame:
+def jl_project(
+    vectors: DataFrame, out_dim: int = _X98_OUT, in_dim: int = 64
+) -> DataFrame:
     """(vec_id, dim, comp_e6): integer-exact ±1 random projection of
-    `embedding` into `out_dim` components."""
+    `embedding` into `out_dim` components.
+
+    Assumes every embedding has exactly ``in_dim`` components (the
+    fixture's 64): the ±1 sign matrix is built ONCE from the
+    (out_dim × in_dim) coordinate grid and broadcast — a pure function
+    of (j, i), never sampled from the data (an earlier draft read the
+    length off ``vectors.limit(1)``, an arbitrary row).  A per-row
+    assert_true trips the job on any mismatched row rather than
+    letting zip_with pad a silent NULL component."""
     spark = vectors.sparkSession
-    in_dim = F.size(F.col("embedding"))
-    # sign row per output dim j: [s(j,0) … s(j,in_dim-1)], built from
-    # the FIRST embedding row's length so the frame stays data-driven
+    # sign row per output dim j: [s(j,0) … s(j,in_dim-1)]
     sign = lambda j, i: (
         F.lit(1)
         - F.lit(2)
@@ -1622,18 +1630,12 @@ def jl_project(vectors: DataFrame, out_dim: int = _X98_OUT) -> DataFrame:
         )
     )
     dims = (
-        vectors.limit(1)
-        .select(F.size("embedding").alias("n"))
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias(
-                "dim"
-            ),
-            "n",
-        )
+        spark.range(out_dim)
+        .select(F.col("id").cast("int").alias("dim"))
         .select(
             "dim",
             F.transform(
-                F.sequence(F.lit(0), F.col("n") - 1),
+                F.sequence(F.lit(0), F.lit(in_dim - 1)),
                 lambda i: sign(F.col("dim"), i),
             ).alias("signs"),
         )
@@ -1644,8 +1646,12 @@ def jl_project(vectors: DataFrame, out_dim: int = _X98_OUT) -> DataFrame:
             "long"
         ),
     )
+    guard = F.assert_true(
+        F.size("embedding") == in_dim,
+        F.lit(f"jl_project: embedding length != in_dim={in_dim}"),
+    )
     return (
-        vectors.select("vec_id", q.alias("q"))
+        vectors.select("vec_id", F.when(guard.isNull(), q).alias("q"))
         .crossJoin(F.broadcast(dims))
         .select(
             "vec_id",
@@ -1685,11 +1691,10 @@ def jl_project(vectors: DataFrame, out_dim: int = _X98_OUT) -> DataFrame:
     """,
 )
 def x98_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x98: 64→{d} JL projection of the embeddings table with
-    md5-derived ±1 signs — bit-exact across engines because the only
-    float op is the per-element micro-quantization.""".format(
-        d=_X98_OUT
-    )
+    """x98: 64→``_X98_OUT`` (16) JL projection of the embeddings
+    table with md5-derived ±1 signs — bit-exact across engines
+    because the only float op is the per-element
+    micro-quantization."""
     return jl_project(load(spark, sf_dir, "embeddings"))
 
 
@@ -1881,11 +1886,10 @@ def _x102_oracle() -> str:
 
 @query("x102_mmr_rerank", oracle=_x102_oracle())
 def x102_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x102: the greedy MMR trajectory over each query's top-{p}
-    candidate pool — integer-deterministic (e6 cosines, tenths
-    lambda), so the oracle unrolls the greedy exactly.""".format(
-        p=_X102_POOL
-    )
+    """x102: the greedy MMR trajectory over each query's
+    top-``_X102_POOL`` (12) candidate pool — integer-deterministic
+    (e6 cosines, tenths lambda), so the oracle unrolls the greedy
+    exactly."""
     return mmr_rerank(spread(load(spark, sf_dir, "embeddings")))
 
 

@@ -49,6 +49,47 @@ def main() -> int:
     # file comes from.
     _SCALE = {"centisec": 100.0, "decisec": 10.0, None: 1.0, "sec": 1.0}
 
+    def _qz_decode(rec: dict) -> dict | None:
+        """Round-11+ driver lines carry ALL per-key values as "qz": 3
+        base36 digits per key (centiseconds), keys in sorted-registry
+        order, with "qzk" = sha256[:8] of the newline-joined key list.
+        The key list rides in full records as "qz_keys"; a slim driver
+        line omits it, so re-derive from the current registry and accept
+        only when the fingerprint matches (a changed key set must not
+        decode positionally against the wrong names)."""
+        qz = rec.get("qz")
+        if not qz or rec.get("qzu") != "centisec_b36w3":
+            return None
+        keys = rec.get("qz_keys")
+        if keys is None:
+            try:
+                import hashlib
+                import os as _os
+
+                sys.path.insert(
+                    0,
+                    _os.path.dirname(
+                        _os.path.dirname(_os.path.abspath(__file__))
+                    ),
+                )
+                from fanstats_producer_spark import registry
+
+                registry.load_all()
+                cand = sorted(registry.QUERIES)
+                fp = hashlib.sha256(
+                    "\n".join(cand).encode()
+                ).hexdigest()[:8]
+                if fp == rec.get("qzk"):
+                    keys = cand
+            except Exception:
+                return None
+        if keys is None or len(qz) != 3 * len(keys):
+            return None
+        return {
+            k: int(qz[3 * i : 3 * i + 3], 36) / 100.0
+            for i, k in enumerate(keys)
+        }
+
     def _in_seconds(rec: dict) -> dict:
         unit = rec.get("queries_unit")
         scale = _SCALE.get(unit)
@@ -57,7 +98,13 @@ def main() -> int:
                 f"bench_compare: unknown queries_unit {unit!r} — add it"
                 f" to _SCALE (known: {sorted(k for k in _SCALE if k)})"
             )
-        return {k: v / scale for k, v in rec.get("queries", {}).items()}
+        q = {k: v / scale for k, v in rec.get("queries", {}).items()}
+        if rec.get("queries_truncated_to"):
+            # the readable map is top-N only — prefer the full qz form
+            full = _qz_decode(rec)
+            if full:
+                return full
+        return q
 
     oq, nq = _in_seconds(old), _in_seconds(new)
 

@@ -327,3 +327,14 @@ def test_x80_morton_interleave_is_a_bijection():
     ).fetchone()
     assert rows[0] == rows[1] == n * n  # injective on the domain
     assert (rows[2], rows[3]) == (0, n * n - 1)  # onto the code range
+
+
+def test_x106_consumers_read_checkpoints_not_corpus(spark):
+    """x106: pairs/bg/tot each feed >=2 downstream joins, so all three
+    are localCheckpointed — the final plan's consumers must read the
+    materialized frames, never re-derive the explode+groupBy bigram
+    scan (or the jaccard pair expansion) per consumer.  Zero
+    documents.parquet scans in the final plan is the whole assert."""
+    df = registry.QUERIES["x106_rouge2_pairs"](spark, SF_DIR)
+    plan = checks.explain_str(df, "simple")
+    assert plan.count("documents.parquet") == 0

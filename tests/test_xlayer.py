@@ -2331,3 +2331,64 @@ def test_x107_mannwhitney_hand_case(spark, tmp_path):
     assert (r.type_a, r.type_b, r.n_a, r.n_b) == ("A", "B", 3, 2)
     assert r.u2_a == 6  # 2*U_a with U_a = 3
     assert r.auc_e6 == 500000
+
+
+def test_x109_chi2_hand_case(spark, tmp_path):
+    """Hand-recomputed chi² on a 2×2 table with uneven margins.
+
+    Counts: (en,web)=2 (en,book)=1 (fr,web)=1 (fr,book)=1, N=5.
+    Margins: r_en=3 r_fr=2, c_web=3 c_book=2.  E(en,web)=9/5=1.8,
+    E(en,book)=6/5=1.2, E(fr,web)=6/5=1.2, E(fr,book)=4/5=0.8.
+    Expected contribs replicate the engine expression in Python
+    floats — the SAME correctly-rounded IEEE ops (self-multiplied
+    square, never pow), so the e6 floors agree bit-exactly.
+    dof = (2-1)·(2-1) = 1."""
+    import math
+
+    from fanstats_producer_spark.operators.quality_checks import (
+        x109_chi2_independence,
+    )
+
+    counts = {
+        ("en", "web"): 2,
+        ("en", "book"): 1,
+        ("fr", "web"): 1,
+        ("fr", "book"): 1,
+    }
+    rows = []
+    i = 0
+    for (lang, src), c in counts.items():
+        for _ in range(c):
+            rows.append((i, f"doc {i}", lang, src, 5))
+            i += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    n = 5
+    marg_r = {"en": 3, "fr": 2}
+    marg_c = {"web": 3, "book": 2}
+    expect = {}
+    for (lang, src), o in counts.items():
+        e = float(marg_r[lang] * marg_c[src]) / n
+        expect[(lang, src)] = math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
+    # literal pins so a formula change on both sides can't hide:
+    # (2-1.8)²/1.8 = .0222̄ → 22222; (1-1.2)²/1.2 = .0333̄ → 33333;
+    # (1-0.8)²/0.8 = .05 → 50000 (the IEEE square of the 0.2
+    # representation lands each just below the next floor boundary)
+    assert expect[("en", "web")] == 22222
+    assert expect[("en", "book")] == 33333
+    assert expect[("fr", "web")] == 33333
+    assert expect[("fr", "book")] == 50000
+    chi2 = sum(expect.values())
+
+    got = {(r.lang, r.source): r for r in x109_chi2_independence(spark, d).collect()}
+    assert set(got) == set(counts)
+    for cell, r in got.items():
+        assert r.o == counts[cell]
+        assert r.contrib_e6 == expect[cell]
+        assert r.chi2_e6 == chi2
+        assert r.dof == 1

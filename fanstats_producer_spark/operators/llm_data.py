@@ -2418,6 +2418,221 @@ def x100_kn_trigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x110: 5-gram interpolated Kneser-Ney bits per token -------------------------
+# x100's recursion extended to the DEPLOYED order: the CCNet/KenLM
+# quality filter the battery emulates scores with a 5-gram interpolated
+# KN LM (Wenzek et al. 2020; Heafield 2011 — both public).  Structure:
+# the highest level reads raw 5-gram counts against their 4-gram
+# context totals; every level below reads CONTINUATION counts (distinct
+# left extensions, Kneser-Ney's type-counting), each obtained by one
+# more groupBy of the level above; the bottom is the continuation
+# unigram ncont(e)/T over distinct-bigram types.  Per level k:
+# p_k = (4·c_k − 3)/(4·ctx_k) and λ_k = 3·n1_k/(4·ctx_k) — the D=3/4
+# absolute discount carried as EXACT int64 rationals (the x94/x100
+# convention), so every division is one correctly-rounded IEEE op and
+# the nested interpolation p5 + λ5·(p4 + λ4·(p3 + λ3·(p2 + λ2·pc)))
+# shares its parenthesization verbatim across engines; log2 is the one
+# libm call, e7-quantized per n-gram before the exact integer sum.
+#
+# Join-order hazard (the x100 lesson, memory-documented): ctx totals
+# and N1 context-type counts ride each count table as WINDOW columns
+# partitioned by the context keys — never separate one-row or
+# per-context relations — keeping the score join at 6 relations on
+# both engines.  The bottom T total is a window over the |vocab|-sized
+# cont frame (domain-bounded, ~1e3 rows at every SF).
+#
+# Fixture-sparsity measurement (recorded in BASELINE): at sf0.1 the
+# repeated-mass fractions are 2-gram 1.00 / 3-gram 0.999 / 4-gram
+# 0.327 / 5-gram 0.100 (sf0.01: 1.00 / 0.64 / 0.12 / 0.09) — the top
+# two orders ride the backoff for most tokens, which is precisely the
+# regime interpolated KN exists for; orders are NOT degenerate (a
+# third of sf0.1's 4-gram mass is repeated), so the deployed-order LM
+# is meaningful here, just backoff-heavy like any open-vocabulary
+# corpus.
+@query(
+    "x110_kn_5gram_bits",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    gf AS (
+      SELECT doc_id, g['a'] AS a, g['b'] AS b, g['c'] AS c,
+             g['d'] AS d, g['e'] AS e
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(t) - 3),
+                          i -> {{'a': t[i], 'b': t[i + 1],
+                                 'c': t[i + 2], 'd': t[i + 3],
+                                 'e': t[i + 4]}})) AS g
+            FROM tk WHERE len(t) >= 5)),
+    c5 AS (
+      SELECT a, b, c, d, e, COUNT(*) AS c5,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY a, b, c, d)
+                  AS BIGINT) AS ctx5,
+             CAST(COUNT(*) OVER (PARTITION BY a, b, c, d)
+                  AS BIGINT) AS n15
+      FROM gf GROUP BY 1, 2, 3, 4, 5),
+    m4 AS (
+      SELECT b, c, d, e, COUNT(*) AS m4,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY b, c, d)
+                  AS BIGINT) AS ctx4,
+             CAST(COUNT(*) OVER (PARTITION BY b, c, d)
+                  AS BIGINT) AS n14
+      FROM c5 GROUP BY 1, 2, 3, 4),
+    m3 AS (
+      SELECT c, d, e, COUNT(*) AS m3,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY c, d)
+                  AS BIGINT) AS ctx3,
+             CAST(COUNT(*) OVER (PARTITION BY c, d)
+                  AS BIGINT) AS n13
+      FROM m4 GROUP BY 1, 2, 3),
+    m2 AS (
+      SELECT d, e, COUNT(*) AS m2,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY d)
+                  AS BIGINT) AS ctx2,
+             CAST(COUNT(*) OVER (PARTITION BY d)
+                  AS BIGINT) AS n12
+      FROM m3 GROUP BY 1, 2),
+    cont AS (
+      SELECT e, COUNT(*) AS ncont,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS T
+      FROM m2 GROUP BY 1),
+    sc AS (
+      SELECT doc_id,
+             CAST(floor(log2(
+               (CAST(4 * c5 - 3 AS DOUBLE) / CAST(4 * ctx5 AS DOUBLE))
+               + (CAST(3 * n15 AS DOUBLE) / CAST(4 * ctx5 AS DOUBLE))
+                 * ((CAST(4 * m4 - 3 AS DOUBLE)
+                     / CAST(4 * ctx4 AS DOUBLE))
+                    + (CAST(3 * n14 AS DOUBLE)
+                       / CAST(4 * ctx4 AS DOUBLE))
+                      * ((CAST(4 * m3 - 3 AS DOUBLE)
+                          / CAST(4 * ctx3 AS DOUBLE))
+                         + (CAST(3 * n13 AS DOUBLE)
+                            / CAST(4 * ctx3 AS DOUBLE))
+                           * ((CAST(4 * m2 - 3 AS DOUBLE)
+                               / CAST(4 * ctx2 AS DOUBLE))
+                              + (CAST(3 * n12 AS DOUBLE)
+                                 / CAST(4 * ctx2 AS DOUBLE))
+                                * (CAST(ncont AS DOUBLE)
+                                   / CAST(T AS DOUBLE)))))
+             ) * 1e7 + 0.5) AS BIGINT) AS lg
+      FROM gf JOIN c5 USING (a, b, c, d, e) JOIN m4 USING (b, c, d, e)
+           JOIN m3 USING (c, d, e) JOIN m2 USING (d, e)
+           JOIN cont USING (e))
+    SELECT doc_id, COUNT(*) AS n_5grams,
+           {sql_qint("-CAST(SUM(lg) AS DOUBLE) / 1e7 / COUNT(*)", 4)}
+             AS kn5_bits_per_token_e4
+    FROM sc GROUP BY 1
+    """,
+)
+def x110_kn_5gram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x110: per-document bits-per-token under an interpolated
+    Kneser-Ney 5-GRAM LM trained on the corpus itself — x100's trigram
+    recursion at the deployed CCNet/KenLM order, with continuation
+    counts at every interior level (see block comment for the shared
+    IEEE-double formulation and the fixture-sparsity measurement)."""
+    t = F.split("text", " ")
+    n = F.size("t") - 4
+    s = [F.slice(F.col("t"), k, n) for k in range(1, 6)]
+    z = F.zip_with(
+        s[0], s[1], lambda a, b: F.struct(a.alias("a"), b.alias("b"))
+    )
+    z = F.zip_with(
+        z,
+        s[2],
+        lambda p, c: F.struct(
+            p["a"].alias("a"), p["b"].alias("b"), c.alias("c")
+        ),
+    )
+    z = F.zip_with(
+        z,
+        s[3],
+        lambda p, d: F.struct(
+            p["a"].alias("a"),
+            p["b"].alias("b"),
+            p["c"].alias("c"),
+            d.alias("d"),
+        ),
+    )
+    z = F.zip_with(
+        z,
+        s[4],
+        lambda p, e: F.struct(
+            p["a"].alias("a"),
+            p["b"].alias("b"),
+            p["c"].alias("c"),
+            p["d"].alias("d"),
+            e.alias("e"),
+        ),
+    )
+    gf = (
+        spread(load(spark, sf_dir, "documents"), "doc_id")
+        .select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= 5)
+        .select("doc_id", F.explode(z).alias("g"))
+        .select("doc_id", "g.a", "g.b", "g.c", "g.d", "g.e")
+    )
+
+    def _level(df, keys, cnt_name, ctx_name, n1_name):
+        w = Window.partitionBy(*keys[:-1])
+        return (
+            df.groupBy(*keys)
+            .agg(F.count("*").alias(cnt_name))
+            .withColumn(
+                ctx_name, F.sum(cnt_name).over(w).cast("long")
+            )
+            .withColumn(n1_name, F.count("*").over(w).cast("long"))
+        )
+
+    c5 = _level(gf, ["a", "b", "c", "d", "e"], "c5", "ctx5", "n15")
+    m4 = _level(c5, ["b", "c", "d", "e"], "m4", "ctx4", "n14")
+    m3 = _level(m4, ["c", "d", "e"], "m3", "ctx3", "n13")
+    m2 = _level(m3, ["d", "e"], "m2", "ctx2", "n12")
+    wall = Window.partitionBy()
+    cont = (
+        m2.groupBy("e")
+        .agg(F.count("*").alias("ncont"))
+        .withColumn("T", F.sum("ncont").over(wall).cast("long"))
+    )
+
+    def _p(cnt, ctx):
+        return (4 * F.col(cnt) - 3).cast("double") / (
+            4 * F.col(ctx)
+        ).cast("double")
+
+    def _lam(n1, ctx):
+        return (3 * F.col(n1)).cast("double") / (4 * F.col(ctx)).cast(
+            "double"
+        )
+
+    pc = F.col("ncont").cast("double") / F.col("T").cast("double")
+    prob = _p("c5", "ctx5") + _lam("n15", "ctx5") * (
+        _p("m4", "ctx4")
+        + _lam("n14", "ctx4")
+        * (
+            _p("m3", "ctx3")
+            + _lam("n13", "ctx3")
+            * (_p("m2", "ctx2") + _lam("n12", "ctx2") * pc)
+        )
+    )
+    sc = (
+        gf.join(c5, ["a", "b", "c", "d", "e"])
+        .join(m4.select("b", "c", "d", "e", "m4", "ctx4", "n14"), ["b", "c", "d", "e"])
+        .join(m3.select("c", "d", "e", "m3", "ctx3", "n13"), ["c", "d", "e"])
+        .join(m2.select("d", "e", "m2", "ctx2", "n12"), ["d", "e"])
+        .join(cont, "e")
+        .withColumn(
+            "lg",
+            F.floor(F.log2(prob) * F.lit(1e7) + F.lit(0.5)).cast("long"),
+        )
+    )
+    return sc.groupBy("doc_id").agg(
+        F.count("*").alias("n_5grams"),
+        qint(
+            -F.sum("lg").cast("double") / F.lit(1e7) / F.count("*"), 4
+        ).alias("kn5_bits_per_token_e4"),
+    )
+
+
 # --- x104: PMI collocation extraction --------------------------------------------
 # Pointwise mutual information over corpus bigrams (Church & Hanks
 # 1990, public) — the standard collocation detector: which word pairs

@@ -1665,9 +1665,12 @@ def jl_project(
     )
 
 
-@query(
-    "x98_random_projection",
-    oracle=f"""
+def _x98_oracle_sql(out_dim: int) -> str:
+    """The JL-projection oracle at an arbitrary width — x98 registers
+    it at ``_X98_OUT``; x103 composes it at its own ``_X103_OUT`` (the
+    sweep knee), so the two keys' widths can differ without the
+    engine/oracle pair desyncing."""
+    return f"""
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     flat AS (
@@ -1683,12 +1686,17 @@ def jl_project(
              SUM(qv * (1 - 2 * (CAST(('0x' || substr(md5(
                     CAST(t.j AS VARCHAR) || ':' || CAST(q.i AS VARCHAR)
                   ), 1, 1)) AS INT) % 2))) AS comp_e6
-      FROM q CROSS JOIN range({_X98_OUT}) AS t(j)
+      FROM q CROSS JOIN range({out_dim}) AS t(j)
       GROUP BY 1, 2)
     SELECT vec_id, CAST(dim AS INT) AS dim,
            CAST(comp_e6 AS BIGINT) AS comp_e6
     FROM proj
-    """,
+    """
+
+
+@query(
+    "x98_random_projection",
+    oracle=_x98_oracle_sql(_X98_OUT),
 )
 def x98_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x98: 64→``_X98_OUT`` (16) JL projection of the embeddings
@@ -1905,12 +1913,20 @@ def x102_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the projected-cosine rank divides exact ints in the same IEEE order
 # on both engines; zero-norm projections are excluded on BOTH sides
 # (0/0 NaN would order differently cross-engine).
-_X103_MIN_SHORTLIST = 25
-_X103_FRAC_DIV = 10  # shortlist = max(25, n_cands DIV 10) — a 10x scan cut
+# Registered knobs = the measured sweep knee (scripts/x103_sweep.py →
+# X103_SWEEP.json, sf0.1): (out_dim 32, shortlist max(200, n DIV 5))
+# lifts base-fixture recall@5 from 0.533 [0, .8, .8] to 0.933
+# [.8, 1, 1] (planted 0.400 → 0.867) at the same wall cost — JL-16
+# loses a noise-floor query entirely, and n/10 shortlists starve the
+# rerank.  x98's registered 64→16 projection is unchanged; x103
+# composes the parametrized oracle at its own width.
+_X103_OUT = 32
+_X103_MIN_SHORTLIST = 200
+_X103_FRAC_DIV = 5  # shortlist = max(200, n_cands DIV 5) — a 5x scan cut
 
 
 def _x103_oracle() -> str:
-    proj = _registry.ORACLE["x98_random_projection"]
+    proj = _x98_oracle_sql(_X103_OUT)
     exact = _registry.ORACLE["x05_knn"]
     return f"""
     WITH proj AS (SELECT * FROM ({proj})),
@@ -1963,12 +1979,21 @@ def _x103_oracle() -> str:
     """
 
 
-@query("x103_jl_ann_recall", oracle=_x103_oracle())
-def x103_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """x103: recall@k of the JL-shortlist + exact-rerank pipeline vs
-    the exact x05 answer — integer candidate arithmetic end to end."""
+def jl_ann_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dim: int = _X103_OUT,
+    min_shortlist: int = _X103_MIN_SHORTLIST,
+    frac_div: int = _X103_FRAC_DIV,
+) -> DataFrame:
+    """Parametrized JL-shortlist ANN surface (project → shortlist →
+    exact rerank → recall@k vs x05) — scripts/x103_sweep.py drives it
+    over out_dim × shortlist on the base + planted fixtures; the
+    registered x103 key runs the defaults."""
     emb = spread(load(spark, sf_dir, "embeddings"))
-    proj = jl_project(emb).localCheckpoint(eager=True)  # feeds 3 arms
+    proj = jl_project(emb, out_dim=out_dim).localCheckpoint(
+        eager=True
+    )  # feeds 3 arms
     nrm = proj.groupBy("vec_id").agg(
         F.sum(F.col("comp_e6") * F.col("comp_e6")).alias("n2")
     )
@@ -2003,8 +2028,8 @@ def x103_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             F.col("r")
             <= F.greatest(
-                F.lit(_X103_MIN_SHORTLIST),
-                F.expr(f"ncand div {_X103_FRAC_DIV}"),
+                F.lit(min_shortlist),
+                F.expr(f"ncand div {frac_div}"),
             )
         )
         .select("query_id", "cand_id")
@@ -2046,3 +2071,12 @@ def x103_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.5)
         ).cast("long").alias("recall_e6"),
     ).orderBy("query_id")
+
+
+@query("x103_jl_ann_recall", oracle=_x103_oracle())
+def x103_jl_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x103: recall@k of the JL-shortlist + exact-rerank pipeline vs
+    the exact x05 answer — integer candidate arithmetic end to end.
+    Registered knobs sit at the measured sweep knee
+    (scripts/x103_sweep.py → X103_SWEEP.json; see BASELINE)."""
+    return jl_ann_recall(spark, sf_dir)

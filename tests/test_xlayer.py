@@ -2392,3 +2392,98 @@ def test_x109_chi2_hand_case(spark, tmp_path):
         assert r.contrib_e6 == expect[cell]
         assert r.chi2_e6 == chi2
         assert r.dof == 1
+
+
+def test_x110_kn5_hand_case(spark, tmp_path):
+    """Full 5-gram KN recursion re-derived in plain Python on a tiny
+    two-doc corpus with a REPEATED 5-gram (so the top order is
+    exercised, not just backoff).  The reference implementation below
+    builds the same count tables (raw 5-gram counts, then continuation
+    counts per level, then the continuation unigram) and evaluates the
+    same nested interpolation with the same IEEE ops in the same
+    order, so lg and the e4 bits agree bit-exactly."""
+    import math
+    from collections import Counter, defaultdict
+
+    from fanstats_producer_spark.operators.llm_data import (
+        x110_kn_5gram_bits,
+    )
+
+    docs = {
+        0: "a b c d e a b c d e a b c d f".split(),
+        1: "a b c d e".split(),
+    }
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, " ".join(t), "en", "web", len(" ".join(t))) for i, t in docs.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    # --- reference KN, mirroring the operator's structure -------------
+    grams = {
+        i: [tuple(t[j : j + 5]) for j in range(len(t) - 4)]
+        for i, t in docs.items()
+    }
+    c5 = Counter(g for gs in grams.values() for g in gs)
+    m4 = Counter({k[1:] for k in c5})  # distinct left extensions
+    m4 = Counter(
+        {g4: sum(1 for k in c5 if k[1:] == g4) for g4 in {k[1:] for k in c5}}
+    )
+    m3 = Counter(
+        {g3: sum(1 for k in m4 if k[1:] == g3) for g3 in {k[1:] for k in m4}}
+    )
+    m2 = Counter(
+        {g2: sum(1 for k in m3 if k[1:] == g2) for g2 in {k[1:] for k in m3}}
+    )
+    cont = Counter(
+        {e: sum(1 for k in m2 if k[1:] == (e,)) for e in {k[1] for k in m2}}
+    )
+    T = sum(cont.values())
+
+    def ctx_n1(table, klen):
+        ctx, n1 = defaultdict(int), defaultdict(int)
+        for k, c in table.items():
+            ctx[k[: klen - 1]] += c
+            n1[k[: klen - 1]] += 1
+        return ctx, n1
+
+    ctx5, n15 = ctx_n1(c5, 5)
+    ctx4, n14 = ctx_n1(m4, 4)
+    ctx3, n13 = ctx_n1(m3, 3)
+    ctx2, n12 = ctx_n1(m2, 2)
+
+    def prob(g):
+        p = cont[g[4:5][0]] / T
+        p = (4 * m2[g[3:]] - 3) / (4 * ctx2[g[3:4]]) + (
+            3 * n12[g[3:4]]
+        ) / (4 * ctx2[g[3:4]]) * p
+        p = (4 * m3[g[2:]] - 3) / (4 * ctx3[g[2:4]]) + (
+            3 * n13[g[2:4]]
+        ) / (4 * ctx3[g[2:4]]) * p
+        p = (4 * m4[g[1:]] - 3) / (4 * ctx4[g[1:4]]) + (
+            3 * n14[g[1:4]]
+        ) / (4 * ctx4[g[1:4]]) * p
+        return (4 * c5[g] - 3) / (4 * ctx5[g[:4]]) + (3 * n15[g[:4]]) / (
+            4 * ctx5[g[:4]]
+        ) * p
+
+    expect = {}
+    for i, gs in grams.items():
+        lgs = [math.floor(math.log2(prob(g)) * 1e7 + 0.5) for g in gs]
+        expect[i] = (
+            len(gs),
+            math.floor(-float(sum(lgs)) / 1e7 / len(gs) * 1e4 + 0.5),
+        )
+    # sanity on the fixture itself: doc1's single 5-gram occurs 3x in
+    # the corpus (2x in doc0), so the top-order term is exercised
+    assert c5[tuple("abcde")] == 3
+    # the two docs must land on distinct scores (a degenerate model —
+    # all mass on one backoff term — would collapse them)
+    assert expect[0][1] != expect[1][1]
+
+    got = {r.doc_id: r for r in x110_kn_5gram_bits(spark, d).collect()}
+    assert set(got) == {0, 1}
+    for i, (n5, bits) in expect.items():
+        assert got[i].n_5grams == n5
+        assert got[i].kn5_bits_per_token_e4 == bits

@@ -1094,16 +1094,17 @@ def semantic_decontam_crossjoin(
     one float64 matmul — measured 125 s → 1.9 s at 10k × 10k, with
     the SAME composite-integer decision (floor(sim·1e6+0.5),
     (1e6−sim_e6)·1e10+eval_id argmin) so verdicts match the SQL arms
-    on every fixture (parity pytest).  The matmul reassociates the
-    64-term dot sum, which is allowed to differ from the SQL fold in
-    the last ulp and could in principle flip an e6 floor boundary —
-    measured zero flips on the fixtures, and only a per-row WINNER
-    near a boundary can surface (odds ~1e-6 per sweep).  Registered
-    usage: x61's key keeps its fold-exact default, while
-    s26b_stream_decontam_large_eval RUNS scorer="blas" — it accepts
-    the documented ~1e-6 odds because the fold arms simply do not
-    scale to its 10k-eval regime (no fold-exact plan exists that
-    does)."""
+    on every fixture (parity pytest).  Round 11 closed the former ulp
+    caveat: the matmul's reassociated sums now pass through a
+    boundary-rescue pass (_decontam_blas docstring) that recomputes
+    any entry within 1e-10 of an e6 floor boundary with the fold's
+    exact scalar sequence, making the blas verdicts bit-identical to
+    the fold arms BY CONSTRUCTION on every input (forced-rescue
+    pytest pins the scalar sequence against the fold on the real
+    fixture).  Registered usage: x61's key keeps its fold-exact
+    default, while s26b_stream_decontam_large_eval RUNS scorer="blas"
+    — exact at scale, since the fold arms simply do not scale to its
+    10k-eval regime."""
     if scorer == "blas":
         return _decontam_blas(vectors, evals, prepared)
     scored = vectors.join(F.broadcast(evals)).select(
@@ -1158,19 +1159,63 @@ def decontam_blas_prepare(spark, evals: DataFrame) -> tuple:
             f"blas decontam arm: zero-norm eval vectors {bad} — cosine"
             " is undefined for them; drop or re-embed"
         )
-    m = m / nrm
+    # broadcast the RAW matrix: the boundary-rescue path (see
+    # _decontam_blas) re-derives the fold-exact cosine from raw
+    # components; workers normalize once per task for the fast path
     b_ids = spark.sparkContext.broadcast(ids)
-    b_m = spark.sparkContext.broadcast(m.T.copy())  # (dim, n_eval)
+    b_m = spark.sparkContext.broadcast(m)  # (n_eval, dim), raw
     return b_ids, b_m
 
 
+#: Boundary guard band for the blas arm's exact-rescue pass, in units
+#: of sim·1e6 (so 1e-4 here = the fast sim within 1e-10 of a floor
+#: boundary in cosine units).  The fast path's total deviation from the
+#: fold-exact value — 64-term dgemm reassociation (≤ n·eps·Σ|x·y| ≈
+#: 1.4e-14 for normalized rows) plus the normalize-first restructuring
+#: (~a few ulps relative ≈ 1e-15) — is < 1e-13, a 1000× safety margin
+#: under the band.  Any entry OUTSIDE the band therefore provably
+#: floors to the same e6 integer as the fold; entries inside it are
+#: recomputed with the fold's exact scalar sequence.
+_BLAS_RESCUE_BAND_E6 = 1e-4
+
+
+def _fold_cosine(a, b) -> float:
+    """The scalar reference for cosine(): sequential left-to-right
+    dot folds starting at 0.0, then dot/(sqrt·sqrt) — the SAME IEEE
+    ops in the SAME order as the Spark HOF arm and DuckDB's
+    list_cosine_similarity, so its result is bit-identical to both."""
+    import math
+
+    d = n2a = n2b = 0.0
+    for x, y in zip(a, b):
+        d += x * y
+        n2a += x * x
+        n2b += y * y
+    return d / (math.sqrt(n2a) * math.sqrt(n2b))
+
+
 def _decontam_blas(
-    vectors: DataFrame, evals: DataFrame, prepared: tuple | None = None
+    vectors: DataFrame,
+    evals: DataFrame,
+    prepared: tuple | None = None,
+    band: float = _BLAS_RESCUE_BAND_E6,
 ) -> DataFrame:
     """semantic_decontam_crossjoin(scorer="blas"): eval matrix as one
-    broadcast numpy array, per-batch 1024-row-block float64 matmul
-    against it, composite-integer argmin decode — see the caller's
-    docstring for the measured 65× at 10k evals and the ulp caveat."""
+    broadcast numpy array, per-batch 1024-row-block float64 matmul,
+    composite-integer argmin decode — see the caller's docstring for
+    the measured 65× at 10k evals.
+
+    FOLD-EXACT BY CONSTRUCTION (closes the r10 ulp watch item): after
+    the fast matmul, every entry whose sim·1e6+0.5 lands within
+    ``_BLAS_RESCUE_BAND_E6`` of an integer (a floor boundary) is
+    recomputed with :func:`_fold_cosine` — the fold arm's exact scalar
+    sequence over the RAW components.  Outside the band the fast and
+    fold values provably floor to the same e6 integer (error budget in
+    the band comment), so the emitted verdicts are bit-identical to
+    the HOF/cross-join arms on EVERY input, not just measured-equal on
+    the fixtures.  Expected rescue count ≈ band·entries ≈ 1 per 1e10
+    — the pass costs one comparison per entry plus a handful of
+    64-term scalar folds."""
     import numpy as np
 
     b_ids, b_m = prepared or decontam_blas_prepare(
@@ -1180,17 +1225,19 @@ def _decontam_blas(
     def score(batches):
         import pandas as pd
 
-        mt, eids = b_m.value, b_ids.value
+        m_raw, eids = b_m.value, b_ids.value
+        mt = (m_raw / np.linalg.norm(m_raw, axis=1, keepdims=True)).T
+        mt = np.ascontiguousarray(mt)  # (dim, n_eval)
         for pdf in batches:
             if not len(pdf):
                 continue
             out = []
             for lo in range(0, len(pdf), 1024):
                 blk = pdf.iloc[lo : lo + 1024]
-                v = np.stack(blk["embedding"].to_numpy()).astype(
+                vr = np.stack(blk["embedding"].to_numpy()).astype(
                     np.float64
                 )
-                vn = np.linalg.norm(v, axis=1, keepdims=True)
+                vn = np.linalg.norm(vr, axis=1, keepdims=True)
                 if not np.all(vn > 0):
                     bad = blk["vec_id"].to_numpy()[
                         vn[:, 0] == 0
@@ -1199,9 +1246,15 @@ def _decontam_blas(
                         f"blas decontam arm: zero-norm vectors {bad} —"
                         " cosine undefined; filter them upstream"
                     )
-                v /= vn
-                sim = v @ mt
-                q = np.floor(sim * 1e6 + 0.5).astype(np.int64)
+                sim = (vr / vn) @ mt
+                x = sim * 1e6 + 0.5
+                near = np.abs(x - np.rint(x)) < band
+                if near.any():
+                    for r, c in zip(*np.nonzero(near)):
+                        x[r, c] = (
+                            _fold_cosine(vr[r], m_raw[c]) * 1e6 + 0.5
+                        )
+                q = np.floor(x).astype(np.int64)
                 comp = (1_000_000 - q) * 10_000_000_000 + eids[None, :]
                 best = comp.min(axis=1)
                 s = 1_000_000 - best // 10_000_000_000

@@ -1604,10 +1604,10 @@ def s26b_stream_decontam_large_eval(
     measurement table).  All three arms share the identical
     integer-exact decision (e6-quantized cosine, eval_id tie-break,
     threshold 350000), pinned bitwise by the interchangeability
-    pytest; the matmul reassociates the 64-term dot sum, which could
-    in principle flip an e6 floor at ~1 ulp — only a per-row WINNER
-    near a boundary could show, measured zero across every fixture SF
-    and odds ~1e-6 per sweep (docstring analysis)."""
+    pytest; since round 11 the blas arm is fold-exact BY CONSTRUCTION
+    — entries whose fast sim lands within 1e-10 of an e6 floor
+    boundary are recomputed with the fold's exact scalar sequence
+    (similarity._decontam_blas), so no ulp class remains."""
     import atexit
     import os
     import shutil

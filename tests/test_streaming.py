@@ -1919,6 +1919,22 @@ def test_s26b_crossjoin_arm_matches_hof_arm_bitwise(spark):
     # the registered s26b arm: batched matmul, same verdicts bitwise
     assert blas == cj
 
+    # FORCED-RESCUE pass (r10 ulp item): with the boundary band blown
+    # wide open every entry routes through _fold_cosine, so this pins
+    # that the rescue's scalar sequence reproduces the fold arm
+    # bit-exactly on every fixture pair — the exactness claim the
+    # registered narrow band (1e-4 e6-units) relies on.  Not just the
+    # winner: max_sim_e6 AND nearest_eval_id must both hold, since a
+    # rescued q feeds the composite argmin.
+    from fanstats_producer_spark.operators.similarity import (
+        _decontam_blas,
+    )
+
+    rescued = key(
+        _decontam_blas(corpus, evals, band=float("inf")).collect()
+    )
+    assert rescued == cj
+
 
 def test_s27_packing_carries_offset_and_absorbs_replay(spark, tmp_path):
     """The carried token offset must continue across batches, a fresh

@@ -567,9 +567,7 @@ def ks_matrix_from_counts(cnts: DataFrame) -> DataFrame:
 # expansion is a broadcast join against the types×types dim (fan-out
 # |types|-1, never corpus²); ranks are per-pair windows (partitioned
 # — no global window); everything after is map-side-combinable sums.
-@query(
-    "x107_mannwhitney_auc",
-    oracle="""
+X107_ORACLE = """
     WITH ev AS (
       SELECT event_type AS t, value AS v FROM events
       WHERE value IS NOT NULL),
@@ -598,42 +596,73 @@ def ks_matrix_from_counts(cnts: DataFrame) -> DataFrame:
                       / (2 * n_a * n_b) * 1e6 + 0.5) AS BIGINT)
              AS auc_e6
     FROM agg
-    """,
-)
+    """
+
+
+@query("x107_mannwhitney_auc", oracle=X107_ORACLE)
 def x107_mannwhitney_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x107: Mann-Whitney U and ROC-AUC for every event-type pair —
     doubled-midrank integer arithmetic (see block comment), one row
-    per unordered pair."""
+    per unordered pair.  Shares :func:`auc_matrix_from_counts` with
+    the s34 online monitor (the x105/s33 pattern)."""
     ev = (
         load(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(F.col("event_type").alias("t"), F.col("value").alias("v"))
     )
-    types = ev.select("t").distinct()
+    return auc_matrix_from_counts(
+        ev.groupBy("t", "v").agg(F.count("*").alias("c"))
+    )
+
+
+def auc_matrix_from_counts(cnts: DataFrame) -> DataFrame:
+    """The Mann-Whitney/AUC matrix from a (t, v, c) count table —
+    shared by batch x107 and the s34 online monitor (whose persisted
+    state IS this table, the same counts s33 keeps for KS).
+
+    Doubled midranks straight from counts: per pair and value, with
+    ties = c_a + c_b and cum the within-pair running total,
+    2·midrank = 2·(cum − ties + 1) + ties − 1 = 2·cum − ties + 1 —
+    integer throughout, so R2_a = Σ c_a·r2 and U2_a are exact int64
+    and the matrix is bit-identical to the raw-event formulation on
+    any input (the r2-from-counts pytest pins the algebra)."""
+    types = cnts.select("t").distinct()
     tp = (
         types.select(F.col("t").alias("ta"))
         .join(types.select(F.col("t").alias("tb")))
         .filter(F.col("ta") < F.col("tb"))
     )
-    pooled = F.broadcast(tp).join(
-        ev, (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb"))
+    ga = cnts.join(F.broadcast(tp), F.col("t") == F.col("ta")).select(
+        "ta", "tb", "v", F.col("c").alias("ca")
     )
-    wr = Window.partitionBy("ta", "tb").orderBy("v")
-    wt = Window.partitionBy("ta", "tb", "v")
+    gb = cnts.join(F.broadcast(tp), F.col("t") == F.col("tb")).select(
+        "ta", "tb", "v", F.col("c").alias("cb")
+    )
+    pooled = (
+        ga.join(gb, ["ta", "tb", "v"], "full")
+        .select(
+            "ta",
+            "tb",
+            "v",
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+        .withColumn("ties", F.col("ca") + F.col("cb"))
+    )
+    wr = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     ranked = pooled.withColumn(
-        "r2", 2 * F.rank().over(wr) + F.count("*").over(wt) - 1
+        "r2", 2 * F.sum("ties").over(wr) - F.col("ties") + 1
     )
     agg = ranked.groupBy(
         F.col("ta").alias("type_a"), F.col("tb").alias("type_b")
     ).agg(
-        F.sum(F.when(F.col("t") == F.col("ta"), F.col("r2")).otherwise(0))
-        .alias("r2_a"),
-        F.sum(F.when(F.col("t") == F.col("ta"), 1).otherwise(0)).alias(
-            "n_a"
-        ),
-        F.sum(F.when(F.col("t") == F.col("tb"), 1).otherwise(0)).alias(
-            "n_b"
-        ),
+        F.sum(F.col("ca") * F.col("r2")).alias("r2_a"),
+        F.sum("ca").alias("n_a"),
+        F.sum("cb").alias("n_b"),
     )
     u2 = F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1)
     return agg.select(

@@ -2011,3 +2011,38 @@ def s33_stream_ks_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query("s34_stream_auc_monitor", oracle=quality_checks.X107_ORACLE)
+def s34_stream_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s34: ONLINE Mann-Whitney/ROC-AUC separability matrix — the
+    rank-based member of the online drift battery (s23 PSI, s31
+    quantile, s33 exact-KS), completing it: every batch statistic in
+    the x105/x107 family now has an online twin.  The persisted state
+    is the SAME cumulative (type, value) count table s33 keeps
+    (jobs.streaming_value_counts_monitor — one state, every rank/CDF
+    statistic); the AUC matrix is rebuilt from the drained state via
+    the shared quality_checks.auc_matrix_from_counts, whose
+    doubled-midrank-from-counts algebra is integer-exact and therefore
+    bit-identical to batch x107 on any input.  Counts are sums, so the
+    monitor is batch-slicing-invariant by commutativity and the oracle
+    is x107's VERBATIM with no drain precondition."""
+    import os
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="s34_work_")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    stream = _read_events_stream(spark, sf_dir)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_value_counts_monitor(
+                stream, state_dir, ckpt, job_name="streaming_auc_monitor"
+            )
+            _drain(q)
+        out = quality_checks.auc_matrix_from_counts(
+            spark.read.parquet(state_dir)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -1392,29 +1392,31 @@ def streaming_quantile_monitor(
     )
 
 
-def streaming_ks_monitor(
+def streaming_value_counts_monitor(
     events: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
+    job_name: str = "streaming_value_counts_monitor",
 ) -> StreamingQuery:
-    """s33: ONLINE exact-KS drift — x105's pairwise sup-CDF matrix
-    maintained over an unbounded event stream, the exact sibling of
-    the bucketed PSI monitor (s23).  State is the cumulative
-    (type, value) count table — bounded by the live value domain (the
-    regime exact KS is for; continuous domains go through x97's
-    sample first, x105's block comment).  Counts merge by SUM —
-    NON-idempotent — so the staged promote carries the _BATCH marker
-    (the s23/s25/s27 replay protocol: a crash-window replay skips the
-    merge, a stale-state restart raises loudly).  Readers rebuild the
-    full KS matrix from state at any time via
-    quality_checks.ks_matrix_from_counts — republishing per batch
-    costs |grid| work, never a rescan of the stream."""
+    """The shared state engine behind the exact online drift monitors
+    (s33 KS, s34 Mann-Whitney/AUC): the cumulative (type, value)
+    count table maintained over an unbounded event stream — bounded
+    by the live value domain (the regime exact rank/CDF statistics
+    are for; continuous domains go through x97's sample first, x105's
+    block comment).  Counts merge by SUM — NON-idempotent — so the
+    staged promote carries the _BATCH marker (the s23/s25/s27 replay
+    protocol: a crash-window replay skips the merge, a stale-state
+    restart raises loudly).  Readers rebuild their matrix from state
+    at any time (quality_checks.ks_matrix_from_counts /
+    auc_matrix_from_counts) — republishing per batch costs |grid|
+    work, never a rescan of the stream; ONE state table serves every
+    rank/CDF statistic at once."""
     st = _StagedState(state_dir, with_marker=True)
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         st.recover()
-        if st.check_batch(batch_id, "streaming_ks_monitor"):
+        if st.check_batch(batch_id, job_name):
             return  # crash-window replay: this batch already merged
         batch_cnt = (
             batch_df.filter(F.col("value").isNotNull())
@@ -1443,4 +1445,18 @@ def streaming_ks_monitor(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def streaming_ks_monitor(
+    events: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """s33: ONLINE exact-KS drift — x105's pairwise sup-CDF matrix
+    over the shared value-counts state (see
+    streaming_value_counts_monitor); kept as a named wrapper so the
+    s33 call sites read as what they compute."""
+    return streaming_value_counts_monitor(
+        events, state_dir, checkpoint_dir, job_name="streaming_ks_monitor"
     )

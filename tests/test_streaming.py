@@ -2302,3 +2302,73 @@ def test_s33_ks_monitor_slicing_invariant_and_stale_state_raises(
 
     with pytest.raises(StreamingQueryException, match="stale state"):
         _drain("ckpt2")
+
+
+def test_auc_from_counts_algebra_and_s34_slicing(spark, landing, tmp_path):
+    """(1) auc_matrix_from_counts reproduces the doubled-midrank hand
+    case WITH ties (A=[1,3,3], B=[2,3]: U2_a=6, AUC=0.5 — the x107
+    hand fixture) straight from a (t,v,c) table, pinning the
+    2·cum−ties+1 algebra; (2) a 2-batch drain of the shared
+    value-counts monitor rebuilds exactly the batch AUC matrix over
+    the union (sum-merge commutativity — s34's slicing invariance).
+    The stale-state replay protocol is the same staged-state core s33
+    already pins."""
+    import json as _json
+    import os as _os
+
+    from fanstats_producer_spark.operators.quality_checks import (
+        auc_matrix_from_counts,
+    )
+
+    hand = (
+        spark.createDataFrame(
+            [("A", 1.0, 1), ("A", 3.0, 2), ("B", 2.0, 1), ("B", 3.0, 1)],
+            "t string, v double, c long",
+        )
+    )
+    rows = auc_matrix_from_counts(hand).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.type_a, r.type_b, r.n_a, r.n_b) == ("A", "B", 3, 2)
+    assert r.u2_a == 6 and r.auc_e6 == 500000
+
+    batches = [
+        [("A", 1.0), ("A", 3.0), ("B", 2.0)],
+        [("A", 3.0), ("B", 3.0), ("C", 1.0)],
+    ]
+    eid = 0
+    for bi, evs in enumerate(batches):
+        with open(landing / f"b{bi}.json", "w") as f:
+            for t, v in evs:
+                f.write(
+                    _json.dumps(
+                        {"event_id": eid, "ts": "2024-01-01T10:00:00Z",
+                         "user_id": 1, "event_type": t, "value": v,
+                         "props": "{}"}
+                    ) + "\n"
+                )
+                eid += 1
+        _os.utime(landing / f"b{bi}.json", (1000000000 + bi * 100,) * 2)
+    state = str(tmp_path / "state")
+    q = jobs.streaming_value_counts_monitor(
+        jobs.read_event_stream(spark, str(landing), max_files_per_trigger=1),
+        state,
+        str(tmp_path / "ckpt"),
+        job_name="streaming_auc_monitor",
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r)
+        for r in auc_matrix_from_counts(spark.read.parquet(state)).collect()
+    )
+    all_cnt = (
+        spark.createDataFrame(
+            [(t, v) for b in batches for t, v in b], "t string, v double"
+        )
+        .groupBy("t", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    want = sorted(
+        tuple(r) for r in auc_matrix_from_counts(all_cnt).collect()
+    )
+    assert got == want and len(want) == 3  # A-B, A-C, B-C

@@ -1601,6 +1601,102 @@ def x89_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x111: tokenizer fertility / compression by (lang, source) -------------------
+# The report every tokenizer rollout reads before committing: FERTILITY
+# (BPE tokens per whitespace word) and COMPRESSION (chars per BPE
+# token) broken down by language and source (public convention: the
+# mBERT/XLM-R fertility studies, SentencePiece's chars/piece metric).
+# A fertility outlier is how a pipeline catches a tokenizer that
+# shatters one language or one crawler bucket into char-level pieces —
+# the per-corpus twin of x10's per-doc counts, at the grain where the
+# retrain decision is made.  Engine composes the x89 tokenizer
+# (distributed min-count-pruned train -> Arrow-batched encode); all
+# sums are exact int64, the two e6 ratios are the only divisions (one
+# correctly-rounded IEEE op each).  Word counts use the SAME
+# len(w)>0-filtered whitespace split the trainer uses, so
+# fertility = 1.0 exactly when no merge crosses a word (BPE tokens
+# partition words).  Plan: x89's train/encode + ONE groupBy on a
+# ~|langs×sources| domain with map-side combine; nothing new shuffles
+# at corpus width.
+@query(
+    "x111_tokenizer_fertility",
+    oracle=f"""
+    WITH enc AS (
+      SELECT doc_id, n_bpe_tokens
+      FROM ({_bpe_oracle(_X89_MERGES, _X89_MIN_COUNT)})),
+    d AS (
+      SELECT doc_id, lang, source,
+             len(list_filter(string_split(text, ' '),
+                             x -> len(x) > 0)) AS n_words,
+             len(text) AS n_chars
+      FROM documents),
+    g AS (
+      SELECT d.lang, d.source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(d.n_words) AS BIGINT) AS n_words,
+             CAST(SUM(enc.n_bpe_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(d.n_chars) AS BIGINT) AS n_chars
+      FROM d JOIN enc USING (doc_id)
+      GROUP BY 1, 2)
+    SELECT lang, source, n_docs, n_words, n_tokens, n_chars,
+           CAST(floor(CAST(n_tokens AS DOUBLE) / n_words * 1e6 + 0.5)
+                AS BIGINT) AS fertility_e6,
+           CAST(floor(CAST(n_chars AS DOUBLE) / n_tokens * 1e6 + 0.5)
+                AS BIGINT) AS chars_per_token_e6
+    FROM g
+    """,
+)
+def x111_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x111: per-(lang, source) BPE fertility (tokens/word) and
+    compression (chars/token) through the x89 tokenizer — the rollout
+    report that catches a tokenizer shattering one language or source
+    (see block comment)."""
+    from fanstats_producer_spark.io import spread
+
+    docs = load(spark, sf_dir, "documents")
+    merges = bpe_train(
+        docs, n_merges=_X89_MERGES, min_count=_X89_MIN_COUNT
+    )
+    enc = bpe_encode(spread(docs, "doc_id"), merges).select(
+        "doc_id", F.size("bpe_tokens").alias("n_tok")
+    )
+    base = spread(docs, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(
+            F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+        ).alias("n_words"),
+        F.length("text").alias("n_chars"),
+    )
+    g = (
+        base.join(enc, "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    return g.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_words",
+        "n_tokens",
+        "n_chars",
+        F.floor(
+            F.col("n_tokens").cast("double") / F.col("n_words")
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("fertility_e6"),
+        F.floor(
+            F.col("n_chars").cast("double") / F.col("n_tokens")
+            * F.lit(1e6) + F.lit(0.5)
+        ).cast("long").alias("chars_per_token_e6"),
+    )
+
+
 # --- x86: temperature-based source mixing ---------------------------------------
 # The mixing rule multilingual/multi-source training actually uses
 # (public: multilingual BERT / XLM-R sampling): sample source s with

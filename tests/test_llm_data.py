@@ -765,3 +765,49 @@ def test_x108_packing_forecast_hand_case(spark):
     assert r.n_seq_packed == 1 and r.pad_packed == 128 - 18
     assert r.util_packed_e6 == round(18 / 128 * 1e6)
     assert r.pad_padded == 3 * 128 - 18
+
+
+def test_x111_fertility_hand_case(spark, tmp_path):
+    """Hand-derivable tokenizer outcome + group arithmetic.
+
+    Corpus: (en,web) "aa aa b" / (fr,web) "c d" / (fr,book) "xy".
+    Type freqs: aa:2, b/c/d/xy:1 — min_count=2 prunes everything but
+    'aa', whose single pair (a,a) is the only real merge; all other
+    rounds are sentinel no-ops.  Encodes: aa->[aa] (1 token),
+    b/c/d->1 char tokens, 'xy' (UNtrained, freq 1) -> ['x','y'].
+    So (en,web): 3 words / 3 tokens / 7 chars -> fertility exactly 1;
+    (fr,book): 1 word / 2 tokens -> fertility exactly 2 — the
+    shattered-word signal the report exists to surface."""
+    import math
+
+    from fanstats_producer_spark.operators.llm_data import (
+        x111_tokenizer_fertility,
+    )
+
+    rows = [
+        (0, "aa aa b", "en", "web"),
+        (1, "c d", "fr", "web"),
+        (2, "xy", "fr", "book"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    got = {
+        (r.lang, r.source): r
+        for r in x111_tokenizer_fertility(spark, d).collect()
+    }
+    assert set(got) == {("en", "web"), ("fr", "web"), ("fr", "book")}
+    ew = got[("en", "web")]
+    assert (ew.n_docs, ew.n_words, ew.n_tokens, ew.n_chars) == (1, 3, 3, 7)
+    assert ew.fertility_e6 == 1_000_000
+    assert ew.chars_per_token_e6 == math.floor(7.0 / 3 * 1e6 + 0.5)
+    fw = got[("fr", "web")]
+    assert (fw.n_words, fw.n_tokens, fw.n_chars) == (2, 2, 3)
+    assert fw.fertility_e6 == 1_000_000
+    fb = got[("fr", "book")]
+    assert (fb.n_words, fb.n_tokens, fb.n_chars) == (1, 2, 2)
+    assert fb.fertility_e6 == 2_000_000
+    assert fb.chars_per_token_e6 == 1_000_000

@@ -1697,6 +1697,195 @@ def x111_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- x112: Heaps-law vocabulary-growth fit + forecast ----------------------------
+# The "how much more data until the vocab stops growing" planner
+# (Heaps 1978, public: V = K·T^β): checkpoint the corpus at 10
+# deterministic points in doc_id-accumulation order, measure
+# (tokens T_i, distinct types V_i) at each, fit β by least squares in
+# log2-log2 space, and forecast log2(V) at 10× the current token
+# count — the number that decides whether the tokenizer's vocab size
+# will hold at the next data order of magnitude (pairs with x108's
+# context-length forecast).
+#
+# Exactness: checkpoints are VALUE deciles of the id range
+# (min + (max−min)·i div 10 — pure integer, no rank windows over the
+# corpus); V_i = count of types whose FIRST doc_id ≤ cutoff (one
+# groupBy(token).min(doc_id), the only corpus-wide shuffle); T_i =
+# Σ per-doc token counts under the cutoff (10-row broadcast join, no
+# shuffle).  log2(T_i)/log2(V_i) are e7-quantized IMMEDIATELY (the
+# only libm calls), the least-squares sums are exact int64 over the
+# 10-row frame (envelope: x ≤ 4e8 at T=1e12 tokens → n·Σx·y ≤ 1.6e19
+# overflows int64 past ~1e12 tokens — the fit inputs, not the corpus,
+# bound this; re-scale to e6 beyond), and β/intercept/forecast are
+# ONE shared-parenthesization double expression per row, e6-quantized
+# in the report (the x109 window-total convention).
+@query(
+    "x112_vocab_growth",
+    oracle="""
+    WITH ids AS (
+      SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi FROM documents),
+    ck AS (
+      SELECT CAST(i AS INT) AS ckpt,
+             lo + CAST(((hi - lo) * i) // 10 AS BIGINT) AS cutoff
+      FROM ids CROSS JOIN range(1, 11) r(i)),
+    tok AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '),
+                             x -> len(x) > 0)) AS n_tok
+      FROM documents),
+    w AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                            x -> len(x) > 0)) AS token
+      FROM documents),
+    fst AS (SELECT token, MIN(doc_id) AS first_doc FROM w GROUP BY 1),
+    t AS (
+      SELECT ck.ckpt, ck.cutoff,
+             CAST(SUM(tok.n_tok) AS BIGINT) AS n_tokens
+      FROM ck JOIN tok ON tok.doc_id <= ck.cutoff
+      GROUP BY 1, 2),
+    v AS (
+      SELECT ck.ckpt, CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM ck JOIN fst ON fst.first_doc <= ck.cutoff
+      GROUP BY 1),
+    pts AS (
+      SELECT t.ckpt, t.cutoff, t.n_tokens, v.n_types,
+             CAST(floor(log2(CAST(t.n_tokens AS DOUBLE)) * 1e7 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(floor(log2(CAST(v.n_types AS DOUBLE)) * 1e7 + 0.5)
+                  AS BIGINT) AS y
+      FROM t JOIN v USING (ckpt)),
+    fit AS (
+      SELECT ckpt, cutoff, n_tokens, n_types, x, y,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(SUM(x) OVER () AS BIGINT) AS sx,
+             CAST(SUM(y) OVER () AS BIGINT) AS sy,
+             CAST(SUM(x * y) OVER () AS BIGINT) AS sxy,
+             CAST(SUM(x * x) OVER () AS BIGINT) AS sxx,
+             CAST(MAX(CASE WHEN ckpt = 10 THEN n_tokens END) OVER ()
+                  AS BIGINT) AS t_full
+      FROM pts)
+    SELECT ckpt, cutoff, n_tokens, n_types,
+           CAST(floor(
+             CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5)
+             AS BIGINT) AS beta_e6,
+           CAST(floor(
+             ((CAST(sy AS DOUBLE)
+               - CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE)) / n
+              + CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(floor(log2(10.0 * t_full) * 1e7 + 0.5)
+                       AS BIGINT))
+             / 1e7 * 1e6 + 0.5) AS BIGINT) AS log2_types_at_10x_e6
+    FROM fit
+    """,
+)
+def x112_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x112: Heaps-law vocabulary growth — (tokens, types) at 10
+    id-range decile checkpoints, the log-log least-squares β, and the
+    log2 type-count forecast at 10× tokens (see block comment for the
+    exactness construction)."""
+    docs = spread(load(spark, sf_dir, "documents"), "doc_id")
+    words = F.filter(F.split("text", " "), lambda w: F.length(w) > 0)
+    ids = docs.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    )
+    ck = (
+        ids.crossJoin(
+            docs.sparkSession.range(1, 11).select(
+                F.col("id").cast("int").alias("ckpt")
+            )
+        )
+        .select(
+            "ckpt",
+            (
+                F.col("lo")
+                + F.expr("((hi - lo) * ckpt) div 10")
+            ).cast("long").alias("cutoff"),
+        )
+    )
+    tok = docs.select("doc_id", F.size(words).alias("n_tok"))
+    fst = (
+        docs.select("doc_id", F.explode(words).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    t = (
+        tok.join(F.broadcast(ck), F.col("doc_id") <= F.col("cutoff"))
+        .groupBy("ckpt", "cutoff")
+        .agg(F.sum("n_tok").cast("long").alias("n_tokens"))
+    )
+    v = (
+        fst.join(F.broadcast(ck), F.col("first_doc") <= F.col("cutoff"))
+        .groupBy("ckpt")
+        .agg(F.count("*").cast("long").alias("n_types"))
+    )
+    pts = (
+        t.join(v, "ckpt")
+        .select(
+            "ckpt",
+            "cutoff",
+            "n_tokens",
+            "n_types",
+            F.floor(
+                F.log2(F.col("n_tokens").cast("double")) * F.lit(1e7)
+                + F.lit(0.5)
+            ).cast("long").alias("x"),
+            F.floor(
+                F.log2(F.col("n_types").cast("double")) * F.lit(1e7)
+                + F.lit(0.5)
+            ).cast("long").alias("y"),
+        )
+    )
+    wall = Window.partitionBy()
+    fit = pts.select(
+        "ckpt",
+        "cutoff",
+        "n_tokens",
+        "n_types",
+        "x",
+        "y",
+        F.count("*").over(wall).cast("long").alias("n"),
+        F.sum("x").over(wall).cast("long").alias("sx"),
+        F.sum("y").over(wall).cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(wall).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(wall).cast("long").alias("sxx"),
+        F.max(
+            F.when(F.col("ckpt") == 10, F.col("n_tokens"))
+        ).over(wall).cast("long").alias("t_full"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    beta = num / den
+    x10 = F.floor(
+        F.log2(F.lit(10.0) * F.col("t_full")) * F.lit(1e7) + F.lit(0.5)
+    ).cast("long")
+    return fit.select(
+        "ckpt",
+        "cutoff",
+        "n_tokens",
+        "n_types",
+        F.floor(beta * F.lit(1e6) + F.lit(0.5)).cast("long").alias(
+            "beta_e6"
+        ),
+        F.floor(
+            (
+                (F.col("sy").cast("double") - beta * F.col("sx").cast("double"))
+                / F.col("n")
+                + beta * x10
+            )
+            / F.lit(1e7) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long").alias("log2_types_at_10x_e6"),
+    )
+
+
 # --- x86: temperature-based source mixing ---------------------------------------
 # The mixing rule multilingual/multi-source training actually uses
 # (public: multilingual BERT / XLM-R sampling): sample source s with

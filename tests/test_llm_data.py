@@ -811,3 +811,68 @@ def test_x111_fertility_hand_case(spark, tmp_path):
     assert (fb.n_words, fb.n_tokens, fb.n_chars) == (1, 2, 2)
     assert fb.fertility_e6 == 2_000_000
     assert fb.chars_per_token_e6 == 1_000_000
+
+
+def test_x112_vocab_growth_hand_case(spark, tmp_path):
+    """Full Heaps-fit recompute in plain Python on a 10-doc corpus:
+    doc i introduces i+1 tokens of which exactly one type is new
+    ("w{i}"; the rest are the shared filler "f"), so at cutoff c the
+    truth is n_tokens = sum_{i<=c}(i+1) and n_types = c + 2 (the c+1
+    w-types plus "f"; doc 0 is just "w0" so types at c=0 is 1).
+    The reference below replicates the engine's exact pipeline —
+    e7-quantized log2 points, exact int64 sums, one shared-
+    parenthesization double expression — so beta_e6 and the 10x
+    forecast match bit-exactly."""
+    import math
+
+    from fanstats_producer_spark.operators.llm_data import (
+        x112_vocab_growth,
+    )
+
+    texts = {}
+    for i in range(10):
+        toks = [f"w{i}"] + ["f"] * i
+        texts[i] = " ".join(toks)
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, "en", "web", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    cutoffs = {i: (9 * i) // 10 for i in range(1, 11)}
+    pts = {}
+    for i, c in cutoffs.items():
+        n_tokens = sum(j + 1 for j in range(c + 1))
+        n_types = (c + 1) + (1 if c >= 1 else 0)
+        pts[i] = (c, n_tokens, n_types)
+    xs = {
+        i: math.floor(math.log2(float(t)) * 1e7 + 0.5)
+        for i, (_, t, _v) in pts.items()
+    }
+    ys = {
+        i: math.floor(math.log2(float(v)) * 1e7 + 0.5)
+        for i, (_, _t, v) in pts.items()
+    }
+    n = 10
+    sx, sy = sum(xs.values()), sum(ys.values())
+    sxy = sum(xs[i] * ys[i] for i in pts)
+    sxx = sum(xs[i] * xs[i] for i in pts)
+    beta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    beta_e6 = math.floor(beta * 1e6 + 0.5)
+    t_full = pts[10][1]
+    x10 = math.floor(math.log2(10.0 * t_full) * 1e7 + 0.5)
+    fc_e6 = math.floor(
+        ((float(sy) - beta * float(sx)) / n + beta * x10) / 1e7 * 1e6
+        + 0.5
+    )
+    # sub-linear growth: one new type per doc against quadratic tokens
+    assert 0 < beta_e6 < 1_000_000
+
+    got = {r.ckpt: r for r in x112_vocab_growth(spark, d).collect()}
+    assert set(got) == set(range(1, 11))
+    for i, (c, t, v) in pts.items():
+        r = got[i]
+        assert (r.cutoff, r.n_tokens, r.n_types) == (c, t, v), i
+        assert r.beta_e6 == beta_e6
+        assert r.log2_types_at_10x_e6 == fc_e6

@@ -695,9 +695,7 @@ def auc_matrix_from_counts(cnts: DataFrame) -> DataFrame:
 # cross-engine float sum order anywhere); chi² total and the
 # (R−1)(C−1) dof ride every row as window totals over the
 # cell-count-sized frame.
-@query(
-    "x109_chi2_independence",
-    oracle="""
+X109_ORACLE = """
     WITH obs AS (
       SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
     rows_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
@@ -720,17 +718,31 @@ def auc_matrix_from_counts(cnts: DataFrame) -> DataFrame:
       FROM cells)
     SELECT lang, source, CAST(o AS BIGINT) AS o, contrib_e6, chi2_e6, dof
     FROM tot
-    """,
-)
+    """
+
+
+@query("x109_chi2_independence", oracle=X109_ORACLE)
 def x109_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """x109: per-cell chi-square contributions + the window-total
     statistic and dof for the lang × source contingency table (see
-    block comment for the parity argument)."""
+    block comment for the parity argument).  Shares
+    :func:`chi2_from_counts` with the s35 online monitor (the
+    x105/s33 and x107/s34 pattern)."""
     obs = (
         load(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count("*").alias("o"))
     )
+    return chi2_from_counts(obs)
+
+
+def chi2_from_counts(obs: DataFrame) -> DataFrame:
+    """The chi-square independence report from a (lang, source, o)
+    contingency-count table — shared by batch x109 and the s35 online
+    monitor (whose persisted state IS this table).  Counts in, the
+    identical deterministic per-cell expression out (see x109's block
+    comment), so the monitor is bit-identical to the batch key on any
+    input."""
     rows_ = obs.groupBy("lang").agg(F.sum("o").alias("r"))
     cols_ = obs.groupBy("source").agg(F.sum("o").alias("c"))
     n = obs.agg(F.sum("o").alias("n"))

@@ -2046,3 +2046,48 @@ def s34_stream_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query("s35_stream_chi2_monitor", oracle=quality_checks.X109_ORACLE)
+def s35_stream_chi2_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s35: ONLINE chi-square independence audit — x109's lang × source
+    contingency report maintained over the document stream, the
+    categorical member closing the online battery (numeric: s23 PSI,
+    s31 quantile, s33 KS, s34 AUC; categorical: s35).  State is the
+    (lang, source) count table — bounded by the category domain
+    forever (jobs.streaming_contingency_monitor, the s33/s34 staged
+    SUM-merge protocol); the report rebuilds from state via the shared
+    quality_checks.chi2_from_counts, bit-identical to batch x109 (the
+    per-cell expression reads only the counts).  Counts are sums, so
+    the monitor is batch-slicing-invariant by commutativity and the
+    oracle is x109's VERBATIM with no drain precondition."""
+    import atexit
+    import os
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="s35_work_")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    # the shared _doc_landing JSON staging drops the source column, so
+    # stage the parquet directly (the s26b pattern: hard-link, zero
+    # data movement; schema from a static read — never inferred)
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    landing = tempfile.mkdtemp(prefix="s35_landing_")
+    atexit.register(shutil.rmtree, landing, ignore_errors=True)
+    dst = os.path.join(landing, "documents-000.parquet")
+    try:
+        os.link(path, dst)
+    except OSError:
+        shutil.copy(path, dst)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_contingency_monitor(stream, state_dir, ckpt)
+            _drain(q)
+        out = quality_checks.chi2_from_counts(
+            spark.read.parquet(state_dir)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

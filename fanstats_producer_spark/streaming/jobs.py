@@ -1460,3 +1460,50 @@ def streaming_ks_monitor(
     return streaming_value_counts_monitor(
         events, state_dir, checkpoint_dir, job_name="streaming_ks_monitor"
     )
+
+
+def streaming_contingency_monitor(
+    docs: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """s35: the categorical twin of the value-counts state engine —
+    the cumulative (lang, source) contingency-count table maintained
+    over a document stream, bounded by |langs|·|sources| forever.
+    Same SUM-merge staged-state protocol as s33/s34 (non-idempotent,
+    _BATCH marker; replay skips, stale state raises).  Readers rebuild
+    the full chi-square independence report from state at any time via
+    quality_checks.chi2_from_counts — x109's exact per-cell expression
+    over counts, so the online report is bit-identical to the batch
+    key at every point in the stream."""
+    st = _StagedState(state_dir, with_marker=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st.recover()
+        if st.check_batch(batch_id, "streaming_contingency_monitor"):
+            return  # crash-window replay: this batch already merged
+        batch_cnt = (
+            batch_df.groupBy("lang", "source")
+            .agg(F.count("*").alias("o"))
+        ).localCheckpoint(eager=True)
+        if st.exists():
+            current = spark.read.parquet(state_dir)
+            combined = (
+                current.unionByName(batch_cnt)
+                .groupBy("lang", "source")
+                .agg(F.sum("o").alias("o"))
+            )
+        else:
+            combined = batch_cnt
+        combined = combined.localCheckpoint(eager=True)
+        combined.write.mode("overwrite").parquet(st.staged)
+        st.promote(batch_id)
+
+    return (
+        docs.select("lang", "source")
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -2372,3 +2372,64 @@ def test_auc_from_counts_algebra_and_s34_slicing(spark, landing, tmp_path):
         tuple(r) for r in auc_matrix_from_counts(all_cnt).collect()
     )
     assert got == want and len(want) == 3  # A-B, A-C, B-C
+
+
+def test_s35_contingency_monitor_slicing_invariant(spark, tmp_path):
+    """s35: a 2-batch drain of the contingency monitor rebuilds exactly
+    the batch chi-square report over the union (sum-merge
+    commutativity), through the SAME chi2_from_counts downstream batch
+    x109 uses.  The staged-state replay protocol is the shared core
+    s33 already pins."""
+    import json as _json
+    import os as _os
+
+    from fanstats_producer_spark.operators.quality_checks import (
+        chi2_from_counts,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [
+        [("en", "web"), ("en", "web"), ("fr", "book")],
+        [("en", "book"), ("fr", "web"), ("fr", "web"), ("en", "web")],
+    ]
+    did = 0
+    for bi, docs in enumerate(batches):
+        with open(landing / f"b{bi}.json", "w") as f:
+            for lang, src in docs:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": did, "text": f"doc {did}",
+                         "lang": lang, "source": src, "n_chars": 6}
+                    ) + "\n"
+                )
+                did += 1
+        _os.utime(landing / f"b{bi}.json", (1000000000 + bi * 100,) * 2)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .json(str(landing))
+    )
+    state = str(tmp_path / "state")
+    q = jobs.streaming_contingency_monitor(
+        stream, state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in chi2_from_counts(spark.read.parquet(state)).collect()
+    )
+    all_cnt = (
+        spark.createDataFrame(
+            [(l, s) for b in batches for l, s in b],
+            "lang string, source string",
+        )
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("o"))
+    )
+    want = sorted(tuple(r) for r in chi2_from_counts(all_cnt).collect())
+    assert got == want and len(want) == 4
+    # dof for the 2x2 union table
+    assert all(r[5] == 1 for r in got)

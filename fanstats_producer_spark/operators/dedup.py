@@ -1423,12 +1423,18 @@ def _semdedup_blas_pairs(side: DataFrame, threshold: float) -> DataFrame:
     84.3 s fold → 12.0 s BLAS = 7.0× — BASELINE.md).  The matmul runs in row blocks of
     1024 so peak memory is B×|cluster| floats, not |cluster|², keeping
     a hot cluster from blowing an executor even if k∝N sizing slips.
-    Trade vs the fold-exact default: BLAS reassociates the float sums,
-    so a pair sitting within ~1e-13 of the threshold could flip — the
-    forced-path test (tests/test_xlayer.py) proves the keep decisions
-    are identical on the fixture, and the registered x61 key stays on
-    the fold-exact scorer for oracle bit-parity."""
+    FOLD-EXACT BY CONSTRUCTION (round 11, the s26b rescue pattern):
+    BLAS reassociates the float sums, so any pair whose fast cosine
+    lands within 1e-10 of the threshold is re-decided with
+    similarity._fold_cosine — the fold arm's exact scalar sequence
+    over the raw components; outside the band the fast value's
+    <1e-13 deviation cannot cross the threshold, so the emitted pair
+    set is bit-identical to the fold scorer on every input (the
+    forced-path test pins fixture equality; the band argument is in
+    similarity._BLAS_RESCUE_BAND_E6's comment)."""
     import numpy as np
+
+    from fanstats_producer_spark.operators.similarity import _fold_cosine
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -1441,7 +1447,14 @@ def _semdedup_blas_pairs(side: DataFrame, threshold: float) -> DataFrame:
         B = 1024
         for s in range(0, n, B):
             S = Xh[s : s + B] @ Xh.T  # (B, n) similarity block
-            bi, bj = np.nonzero(S >= threshold)
+            mask = S >= threshold
+            near = np.abs(S - threshold) < 1e-10
+            if near.any():
+                for r, c in zip(*np.nonzero(near)):
+                    mask[r, c] = (
+                        _fold_cosine(X[s + r], X[c]) >= threshold
+                    )
+            bi, bj = np.nonzero(mask)
             bi = bi + s
             m = bi < bj  # upper triangle only ⇒ id pairs once
             blocks_a.append(ids[bi[m]])

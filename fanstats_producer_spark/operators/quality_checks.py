@@ -774,3 +774,131 @@ def chi2_from_counts(obs: DataFrame) -> DataFrame:
         ).cast("long").alias("dof"),
     )
     return tot
+
+
+# --- x113: mutual information + Cramér's V (lang × source) -----------------------
+# The information-theoretic companions to x109's chi², finishing the
+# categorical audit: MI(L;S) = Σ (o/N)·log2(o·N/(r·c)) answers "how
+# many bits does knowing the source tell you about the language"
+# (Cover & Thomas, public), and Cramér's V = sqrt(χ²/(N·min(R−1,C−1)))
+# is the [0,1]-normalized effect size that makes association
+# comparable across corpora of different size — the pair a curation
+# dashboard actually plots (chi² alone grows with N; V and MI do not).
+# Exactness: each MI cell contribution is ONE deterministic double
+# expression — two exact-int64 divisions (o·N ≤ 2.5e9 at sf1, r·c
+# likewise) around the single libm log2 — e9-quantized BEFORE the
+# exact integer window sum; V is derived from the EXACT chi2_e6
+# integer (x109's quantize-then-sum) via division and one sqrt, both
+# correctly-rounded IEEE ops, so no new libm class rides.  V reports
+# 0 on a degenerate 1×C / R×1 table (no association measurable)
+# rather than dividing by zero.
+@query(
+    "x113_mi_cramers_v",
+    oracle="""
+    WITH obs AS (
+      SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+    rows_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM obs GROUP BY 1),
+    cols_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM obs GROUP BY 1),
+    n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs),
+    cells AS (
+      SELECT obs.lang, obs.source, obs.o, n.n,
+             CAST(floor(
+               (obs.o - CAST(rows_.r * cols_.c AS DOUBLE) / n.n)
+               * (obs.o - CAST(rows_.r * cols_.c AS DOUBLE) / n.n)
+               / (CAST(rows_.r * cols_.c AS DOUBLE) / n.n)
+               * 1e6 + 0.5) AS BIGINT) AS chi2c_e6,
+             CAST(floor(
+               CAST(obs.o AS DOUBLE) / n.n
+               * log2(CAST(obs.o * n.n AS DOUBLE)
+                      / CAST(rows_.r * cols_.c AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT) AS mi_contrib_e9
+      FROM obs JOIN rows_ USING (lang) JOIN cols_ USING (source)
+      CROSS JOIN n),
+    tot AS (
+      SELECT lang, source, o, n, mi_contrib_e9,
+             CAST(SUM(mi_contrib_e9) OVER () AS BIGINT) AS mi_e9,
+             CAST(SUM(chi2c_e6) OVER () AS BIGINT) AS chi2_e6,
+             CAST(least(COUNT(DISTINCT lang) OVER () - 1,
+                        COUNT(DISTINCT source) OVER () - 1)
+                  AS BIGINT) AS mink
+      FROM cells)
+    SELECT lang, source, CAST(o AS BIGINT) AS o, mi_contrib_e9, mi_e9,
+           CASE WHEN mink = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(floor(sqrt(
+                       CAST(chi2_e6 AS DOUBLE) / 1e6
+                       / (CAST(n AS DOUBLE) * mink))
+                     * 1e6 + 0.5) AS BIGINT)
+           END AS cramers_v_e6
+    FROM tot
+    """,
+)
+def x113_mi_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x113: per-cell mutual-information contributions with the MI
+    total and Cramér's V as window totals over the lang × source
+    contingency table (see block comment for the parity argument)."""
+    obs = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("o"))
+    )
+    rows_ = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    cols_ = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    e = (F.col("r") * F.col("c")).cast("double") / F.col("n")
+    cells = (
+        obs.join(F.broadcast(rows_), "lang")
+        .join(F.broadcast(cols_), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "o",
+            "n",
+            F.floor(
+                (F.col("o") - e) * (F.col("o") - e) / e * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long").alias("chi2c_e6"),
+            F.floor(
+                F.col("o").cast("double") / F.col("n")
+                * F.log2(
+                    (F.col("o") * F.col("n")).cast("double")
+                    / (F.col("r") * F.col("c")).cast("double")
+                )
+                * F.lit(1e9)
+                + F.lit(0.5)
+            ).cast("long").alias("mi_contrib_e9"),
+        )
+    )
+    w = Window.partitionBy()
+    tot = cells.select(
+        "lang",
+        "source",
+        F.col("o").cast("long").alias("o"),
+        "n",
+        "mi_contrib_e9",
+        F.sum("mi_contrib_e9").over(w).cast("long").alias("mi_e9"),
+        F.sum("chi2c_e6").over(w).cast("long").alias("chi2_e6"),
+        F.least(
+            F.size(F.collect_set("lang").over(w)) - 1,
+            F.size(F.collect_set("source").over(w)) - 1,
+        ).cast("long").alias("mink"),
+    )
+    return tot.select(
+        "lang",
+        "source",
+        "o",
+        "mi_contrib_e9",
+        "mi_e9",
+        F.when(F.col("mink") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor(
+                F.sqrt(
+                    F.col("chi2_e6").cast("double") / F.lit(1e6)
+                    / (F.col("n").cast("double") * F.col("mink"))
+                )
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        )
+        .alias("cramers_v_e6"),
+    )

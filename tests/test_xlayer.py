@@ -2487,3 +2487,82 @@ def test_x110_kn5_hand_case(spark, tmp_path):
     for i, (n5, bits) in expect.items():
         assert got[i].n_5grams == n5
         assert got[i].kn5_bits_per_token_e4 == bits
+
+
+def test_x113_mi_cramers_hand_case(spark, tmp_path):
+    """MI + Cramér's V recomputed in plain Python on the x109 hand
+    table: counts (en,web)=2 (en,book)=1 (fr,web)=1 (fr,book)=1, N=5,
+    margins r_en=3 r_fr=2 c_web=3 c_book=2.  Contributions replicate
+    the engine expression (two exact-int divisions around log2,
+    e9-quantized); V derives from the exact chi2_e6 sum via the same
+    sqrt expression.  A perfectly-independent 2x2 table (all cells
+    equal) must report MI contributions of 0 and V = 0 exactly —
+    log2(1.0) and sqrt(0.0) are exact in IEEE."""
+    import math
+
+    from fanstats_producer_spark.operators.quality_checks import (
+        x113_mi_cramers_v,
+    )
+
+    counts = {
+        ("en", "web"): 2,
+        ("en", "book"): 1,
+        ("fr", "web"): 1,
+        ("fr", "book"): 1,
+    }
+    n = 5
+    marg_r = {"en": 3, "fr": 2}
+    marg_c = {"web": 3, "book": 2}
+    rows = []
+    i = 0
+    for (lang, src), c in counts.items():
+        for _ in range(c):
+            rows.append((i, f"doc {i}", lang, src, 5))
+            i += 1
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+
+    mi_c, chi_c = {}, {}
+    for (lang, src), o in counts.items():
+        r, c = marg_r[lang], marg_c[src]
+        e = float(r * c) / n
+        chi_c[(lang, src)] = math.floor((o - e) * (o - e) / e * 1e6 + 0.5)
+        mi_c[(lang, src)] = math.floor(
+            float(o) / n * math.log2(float(o * n) / float(r * c)) * 1e9
+            + 0.5
+        )
+    mi = sum(mi_c.values())
+    chi2_e6 = sum(chi_c.values())
+    v = math.floor(
+        math.sqrt(chi2_e6 / 1e6 / (float(n) * 1)) * 1e6 + 0.5
+    )
+    got = {(r.lang, r.source): r for r in x113_mi_cramers_v(spark, d).collect()}
+    assert set(got) == set(counts)
+    for cell, r in got.items():
+        assert r.o == counts[cell]
+        assert r.mi_contrib_e9 == mi_c[cell]
+        assert r.mi_e9 == mi
+        assert r.cramers_v_e6 == v
+    # MI must be positive on this dependent table
+    assert mi > 0
+
+    # independence: 1 doc per cell -> every contribution 0, V = 0
+    d2 = str(tmp_path / "indep")
+    spark.createDataFrame(
+        [(i, f"d{i}", l, s, 2)
+         for i, (l, s) in enumerate(
+             [(l, s) for l in ("en", "fr") for s in ("web", "book")]
+         )],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(f"{d2}/documents.parquet")
+    got2 = x113_mi_cramers_v(spark, d2).collect()
+    assert len(got2) == 4
+    for r in got2:
+        assert r.mi_contrib_e9 == 0
+        assert r.mi_e9 == 0
+        assert r.cramers_v_e6 == 0

@@ -189,6 +189,66 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # ... and the two remaining first-use streaming paths (VERDICT r11
+    # item 5): the r11 driver artifact showed s07/s08 absorbing 3-6 s of
+    # engine spin-up that the RocksDB/TWS warmups above don't touch —
+    # StreamingSymmetricHashJoinExec (stream-stream join state, s08/s17)
+    # and FlatMapGroupsWithStateInPandas (applyInPandasWithState worker
+    # spin-up, s07/s09/s18).  Drain one 100-row throwaway of each so the
+    # first timed streaming key measures steady state.
+    try:
+        from pyspark.sql.streaming.state import GroupStateTimeout as _GST
+
+        _jdir = _tf.mkdtemp(prefix="bench_stream_warm_")
+        spark.range(100).selectExpr(
+            "id % 8 AS k",
+            "timestamp_micros(1700000000000000 + id * 1000000) AS ts",
+            "id AS v",
+        ).write.mode("overwrite").parquet(f"{_jdir}/in")
+        _src = spark.readStream.schema(
+            "k long, ts timestamp, v long"
+        ).parquet(f"{_jdir}/in")
+        _l = _src.withWatermark("ts", "1 minute").alias("l")
+        _r = _src.withWatermark("ts", "1 minute").alias("r")
+        _jn = _l.join(
+            _r,
+            (_F.col("l.k") == _F.col("r.k"))
+            & (_F.col("r.ts") <= _F.col("l.ts"))
+            & (_F.col("r.ts") >= _F.col("l.ts") - _F.expr("INTERVAL 1 MINUTE")),
+        ).select(_F.col("l.k").alias("k"), _F.col("l.ts").alias("ts"))
+
+        import pandas as _pd2
+
+        def _warm_state(key, pdfs, state):
+            n = sum(len(p) for p in pdfs)
+            cur = state.get if state.exists else (0,)
+            state.update((cur[0] + n,))
+            yield _pd2.DataFrame({"k": [key[0]], "n": [cur[0] + n]})
+
+        _st = _src.groupBy("k").applyInPandasWithState(
+            _warm_state,
+            outputStructType="k long, n long",
+            stateStructType="n long",
+            outputMode="update",
+            timeoutConf=_GST.NoTimeout,
+        )
+        with _few_partitions(spark, 2), _skip_nodata_batch(spark):
+            for i, _wdf in enumerate((_jn, _st)):
+                _wq = (
+                    _wdf.writeStream.format("noop")
+                    .option("checkpointLocation", f"{_jdir}/ck{i}")
+                    .outputMode("append" if i == 0 else "update")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                _wq.awaitTermination()
+    except Exception as e:
+        print(
+            f"WARN bench: stream-join/state warmup skipped"
+            f" ({type(e).__name__}: {e})",
+            file=sys.stderr,
+        )
+
     # --- fixed-cost drift sentinel (VERDICT r8 item 7) -------------------
     # Two rounds in a row the BENCH records needed a "host drift" caveat
     # (r7 +2%, r8 +13% on untouched keys).  Time three CONSTANT-INPUT,
@@ -332,11 +392,21 @@ def main() -> None:
     _B36 = "0123456789abcdefghijklmnopqrstuvwxyz"
 
     def _b36w3(cs: int) -> str:
-        cs = max(0, min(cs, 36**3 - 1))
+        # 'zzz' (36^3-1) is RESERVED as the overflow sentinel: any key at
+        # or past the clamp encodes as 'zzz', which bench_compare decodes
+        # to +inf — so a runaway key is flagged loudly instead of reading
+        # as exactly 466.55 s (ADVICE r11).  Clamped keys are also listed
+        # in BENCH_FULL_LATEST.json as "qz_clamped".
+        if cs >= 36**3 - 1:
+            return "zzz"
+        cs = max(0, cs)
         return _B36[cs // 1296] + _B36[(cs // 36) % 36] + _B36[cs % 36]
 
     qz_keys = sorted(timings)
     qz = "".join(_b36w3(int(round(timings[k] * 100))) for k in qz_keys)
+    qz_clamped = sorted(
+        k for k in qz_keys if int(round(timings[k] * 100)) >= 36**3 - 1
+    )
     qzk = hashlib.sha256("\n".join(qz_keys).encode()).hexdigest()[:8]
 
     payload = {
@@ -362,6 +432,9 @@ def main() -> None:
         "qzu": "centisec_b36w3",
         "qzk": qzk,
         "qz_keys": qz_keys,
+        # keys whose qz code hit the 'zzz' overflow sentinel (>=466.54 s);
+        # their true float values are in "queries" above
+        "qz_clamped": qz_clamped,
     }
     # Full-fidelity record for humans / the judge (full query keys).
     try:

@@ -1434,7 +1434,16 @@ def _semdedup_blas_pairs(side: DataFrame, threshold: float) -> DataFrame:
     similarity._BLAS_RESCUE_BAND_E6's comment)."""
     import numpy as np
 
-    from fanstats_producer_spark.operators.similarity import _fold_cosine
+    from fanstats_producer_spark.operators.similarity import (
+        _BLAS_RESCUE_BAND_E6,
+        _fold_cosine,
+    )
+
+    # the decontam arm's band is stated in e6 floor units; this arm
+    # compares raw cosines, so convert — importing the shared constant
+    # keeps the two rescue paths in lockstep if it is ever retuned
+    # (ADVICE r11)
+    rescue_band = _BLAS_RESCUE_BAND_E6 / 1e6
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -1448,7 +1457,7 @@ def _semdedup_blas_pairs(side: DataFrame, threshold: float) -> DataFrame:
         for s in range(0, n, B):
             S = Xh[s : s + B] @ Xh.T  # (B, n) similarity block
             mask = S >= threshold
-            near = np.abs(S - threshold) < 1e-10
+            near = np.abs(S - threshold) < rescue_band
             if near.any():
                 for r, c in zip(*np.nonzero(near)):
                     mask[r, c] = (

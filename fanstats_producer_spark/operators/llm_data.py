@@ -1639,10 +1639,10 @@ def x89_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d JOIN enc USING (doc_id)
       GROUP BY 1, 2)
     SELECT lang, source, n_docs, n_words, n_tokens, n_chars,
-           CAST(floor(CAST(n_tokens AS DOUBLE) / n_words * 1e6 + 0.5)
-                AS BIGINT) AS fertility_e6,
-           CAST(floor(CAST(n_chars AS DOUBLE) / n_tokens * 1e6 + 0.5)
-                AS BIGINT) AS chars_per_token_e6
+           CAST(floor(CAST(n_tokens AS DOUBLE) / NULLIF(n_words, 0)
+                * 1e6 + 0.5) AS BIGINT) AS fertility_e6,
+           CAST(floor(CAST(n_chars AS DOUBLE) / NULLIF(n_tokens, 0)
+                * 1e6 + 0.5) AS BIGINT) AS chars_per_token_e6
     FROM g
     """,
 )
@@ -1686,12 +1686,17 @@ def x111_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_words",
         "n_tokens",
         "n_chars",
+        # NULL (not Infinity) on an all-empty-text group: Spark's 0/0
+        # yields Inf whose BIGINT cast diverges from DuckDB's erroring
+        # floor(inf) cast — guard BOTH engines identically (ADVICE r11)
         F.floor(
-            F.col("n_tokens").cast("double") / F.col("n_words")
+            F.col("n_tokens").cast("double")
+            / F.when(F.col("n_words") > 0, F.col("n_words"))
             * F.lit(1e6) + F.lit(0.5)
         ).cast("long").alias("fertility_e6"),
         F.floor(
-            F.col("n_chars").cast("double") / F.col("n_tokens")
+            F.col("n_chars").cast("double")
+            / F.when(F.col("n_tokens") > 0, F.col("n_tokens"))
             * F.lit(1e6) + F.lit(0.5)
         ).cast("long").alias("chars_per_token_e6"),
     )
@@ -2680,9 +2685,15 @@ def x100_kn_trigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "double"
     )
     pcont = F.col("ncont").cast("double") / F.col("T").cast("double")
-    sc = (
-        tgf.join(c3, ["u", "v", "w"])
-        .join(c2, ["u", "v"])
+    # assemble the interpolated probability on the DISTINCT-trigram
+    # frame (c3 ⋈ c2 ⋈ mid ⋈ vlev ⋈ cont — all vocabulary-sized), then
+    # join the corpus-sized occurrence stream ONCE on the trigram key:
+    # the pre-r12 shape joined tgf through all five relations, shuffling
+    # the instance frame once per suffix key-set — 2 extra corpus-wide
+    # shuffles that only show at scale (VERDICT r11 item 3; plan pinned
+    # by test_plans::test_x110_x100_score_join_is_per_distinct_gram)
+    score3 = (
+        c3.join(c2, ["u", "v"])
         .join(mid, ["v", "w"])
         .join(vlev, "v")
         .join(cont, "w")
@@ -2694,7 +2705,9 @@ def x100_kn_trigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.lit(0.5)
             ).cast("long"),
         )
+        .select("u", "v", "w", "lg")
     )
+    sc = tgf.join(score3, ["u", "v", "w"])
     return sc.groupBy("doc_id").agg(
         F.count("*").alias("n_trigrams"),
         qint(
@@ -2899,9 +2912,12 @@ def x110_kn_5gram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (_p("m2", "ctx2") + _lam("n12", "ctx2") * pc)
         )
     )
-    sc = (
-        gf.join(c5, ["a", "b", "c", "d", "e"])
-        .join(m4.select("b", "c", "d", "e", "m4", "ctx4", "n14"), ["b", "c", "d", "e"])
+    # same shape fix as x100 (VERDICT r11 item 3): the probability is a
+    # function of the 5-gram alone, so build it on the distinct-5-gram
+    # frame and join the corpus-sized gf ONCE — the pre-r12 plan
+    # shuffled gf per suffix key-set, 4 extra corpus-wide exchanges
+    score5 = (
+        c5.join(m4.select("b", "c", "d", "e", "m4", "ctx4", "n14"), ["b", "c", "d", "e"])
         .join(m3.select("c", "d", "e", "m3", "ctx3", "n13"), ["c", "d", "e"])
         .join(m2.select("d", "e", "m2", "ctx2", "n12"), ["d", "e"])
         .join(cont, "e")
@@ -2909,7 +2925,9 @@ def x110_kn_5gram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lg",
             F.floor(F.log2(prob) * F.lit(1e7) + F.lit(0.5)).cast("long"),
         )
+        .select("a", "b", "c", "d", "e", "lg")
     )
+    sc = gf.join(score5, ["a", "b", "c", "d", "e"])
     return sc.groupBy("doc_id").agg(
         F.count("*").alias("n_5grams"),
         qint(
@@ -2932,9 +2950,15 @@ def x110_kn_5gram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: bigram extraction is x94's per-row slice+zip_with (no
 # window, no shuffle); marginals are two groupBys of the bigram-count
-# table; N rides the cL aggregate as a window total (NOT a one-row
-# relation — the x100 DuckDB join-order hazard); the final top-{k} is
-# orderBy+limit (TakeOrderedAndProject, never a global sort).
+# table; N is a one-row scalar aggregate BROADCAST onto the scored
+# frame (the x100 `tt` pattern) — a zero-arg window would single-
+# partition the |vocab|-sized cL frame, a real skew point at 1e8+
+# types (VERDICT r11 item 4).  The ORACLE still carries N as
+# SUM(SUM(cvw)) OVER () inside the cl CTE: the one-row-relation form
+# is hazardous only to DuckDB's join-order enumeration (the measured
+# x100 blowup), and parity is value-level, not plan-level.  The final
+# top-{k} is orderBy+limit (TakeOrderedAndProject, never a global
+# sort).
 _X104_MIN_COUNT = 5
 _X104_TOPK = 50
 
@@ -2989,14 +3013,14 @@ def x104_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("b.v", "b.w")
     )
     cvw = bgf.groupBy("v", "w").agg(F.count("*").alias("cvw"))
-    cl = cvw.groupBy("v").agg(F.sum("cvw").alias("cl")).withColumn(
-        "N", F.sum("cl").over(Window.partitionBy())
-    )
+    cl = cvw.groupBy("v").agg(F.sum("cvw").alias("cl"))
     cr = cvw.groupBy("w").agg(F.sum("cvw").alias("cr"))
+    tot = cvw.agg(F.sum("cvw").alias("N"))
     scored = (
         cvw.filter(F.col("cvw") >= _X104_MIN_COUNT)
         .join(cl, "v")
         .join(cr, "w")
+        .crossJoin(F.broadcast(tot))
         .select(
             "v",
             "w",

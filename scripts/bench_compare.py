@@ -85,9 +85,15 @@ def main() -> int:
                 return None
         if keys is None or len(qz) != 3 * len(keys):
             return None
+        def _val(code: str) -> float:
+            cs = int(code, 36)
+            # 'zzz' is the reserved overflow sentinel (bench.py clamps
+            # there): decode to +inf so a key past the clamp is flagged
+            # as a regression instead of silently reading 466.55 s
+            return float("inf") if cs >= 36**3 - 1 else cs / 100.0
+
         return {
-            k: int(qz[3 * i : 3 * i + 3], 36) / 100.0
-            for i, k in enumerate(keys)
+            k: _val(qz[3 * i : 3 * i + 3]) for i, k in enumerate(keys)
         }
 
     def _in_seconds(rec: dict) -> dict:
@@ -99,8 +105,13 @@ def main() -> int:
                 f" to _SCALE (known: {sorted(k for k in _SCALE if k)})"
             )
         q = {k: v / scale for k, v in rec.get("queries", {}).items()}
-        if rec.get("queries_truncated_to"):
-            # the readable map is top-N only — prefer the full qz form
+        if "qz" in rec:
+            # a qz block always carries FULL per-key fidelity — prefer a
+            # successful decode whenever one is present.  Gating this on
+            # queries_truncated_to being truthy (pre-r12) skipped the
+            # decode exactly in bench.py's final overflow fallback, which
+            # emits queries_truncated_to: 0 with an empty queries map
+            # (ADVICE r11).
             full = _qz_decode(rec)
             if full:
                 return full

@@ -14,7 +14,19 @@ python scripts/check_oracle.py --types
 # file is the per-key record; un-gitignored in r10 so the round's final
 # state IS committed; VERDICT r9 item 7).  Fail the gate if that
 # contract ever breaks.
+# Stash the last COMMITTED record first so the fresh run can be diffed
+# against it (bench.py overwrites the working copy).
+PREV_BENCH=$(mktemp /tmp/bench_prev.XXXXXX.json)
+git show HEAD:BENCH_FULL_LATEST.json > "$PREV_BENCH" 2>/dev/null || PREV_BENCH=""
 python bench.py
+# Hard per-key regression gate vs the committed record (VERDICT r11
+# item 6): sentinel-normalized, flags only >30% AND >0.3s slower.
+# Re-probe a flagged key solo before believing it — stream-drain pool
+# cells are interference-prone (round-state memory).
+if [ -n "$PREV_BENCH" ]; then
+  python scripts/bench_compare.py "$PREV_BENCH" BENCH_FULL_LATEST.json --pct 30 --abs 0.3
+  rm -f "$PREV_BENCH"
+fi
 python - <<'PY'
 import json, os, sys, time
 p = "BENCH_FULL_LATEST.json"

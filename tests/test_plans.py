@@ -338,3 +338,49 @@ def test_x106_consumers_read_checkpoints_not_corpus(spark):
     df = registry.QUERIES["x106_rouge2_pairs"](spark, SF_DIR)
     plan = checks.explain_str(df, "simple")
     assert plan.count("documents.parquet") == 0
+
+
+def test_x110_x100_score_join_is_per_distinct_gram(spark):
+    """x110/x100 (VERDICT r11 item 3): the interpolated KN probability
+    is a function of the n-gram alone, so it is assembled on the
+    DISTINCT-n-gram frame and the corpus-sized occurrence stream (the
+    only frame carrying doc_id) is shuffled on gram keys AT MOST ONCE —
+    the single score join — never once per suffix key-set (the pre-r12
+    shape paid 4 extra corpus-wide exchanges at x110).  Auto-broadcast
+    is disabled so the shape is pinned even at SFs where the score
+    frame is small enough to broadcast."""
+    import re
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for key in ("x110_kn_5gram_bits", "x100_kn_trigram_bits"):
+            df = registry.QUERIES[key](spark, SF_DIR)
+            plan = checks.explain_str(df, "formatted")
+            details = re.findall(
+                r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]"
+                r"\nArguments: hashpartitioning\(([^)]*)\)",
+                plan,
+            )
+            instance_shuffles = [
+                keys
+                for inp, keys in details
+                if "doc_id" in inp and "doc_id" not in keys
+            ]
+            assert len(instance_shuffles) == 1, (key, instance_shuffles)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_x104_total_is_broadcast_scalar_not_global_window(spark):
+    """x104 (VERDICT r11 item 4): the bigram total N must ride a
+    broadcast one-row aggregate, never a zero-arg window — a global
+    window single-partitions the |vocab|-sized left-marginal frame,
+    a real skew point at web-corpus vocabulary sizes.  The plan must
+    contain NO Window node; the only SinglePartition exchange is the
+    scalar aggregate's final step (32 partial-sum rows)."""
+    df = registry.QUERIES["x104_pmi_collocations"](spark, SF_DIR)
+    plan = checks.explain_str(df, "simple")
+    assert plan.count("Window") == 0
+    assert checks.has_broadcast_join(df)
+    assert "TakeOrderedAndProject" in plan

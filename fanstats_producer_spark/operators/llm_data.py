@@ -2735,9 +2735,13 @@ def x100_kn_trigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Join-order hazard (the x100 lesson, memory-documented): ctx totals
 # and N1 context-type counts ride each count table as WINDOW columns
 # partitioned by the context keys — never separate one-row or
-# per-context relations — keeping the score join at 6 relations on
-# both engines.  The bottom T total is a window over the |vocab|-sized
-# cont frame (domain-bounded, ~1e3 rows at every SF).
+# per-context relations — keeping the ORACLE's score join at 6
+# relations.  The bottom T total is a window over the |vocab|-sized
+# cont frame (domain-bounded, ~1e3 rows at every SF).  The Spark side
+# goes further (r12): the probability is assembled on the
+# distinct-5-gram frame and the corpus-sized instance stream joins
+# ONCE on the full 5-gram key — parity is value-level, so the two
+# plans may differ.
 #
 # Fixture-sparsity measurement (recorded in BASELINE): at sf0.1 the
 # repeated-mass fractions are 2-gram 1.00 / 3-gram 0.999 / 4-gram

@@ -902,3 +902,148 @@ def x113_mi_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("cramers_v_e6"),
     )
+
+
+# --- x114: embedding-centroid drift (label x vec_id-parity halves) ---------------
+# The vector member of the drift battery (VERDICT r11 item 2): the
+# pipeline's own ANN/semdedup arms consume embeddings.embedding, which
+# the numeric (x63/x105/x107) and categorical (x109/x113) audits never
+# see.  The standard first-moment monitor for an embedding column is
+# the per-slice CENTROID SHIFT between a reference and a live cohort
+# (the mean-embedding drift check every vector-store rollout runs):
+# here reference = even vec_id, live = odd vec_id, sliced per label —
+# the same halves convention as x63's PSI.
+#
+# Exactness: each float32 component is e6-quantized per row
+# (q = floor(x*1e6 + 0.5) — float->double cast, one multiply, floor:
+# all exact/correctly-rounded, so both engines produce the same int),
+# then everything up to the report is EXACT integer state: per
+# (label, half, component) the sum of q and the row count.  The
+# per-component mean difference is carried as the cross-multiplied
+# integer d = s_ref*n_live - s_live*n_ref (never a float division),
+# its square accumulates in DECIMAL(38,0) (exact on both engines),
+# and the report's centroid_shift_e6 = floor(sqrt(shift2)/(n_ref*
+# n_live) + 0.5) uses only IEEE-correctly-rounded ops (decimal->double
+# cast, sqrt, divide) — bit-identical across engines with NO libm
+# quantize convention needed (sqrt is correctly rounded by IEEE-754).
+#
+# int64/decimal envelope: |q| <= 1e6 (unit vectors), so |d| <=
+# 2e6*n_ref*n_live and d^2 <= 4e12*(n_ref*n_live)^2 — exact to
+# ~2e6 rows PER (label, half) slice (sf10 holds 1e4); past that the
+# deployment re-scales the quantization or moves d to DECIMAL (the
+# x112 envelope convention).  State is |labels| x 2 x dim cells —
+# bounded forever, which is what makes the s36 online twin's staged
+# SUM-merge state O(1) in stream length.
+X114_ORACLE = """
+    WITH ex AS (
+      SELECT label, vec_id % 2 AS half, u['k'] AS k, u['q'] AS q
+      FROM (SELECT label, vec_id,
+                   unnest(list_transform(range(1, len(embedding) + 1),
+                          i -> {'k': i - 1,
+                                'q': CAST(floor(CAST(embedding[i] AS DOUBLE)
+                                          * 1e6 + 0.5) AS BIGINT)})) AS u
+            FROM embeddings)),
+    sums AS (
+      SELECT label, half, k, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
+      FROM ex GROUP BY 1, 2, 3),
+    d AS (
+      SELECT r.label, r.s * l.n - l.s * r.n AS d_num,
+             r.n AS n_ref, l.n AS n_live
+      FROM sums r JOIN sums l ON r.label = l.label AND r.k = l.k
+      WHERE r.half = 0 AND l.half = 1),
+    agg AS (
+      SELECT label,
+             SUM(CAST(d_num AS DECIMAL(19,0))
+                 * CAST(d_num AS DECIMAL(19,0))) AS shift2,
+             MIN(n_ref) AS n_ref, MIN(n_live) AS n_live
+      FROM d GROUP BY 1)
+    SELECT label,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_live AS BIGINT) AS n_live,
+           CAST(floor(sqrt(CAST(shift2 AS DOUBLE))
+                      / (CAST(n_ref AS DOUBLE) * CAST(n_live AS DOUBLE))
+                      + 0.5) AS BIGINT) AS centroid_shift_e6
+    FROM agg
+    """
+
+
+@query("x114_embedding_drift", oracle=X114_ORACLE)
+def x114_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x114: per-label centroid shift between the even- and odd-vec_id
+    halves of the embeddings table — the vector-column member of the
+    drift battery (see block comment for the exact-integer-state
+    parity argument).  Shares :func:`embedding_drift_from_sums` with
+    the s36 online monitor (the x105/s33, x107/s34, x109/s35
+    pattern)."""
+    sums = embedding_component_sums(load(spark, sf_dir, "embeddings"))
+    return embedding_drift_from_sums(sums)
+
+
+def embedding_component_sums(emb: DataFrame) -> DataFrame:
+    """(label, half, k) -> exact int64 sum of the e6-quantized k-th
+    components + row count, from an embeddings frame.  This IS the
+    s36 monitor's per-batch increment AND its persisted state shape —
+    integer sums merge by SUM, so any batch slicing of the stream
+    reaches the identical state the batch key computes in one pass."""
+    ex = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("k", "x"),
+    ).select(
+        "label",
+        "half",
+        "k",
+        F.floor(F.col("x").cast("double") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    return ex.groupBy("label", "half", "k").agg(
+        F.sum("q").alias("s"), F.count("*").alias("n")
+    )
+
+
+def embedding_drift_from_sums(sums: DataFrame) -> DataFrame:
+    """The centroid-shift report from a (label, half, k, s, n)
+    component-sum table — shared by batch x114 and the s36 online
+    monitor (whose persisted state IS this table).  Only the final
+    row runs float ops, all correctly-rounded IEEE (see x114's block
+    comment), so the monitor is bit-identical to the batch key."""
+    ref = sums.filter(F.col("half") == 0).select(
+        "label",
+        "k",
+        F.col("s").alias("s_ref"),
+        F.col("n").alias("n_ref"),
+    )
+    live = sums.filter(F.col("half") == 1).select(
+        "label",
+        "k",
+        F.col("s").alias("s_live"),
+        F.col("n").alias("n_live"),
+    )
+    d = ref.join(live, ["label", "k"]).select(
+        "label",
+        "n_ref",
+        "n_live",
+        (
+            F.col("s_ref") * F.col("n_live")
+            - F.col("s_live") * F.col("n_ref")
+        ).alias("d_num"),
+    )
+    dd = F.col("d_num").cast("decimal(19,0)")
+    agg = d.groupBy("label").agg(
+        F.sum(dd * dd).alias("shift2"),
+        F.min("n_ref").cast("long").alias("n_ref"),
+        F.min("n_live").cast("long").alias("n_live"),
+    )
+    return agg.select(
+        "label",
+        "n_ref",
+        "n_live",
+        F.floor(
+            F.sqrt(F.col("shift2").cast("double"))
+            / (F.col("n_ref").cast("double") * F.col("n_live").cast("double"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("centroid_shift_e6"),
+    )

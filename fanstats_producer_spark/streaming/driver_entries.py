@@ -2091,3 +2091,47 @@ def s35_stream_chi2_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+@query("s36_stream_embedding_drift", oracle=quality_checks.X114_ORACLE)
+def s36_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s36: ONLINE embedding-centroid drift — x114's per-label
+    centroid-shift report maintained over the embedding stream, the
+    vector member completing the online battery (numeric: s23 PSI,
+    s31 quantile, s33 KS, s34 AUC; categorical: s35; vector: s36).
+    State is the (label, half, k) exact component-sum table — bounded
+    by |labels| x 2 x dim forever
+    (jobs.streaming_embedding_drift_monitor, the s33/s34/s35 staged
+    SUM-merge protocol); the report rebuilds from state via the shared
+    quality_checks.embedding_drift_from_sums, bit-identical to batch
+    x114 (integer sums are batch-slicing-invariant by commutativity),
+    so the oracle is x114's VERBATIM with no drain precondition."""
+    import atexit
+    import os
+    import shutil
+
+    work = tempfile.mkdtemp(prefix="s36_work_")
+    state_dir = os.path.join(work, "state")
+    ckpt = os.path.join(work, "ckpt")
+    # stage the parquet directly (the s35 pattern: hard-link, zero data
+    # movement; schema from a static read — never inferred)
+    path = f"{sf_dir}/embeddings.parquet"
+    schema = spark.read.parquet(path).schema
+    landing = tempfile.mkdtemp(prefix="s36_landing_")
+    atexit.register(shutil.rmtree, landing, ignore_errors=True)
+    dst = os.path.join(landing, "embeddings-000.parquet")
+    try:
+        os.link(path, dst)
+    except OSError:
+        shutil.copy(path, dst)
+    stream = spark.readStream.schema(schema).parquet(landing)
+    try:
+        with _few_partitions(spark), _skip_nodata_batch(spark):
+            q = jobs.streaming_embedding_drift_monitor(stream, state_dir, ckpt)
+            _drain(q)
+        out = quality_checks.embedding_drift_from_sums(
+            spark.read.parquet(state_dir)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

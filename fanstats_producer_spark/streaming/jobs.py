@@ -1507,3 +1507,54 @@ def streaming_contingency_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def streaming_embedding_drift_monitor(
+    emb: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """s36: the VECTOR member of the online drift battery — the
+    cumulative (label, half, k) component-sum table (exact int64 sum
+    of e6-quantized embedding components + row count) maintained over
+    an embedding stream, bounded by |labels| x 2 x dim cells forever.
+    Same SUM-merge staged-state protocol as s33/s34/s35
+    (non-idempotent, _BATCH marker; replay skips, stale state raises).
+    Readers rebuild the centroid-shift report from state at any time
+    via quality_checks.embedding_drift_from_sums — only the final row
+    runs (correctly-rounded) float ops, so the online report is
+    bit-identical to batch x114 at every point in the stream."""
+    from fanstats_producer_spark.operators.quality_checks import (
+        embedding_component_sums,
+    )
+
+    st = _StagedState(state_dir, with_marker=True)
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st.recover()
+        if st.check_batch(batch_id, "streaming_embedding_drift_monitor"):
+            return  # crash-window replay: this batch already merged
+        batch_sums = embedding_component_sums(batch_df).localCheckpoint(
+            eager=True
+        )
+        if st.exists():
+            current = spark.read.parquet(state_dir)
+            combined = (
+                current.unionByName(batch_sums)
+                .groupBy("label", "half", "k")
+                .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+            )
+        else:
+            combined = batch_sums
+        combined = combined.localCheckpoint(eager=True)
+        combined.write.mode("overwrite").parquet(st.staged)
+        st.promote(batch_id)
+
+    return (
+        emb.select("vec_id", "label", "embedding")
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

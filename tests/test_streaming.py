@@ -2433,3 +2433,64 @@ def test_s35_contingency_monitor_slicing_invariant(spark, tmp_path):
     assert got == want and len(want) == 4
     # dof for the 2x2 union table
     assert all(r[5] == 1 for r in got)
+
+
+def test_s36_embedding_drift_monitor_slicing_invariant(spark, tmp_path):
+    """s36: a 2-batch drain of the embedding-drift monitor rebuilds
+    exactly the batch centroid-shift report over the union (integer
+    sum-merge commutativity), through the SAME
+    embedding_drift_from_sums downstream batch x114 uses.  The staged
+    replay protocol is the shared core s33 already pins."""
+    import os as _os
+
+    from fanstats_producer_spark.operators.quality_checks import (
+        embedding_component_sums,
+        embedding_drift_from_sums,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    batches = [
+        [(0, [0.5, 0.0], 0), (1, [0.0, 0.5], 0), (4, [0.125, 0.75], 1)],
+        [(2, [0.25, 0.25], 0), (3, [0.25, -0.25], 0),
+         (5, [0.125, 0.75], 1)],
+    ]
+    schema = "vec_id long, embedding array<float>, label int"
+    for bi, vecs in enumerate(batches):
+        bdir = str(tmp_path / f"stage{bi}")
+        spark.createDataFrame(vecs, schema).coalesce(1).write.parquet(bdir)
+        part = next(
+            f for f in _os.listdir(bdir) if f.endswith(".parquet")
+        )
+        dst = str(landing / f"b{bi}.parquet")
+        _os.rename(_os.path.join(bdir, part), dst)
+        _os.utime(dst, (1000000000 + bi * 100,) * 2)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(landing))
+    )
+    state = str(tmp_path / "state")
+    q = jobs.streaming_embedding_drift_monitor(
+        stream, state, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r)
+        for r in embedding_drift_from_sums(
+            spark.read.parquet(state)
+        ).collect()
+    )
+    union = spark.createDataFrame(
+        [v for b in batches for v in b], schema
+    )
+    want = sorted(
+        tuple(r)
+        for r in embedding_drift_from_sums(
+            embedding_component_sums(union)
+        ).collect()
+    )
+    assert got == want
+    # the hand-pinned values (test_x114_embedding_drift_hand_case):
+    # label 0 shifts 0.25 L2 -> 250000 e6; label 1 identical halves
+    assert got == [(0, 2, 2, 250000), (1, 1, 1, 0)]

@@ -2566,3 +2566,38 @@ def test_x113_mi_cramers_hand_case(spark, tmp_path):
         assert r.mi_contrib_e9 == 0
         assert r.mi_e9 == 0
         assert r.cramers_v_e6 == 0
+
+
+def test_x114_embedding_drift_hand_case(spark, tmp_path):
+    """Hand-recomputed centroid shift on a 2-dim, 2-label corpus.
+
+    label 0: ref half (vec_id 0,2) = [0.5,0.0],[0.25,0.25];
+             live half (vec_id 1,3) = [0.0,0.5],[0.25,-0.25].
+    Means: ref (0.375,0.125), live (0.125,0.125) -> diff (0.25,0),
+    L2 = 0.25 -> 250000 e6.  Engine path: q sums s_ref=(750000,
+    250000), s_live=(250000,250000), n=2 each; d=(1000000,0);
+    shift2=1e12; sqrt/(2*2)=250000 exactly.
+    label 1: identical vectors in both halves -> shift 0 (the
+    no-drift floor).  All components are exactly representable in
+    float32 so the quantization is exact and the pin is bitwise."""
+    from fanstats_producer_spark.operators.quality_checks import (
+        x114_embedding_drift,
+    )
+
+    rows = [
+        (0, [0.5, 0.0], 0),
+        (2, [0.25, 0.25], 0),
+        (1, [0.0, 0.5], 0),
+        (3, [0.25, -0.25], 0),
+        (4, [0.125, 0.75], 1),
+        (5, [0.125, 0.75], 1),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+    got = {
+        r.label: (r.n_ref, r.n_live, r.centroid_shift_e6)
+        for r in x114_embedding_drift(spark, d).collect()
+    }
+    assert got == {0: (2, 2, 250000), 1: (1, 1, 0)}

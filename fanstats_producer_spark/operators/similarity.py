@@ -1213,10 +1213,26 @@ def _decontam_blas(
     fold values provably floor to the same e6 integer (error budget in
     the band comment), so the emitted verdicts are bit-identical to
     the HOF/cross-join arms on EVERY input, not just measured-equal on
-    the fixtures.  Expected rescue count ≈ band·entries ≈ 1 per 1e10
-    — the pass costs one comparison per entry plus a handful of
-    64-term scalar folds."""
+    the fixtures.  Expected rescue count: the band admits ~2·band of
+    the e6 grid per entry (≈2e-4 of entries), each costing one 64-term
+    scalar fold — vectorized-comparison-cheap at any scale.
+
+    PARALLELISM (r12 sf10 finding): a file-source micro-batch often
+    arrives in ONE input split (a ~55 MB parquet file = 1 partition),
+    which serializes the whole matmul on a single Python worker —
+    measured at sf10 (100k vectors × 100k evals) the one-worker score
+    ran >30 min where the per-core work is ~1 min.  The scorer is
+    CPU-bound and row-local (verdicts are partitioning-invariant), so
+    a single-partition batch is repartitioned to the cluster's default
+    parallelism first: an MB-scale shuffle buying a core-count speedup
+    of the TFLOP-scale matmul.  At 100 TB the batch arrives in many
+    splits and the repartition is a no-op branch."""
     import numpy as np
+
+    sc = vectors.sparkSession.sparkContext
+    target = max(int(sc.defaultParallelism), 1)
+    if vectors.rdd.getNumPartitions() < target:
+        vectors = vectors.repartition(target)
 
     b_ids, b_m = prepared or decontam_blas_prepare(
         vectors.sparkSession, evals

@@ -2494,3 +2494,42 @@ def test_s36_embedding_drift_monitor_slicing_invariant(spark, tmp_path):
     # the hand-pinned values (test_x114_embedding_drift_hand_case):
     # label 0 shifts 0.25 L2 -> 250000 e6; label 1 identical halves
     assert got == [(0, 2, 2, 250000), (1, 1, 1, 0)]
+
+
+def test_decontam_blas_repartitions_single_split_batch(spark):
+    """The blas scorer is CPU-bound and row-local; a micro-batch that
+    arrives in ONE input split (the common file-source shape — one
+    parquet file per trigger) must be repartitioned to default
+    parallelism before the matmul, or the whole score serializes on a
+    single Python worker (measured >30 min at sf10 where per-core work
+    is ~1 min).  Verdicts are partitioning-invariant, pinned by the
+    interchangeability test above; this pins the PARALLELISM."""
+    from pyspark.sql import functions as F
+
+    from fanstats_producer_spark.io import load as _load
+    from fanstats_producer_spark.operators.similarity import (
+        _as_double,
+        _decontam_blas,
+    )
+
+    emb = _load(spark, "/root/testdata/sf0.001", "embeddings")
+    evals = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        _as_double(F.col("embedding")).alias("ev"),
+    )
+    corpus = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+        .coalesce(1)  # the one-split batch shape
+    )
+    out = _decontam_blas(corpus, evals)
+    target = spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() >= min(target, 8)
+    # and an already-wide batch is left alone (no extra shuffle)
+    wide = (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "embedding")
+        .repartition(target)
+    )
+    out2 = _decontam_blas(wide, evals)
+    assert out2.rdd.getNumPartitions() == target

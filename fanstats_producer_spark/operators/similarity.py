@@ -1177,6 +1177,10 @@ def decontam_blas_prepare(spark, evals: DataFrame) -> tuple:
 #: floors to the same e6 integer as the fold; entries inside it are
 #: recomputed with the fold's exact scalar sequence.
 _BLAS_RESCUE_BAND_E6 = 1e-4
+# per-block score-matrix area for the blas arms (rows x n_eval cells):
+# bounds every worker's live numpy temporaries (~5 arrays x 8 B x cells
+# = ~300 MB) independent of eval-suite size — see _decontam_blas
+_BLAS_BLOCK_CELLS = 8_000_000
 
 
 def _fold_cosine(a, b) -> float:
@@ -1244,12 +1248,21 @@ def _decontam_blas(
         m_raw, eids = b_m.value, b_ids.value
         mt = (m_raw / np.linalg.norm(m_raw, axis=1, keepdims=True)).T
         mt = np.ascontiguousarray(mt)  # (dim, n_eval)
+        # AREA-capped block (r12 sf10 finding): the block's row count
+        # must shrink as the eval suite grows, or the per-worker
+        # temporaries (sim/x/q/comp, each rows x n_eval x 8 B) scale
+        # with |evals| — at 100k evals the old fixed 1024 rows meant
+        # ~3 GB per worker, which x32 parallel workers OOM-killed the
+        # host.  _BLAS_BLOCK_CELLS x 8 B x ~5 live arrays bounds each
+        # worker near 300 MB at ANY eval-suite size; the row cap keeps
+        # small suites on the old 1024-row blocks.
+        rows_per_blk = max(1, min(1024, _BLAS_BLOCK_CELLS // len(eids)))
         for pdf in batches:
             if not len(pdf):
                 continue
             out = []
-            for lo in range(0, len(pdf), 1024):
-                blk = pdf.iloc[lo : lo + 1024]
+            for lo in range(0, len(pdf), rows_per_blk):
+                blk = pdf.iloc[lo : lo + rows_per_blk]
                 vr = np.stack(blk["embedding"].to_numpy()).astype(
                     np.float64
                 )

@@ -62,22 +62,126 @@ PLAIN_KEYS = [
     "s26b_stream_decontam_large_eval",
 ]
 
+# --- staged restatements for PLAIN keys whose registered oracle has a
+# shape that cannot finish at the probe SF (same protocol as the
+# closure keys: pinned staged==registered at sf0.01 before use).
+#
+# s26b: the registered oracle ranks the full |stream|x|evals| scored
+# relation with row_number() OVER (PARTITION BY vec_id ORDER BY
+# sim_e6 DESC, eval_id) — a window that must MATERIALIZE the quadratic
+# relation (measured at sf10: 1e10 rows, >50 min spilling, unfinished).
+# The per-vector argmax is equivalently MIN over the composite integer
+# (1e6 − sim_e6)·1e10 + eval_id — the Spark arm's own decode — which
+# hash-aggregates in |vectors| state and streams the cross join
+# without materializing it.  Equivalence: sim DESC, eval_id ASC
+# lexicographic order == composite ascending order because
+# (1e6 − sim_e6) ∈ [0, 2e6] and eval_id < 1e10 never carries.
+
+
+def _s26b_staged_sql() -> str:
+    from fanstats_producer_spark.operators.similarity import _X66_THRESH_E6
+
+    return f"""
+    WITH e AS (SELECT vec_id AS eval_id, embedding::DOUBLE[] AS ev
+               FROM embeddings WHERE vec_id % 2 = 0),
+         c AS (SELECT vec_id, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id % 2 = 1),
+         agg AS (
+           SELECT c.vec_id,
+                  MIN((1000000 - CAST(floor(
+                        list_cosine_similarity(c.v, e.ev) * 1e6 + 0.5)
+                      AS BIGINT)) * 10000000000 + e.eval_id) AS comp
+           FROM c CROSS JOIN e GROUP BY c.vec_id)
+    SELECT vec_id,
+           comp % 10000000000 AS nearest_eval_id,
+           1000000 - comp // 10000000000 AS max_sim_e6,
+           CAST((1000000 - comp // 10000000000) >= {_X66_THRESH_E6}
+                AS INT) AS contaminated
+    FROM agg
+    """
+
+
+STAGED_PLAIN = {"s26b_stream_decontam_large_eval": _s26b_staged_sql}
+
+
+def validate_staged_plain(keys: list[str]) -> bool:
+    """Pin each staged-plain restatement against the REGISTERED oracle
+    at sf0.01 (where the registered shape still runs)."""
+    import sf1_closure_check as s1
+
+    ok = True
+    con = _connect(s1.SF001)
+    try:
+        for key in keys:
+            if key not in STAGED_PLAIN:
+                continue
+            res = con.execute(STAGED_PLAIN[key]())
+            sc, sr = canon_rows(
+                [d[0] for d in res.description], res.fetchall()
+            )
+            res = con.execute(registry.ORACLE[key])
+            rc, rr = canon_rows(
+                [d[0] for d in res.description], res.fetchall()
+            )
+            good = sc == rc and sr == rr
+            ok &= good
+            print(
+                f"{'PIN-OK' if good else 'PIN-FAIL'} {key}: staged-plain "
+                f"{'==' if good else '!='} registered at sf0.01"
+            )
+    finally:
+        con.close()
+    return ok
+
 
 def run_key(spark, sf_dir: str, key: str, staged: bool) -> dict:
+    """Spark arm, then oracle arm, each timed and error-isolated: an
+    oracle that cannot finish at this SF (the x59-at-sf10 finding —
+    DuckDB OOM in the STAGED closure, one staging level past the
+    recursive-CTE OOM at sf1) must still leave the Spark side's
+    completion time and row count in the record, because 'Spark
+    finishes, the single-node oracle does not' IS the scale result."""
     t0 = time.time()
-    sdf = registry.QUERIES[key](spark, sf_dir)
-    scols, srows = canon_rows(sdf.columns, [tuple(r) for r in sdf.collect()])
+    try:
+        sdf = registry.QUERIES[key](spark, sf_dir)
+        scols, srows = canon_rows(
+            sdf.columns, [tuple(r) for r in sdf.collect()]
+        )
+    except Exception as e:
+        return {
+            "match": False,
+            "spark_error": f"{type(e).__name__}: {str(e)[:300]}",
+            "spark_sec": round(time.time() - t0, 1),
+        }
     t_spark = time.time() - t0
     t0 = time.time()
+    okey = (
+        "staged_oracle_sec"
+        if staged
+        else ("staged_plain_oracle_sec" if key in STAGED_PLAIN else "oracle_sec")
+    )
     con = _connect(sf_dir)
     try:
         if staged:
             ocols, orows = canon_rows(*staged_oracle(con, key))
         else:
-            res = con.execute(registry.ORACLE[key])
+            sql = (
+                STAGED_PLAIN[key]()
+                if key in STAGED_PLAIN
+                else registry.ORACLE[key]
+            )
+            res = con.execute(sql)
             ocols, orows = canon_rows(
                 [d[0] for d in res.description], res.fetchall()
             )
+    except Exception as e:
+        return {
+            "match": False,
+            "rows": len(srows),
+            "spark_sec": round(t_spark, 1),
+            "oracle_error": f"{type(e).__name__}: {str(e)[:300]}",
+            okey: round(time.time() - t0, 1),
+        }
     finally:
         con.close()
     t_oracle = time.time() - t0
@@ -85,7 +189,7 @@ def run_key(spark, sf_dir: str, key: str, staged: bool) -> dict:
         "match": scols == ocols and srows == orows,
         "rows": len(srows),
         "spark_sec": round(t_spark, 1),
-        ("staged_oracle_sec" if staged else "oracle_sec"): round(t_oracle, 1),
+        okey: round(t_oracle, 1),
     }
 
 
@@ -110,6 +214,11 @@ def main() -> int:
         if not validate_staged(closure):
             print("staged-oracle pin FAILED — not running the scale sweep")
             return 1
+    # staged-plain pins are cheap and not covered by --no-validate's
+    # "already pinned" assumption — always run them
+    if not validate_staged_plain(plain):
+        print("staged-plain pin FAILED — not running the scale sweep")
+        return 1
 
     from fanstats_producer_spark.session import get_spark
 

@@ -49,6 +49,11 @@ def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
     con.execute("SET preserve_insertion_order=false")
+    # an explicit ceiling makes spillable operators spill EARLY instead
+    # of racing the default 80%-of-RAM limit against Spark's JVM (the
+    # sf10 x59 staged oracle hard-OOMed without it; with it, whatever
+    # still fails is genuinely unspillable state — the honest signal)
+    con.execute("SET memory_limit='60GB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

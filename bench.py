@@ -90,6 +90,7 @@ def main() -> None:
     # column-family setup (~1 s) that every later drain skips — warm it
     # on a 100-row throwaway stream so s15 measures the steady state,
     # the same treatment the scan/codegen/UDF paths get above.
+    import shutil as _sh
     import tempfile as _tf
 
     from fanstats_producer_spark.streaming.driver_entries import (
@@ -98,8 +99,17 @@ def main() -> None:
         _skip_nodata_batch,
     )
 
+    # One parent dir for ALL warmup inputs/checkpoints, removed after the
+    # warmups finish (ADVICE r12: three leaked mkdtemp trees per run).
+    _warm_root = _tf.mkdtemp(prefix="bench_warm_")
+
+    def _warm_dir(name: str) -> str:
+        d = os.path.join(_warm_root, name)
+        os.makedirs(d, exist_ok=True)
+        return d
+
     try:
-        _wdir = _tf.mkdtemp(prefix="bench_rocks_warm_")
+        _wdir = _warm_dir("rocks")
         spark.range(100).selectExpr(
             "id", "timestamp_micros(1700000000000000 + id * 1000000) AS ts"
         ).write.mode("overwrite").parquet(f"{_wdir}/in")
@@ -157,7 +167,7 @@ def main() -> None:
                 def close(self):
                     pass
 
-            _twdir = _tf.mkdtemp(prefix="bench_tws_warm_")
+            _twdir = _warm_dir("tws")
             spark.range(100).selectExpr("id % 8 AS k", "id AS v").write.mode(
                 "overwrite"
             ).parquet(f"{_twdir}/in")
@@ -199,7 +209,7 @@ def main() -> None:
     try:
         from pyspark.sql.streaming.state import GroupStateTimeout as _GST
 
-        _jdir = _tf.mkdtemp(prefix="bench_stream_warm_")
+        _jdir = _warm_dir("streamjoin")
         spark.range(100).selectExpr(
             "id % 8 AS k",
             "timestamp_micros(1700000000000000 + id * 1000000) AS ts",
@@ -248,6 +258,8 @@ def main() -> None:
             f" ({type(e).__name__}: {e})",
             file=sys.stderr,
         )
+    finally:
+        _sh.rmtree(_warm_root, ignore_errors=True)
 
     # --- fixed-cost drift sentinel (VERDICT r8 item 7) -------------------
     # Two rounds in a row the BENCH records needed a "host drift" caveat
@@ -274,8 +286,6 @@ def main() -> None:
         ).groupBy("k").sum("v").write.format("noop").mode(
             "overwrite"
         ).save()
-
-    import shutil as _sh
 
     _sent_dir = _tf.mkdtemp(prefix="bench_sentinel_")
     spark.range(100).selectExpr("id AS k").coalesce(1).write.mode(
@@ -307,11 +317,38 @@ def main() -> None:
         con.execute("SELECT sum(i * i) FROM range(20000000) t(i)").fetchall()
         con.close()
 
+    def _py_worker_probe() -> None:
+        # Fixed mapInPandas micro-task covering the two python-worker
+        # cost classes the codec/BLAS keys pay (VERDICT r12 item 2):
+        # a numpy matmul per batch (the BLAS/pHash class) plus a pure-
+        # interpreter byte loop (the pure-python codec class), over the
+        # Arrow dispatch path.  Constant input, constant plan.
+        def _work(batches):
+            import numpy as _np
+
+            import pandas as _pdw
+
+            m = (_np.arange(90_000, dtype=_np.float64) % 7.0).reshape(
+                300, 300
+            )
+            for pdf in batches:
+                acc = float((m @ m)[0, 0]) * len(pdf)
+                x = 0
+                for i in range(200_000):  # interpreter-bound loop
+                    x = (x + i) & 0xFF
+                yield _pdw.DataFrame({"v": [acc + x]})
+
+        spark.range(64).repartition(32).mapInPandas(
+            _work, "v double"
+        ).write.format("noop").mode("overwrite").save()
+
     try:
+        _py_worker_probe()  # warm worker reuse before timing
         sentinel = {
             "spark_agg_s": _best_of(3, _spark_agg_probe),
             "stream_drain_s": _best_of(3, _stream_drain_probe),
             "duckdb_cpu_s": _best_of(3, _duckdb_probe),
+            "py_worker_s": _best_of(3, _py_worker_probe),
         }
     finally:
         _sh.rmtree(_sent_dir, ignore_errors=True)
@@ -427,6 +464,10 @@ def main() -> None:
         # fixed-cost host-speed probes for drift normalization
         # (scripts/bench_compare.py reads these; see comment above)
         "sentinel": sentinel,
+        # keys whose cells normalize by the py_worker sentinel
+        "py_worker_keys": sorted(
+            k for k in registry.PY_WORKER_KEYS if k in timings
+        ),
         # compact full-fidelity per-key form + its key-list fingerprint
         "qz": qz,
         "qzu": "centisec_b36w3",

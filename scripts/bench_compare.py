@@ -114,10 +114,31 @@ def main() -> int:
             # (ADVICE r11).
             full = _qz_decode(rec)
             if full:
+                # Overlay the float queries map on top of the decode
+                # (ADVICE r12): qz clamps keys past 'zzz' (466.55 s) to
+                # +inf, so two clamped records compare inf-vs-inf and a
+                # real regression of an already-clamped key is invisible
+                # even though exact values sit under "queries".  The
+                # float map always wins where present — it is complete
+                # full-fidelity seconds in BENCH_FULL records and the
+                # top-N (which contains any clamped key) in driver lines.
+                full.update(q)
                 return full
         return q
 
     oq, nq = _in_seconds(old), _in_seconds(new)
+
+    # Pool-depth sanity (VERDICT r12 item 5): per-key minima from pools
+    # of different depths are not comparable — a 6-run pool's min sits
+    # systematically below a 2-run pool's, which reads as ~+20% "drift"
+    # across records.  Warn loudly when the depths differ.
+    op, np_ = old.get("pool_depth"), new.get("pool_depth")
+    if op is not None and np_ is not None and op != np_:
+        print(
+            f"WARNING: pool depths differ (old={op} new={np_}) — per-key"
+            f" minima are not comparable across depths; deltas below are"
+            f" partly pool-depth artifact"
+        )
 
     # Drift normalization (VERDICT r8 item 7): both records may carry a
     # "sentinel" block — fixed-cost constant-input probes timed alongside
@@ -126,13 +147,24 @@ def main() -> int:
     # the OLD per-key numbers by the matching ratio so flagged deltas are
     # code regressions, not host weather.  Stream-drain-floored keys
     # normalize by the drain probe, everything else by the agg probe.
-    drift_agg = drift_drain = 1.0
+    drift_agg = drift_drain = drift_py = 1.0
+    py_keys: set[str] = set()
     os_, ns_ = old.get("sentinel"), new.get("sentinel")
     if os_ and ns_ and not args.no_drift_norm:
         if os_.get("spark_agg_s") and ns_.get("spark_agg_s"):
             drift_agg = ns_["spark_agg_s"] / os_["spark_agg_s"]
         if os_.get("stream_drain_s") and ns_.get("stream_drain_s"):
             drift_drain = ns_["stream_drain_s"] / os_["stream_drain_s"]
+        # Python-worker sentinel (VERDICT r12 item 2): codec/BLAS/UDF
+        # cells are dominated by python batch workers, whose speed the
+        # JVM/drain/duckdb probes don't see — the x96 class.  Normalize
+        # the keys either record declares python-worker-bound (union, so
+        # a key gains the treatment as soon as one side knows about it).
+        if os_.get("py_worker_s") and ns_.get("py_worker_s"):
+            drift_py = ns_["py_worker_s"] / os_["py_worker_s"]
+            py_keys = set(old.get("py_worker_keys") or []) | set(
+                new.get("py_worker_keys") or []
+            )
         print(
             f"sentinel drift: agg x{drift_agg:.3f}"
             f" drain x{drift_drain:.3f}"
@@ -141,10 +173,17 @@ def main() -> int:
                 if os_.get("duckdb_cpu_s") and ns_.get("duckdb_cpu_s")
                 else ""
             )
+            + (
+                f" py_worker x{drift_py:.3f} ({len(py_keys)} keys)"
+                if py_keys
+                else ""
+            )
             + " (old-side per-key baselines scaled accordingly)"
         )
 
     def _drift_for(key: str) -> float:
+        if key in py_keys:
+            return drift_py
         return drift_drain if key.startswith("s") else drift_agg
 
     added = sorted(set(nq) - set(oq))

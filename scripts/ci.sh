@@ -16,7 +16,12 @@ python scripts/check_oracle.py --types
 # contract ever breaks.
 # Stash the last COMMITTED record first so the fresh run can be diffed
 # against it (bench.py overwrites the working copy).
-PREV_BENCH=$(mktemp /tmp/bench_prev.XXXXXX.json)
+# Keep the mktemp path in its own variable and rm it via an EXIT trap:
+# under set -e a bench_compare regression exit (or a git show failure)
+# must not leak the stashed baseline (ADVICE r12).
+PREV_TMP=$(mktemp /tmp/bench_prev.XXXXXX.json)
+trap 'rm -f "$PREV_TMP"' EXIT
+PREV_BENCH="$PREV_TMP"
 git show HEAD:BENCH_FULL_LATEST.json > "$PREV_BENCH" 2>/dev/null || PREV_BENCH=""
 python bench.py
 # Hard per-key regression gate vs the committed record (VERDICT r11
@@ -25,7 +30,6 @@ python bench.py
 # cells are interference-prone (round-state memory).
 if [ -n "$PREV_BENCH" ]; then
   python scripts/bench_compare.py "$PREV_BENCH" BENCH_FULL_LATEST.json --pct 30 --abs 0.3
-  rm -f "$PREV_BENCH"
 fi
 python - <<'PY'
 import json, os, sys, time

@@ -52,8 +52,22 @@ def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # an explicit ceiling makes spillable operators spill EARLY instead
     # of racing the default 80%-of-RAM limit against Spark's JVM (the
     # sf10 x59 staged oracle hard-OOMed without it; with it, whatever
-    # still fails is genuinely unspillable state — the honest signal)
-    con.execute("SET memory_limit='60GB'")
+    # still fails is genuinely unspillable state — the honest signal).
+    # Derived from the host, not hardcoded (ADVICE r12): a flat 60GB on
+    # a <75GB host would RAISE the ceiling above DuckDB's default 80%
+    # and make hard-OOM more likely — the opposite of the intent.
+    # Override with SPARK_GRAFT_DUCKDB_MEM if needed.
+    limit = os.environ.get("SPARK_GRAFT_DUCKDB_MEM")
+    if not limit:
+        try:
+            with open("/proc/meminfo") as mf:
+                kb = int(
+                    next(ln for ln in mf if ln.startswith("MemTotal")).split()[1]
+                )
+            limit = f"{min(60, max(1, int(kb / 1024 / 1024 * 0.6)))}GB"
+        except (OSError, StopIteration, ValueError):
+            limit = "60GB"
+    con.execute(f"SET memory_limit='{limit}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

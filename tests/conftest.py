@@ -16,6 +16,15 @@ SF_DIR = "/root/testdata/sf0.001"
 registry.load_all()
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "flaky_under_load: wall-clock-dependent streaming test that can"
+        " time out on a saturated host; re-run solo before suspecting"
+        " a code regression",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark(tmp_path_factory):
     warehouse = tmp_path_factory.mktemp("warehouse")

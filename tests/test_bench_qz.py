@@ -163,3 +163,87 @@ def test_qz_decode_survives_overflow_fallback_line(tmp_path):
     assert "q07_thing" in out.stdout
     assert "q09_thing" in out.stdout  # the overflow key is flagged
     assert "466.5" not in out.stdout  # never silently reads the clamp
+
+
+def test_float_queries_overlay_unclamps_qz(tmp_path):
+    """ADVICE r12: when BOTH records clamp a key to the 'zzz' sentinel,
+    inf-vs-inf yields a quiet nan delta — but the float queries map
+    carries the exact values, and the decoder must overlay them so the
+    regression (here 500 -> 700 s) is flagged with real numbers."""
+    keys = [f"q{i:02d}_thing" for i in range(40)]
+    t_old = {k: 1.00 for k in keys}
+    t_new = dict(t_old)
+    t_old[keys[3]] = 500.0  # clamped in qz on both sides...
+    t_new[keys[3]] = 700.0  # ...but a real +200 s regression
+
+    old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
+    old_p.write_text(json.dumps(_rec(t_old)))
+    new_p.write_text(json.dumps(_rec(t_new)))
+    out = _run_compare(old_p, new_p, "--pct", "30", "--abs", "0.3")
+    assert out.returncode == 1, out.stdout + out.stderr
+    assert "q03_thing" in out.stdout
+    assert "500.00" in out.stdout and "700.00" in out.stdout
+    assert "inf" not in out.stdout
+
+
+def test_pool_depth_mismatch_warns(tmp_path):
+    """VERDICT r12 item 5: per-key minima from pools of different
+    depths are not comparable — records carrying differing pool_depth
+    must trigger a loud warning (equal depths must not)."""
+    keys = [f"q{i:02d}_thing" for i in range(10)]
+    t = {k: 1.00 for k in keys}
+    a, b = _rec(t), _rec(t)
+    a["pool_depth"], b["pool_depth"] = 6, 2
+    old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
+    old_p.write_text(json.dumps(a))
+    new_p.write_text(json.dumps(b))
+    out = _run_compare(old_p, new_p)
+    assert "pool depths differ" in out.stdout, out.stdout + out.stderr
+
+    b["pool_depth"] = 6
+    new_p.write_text(json.dumps(b))
+    out2 = _run_compare(old_p, new_p)
+    assert "pool depths differ" not in out2.stdout
+
+
+def test_py_worker_sentinel_normalizes_codec_keys(tmp_path):
+    """VERDICT r12 item 2: a python-worker-bound key whose cell moved
+    with measured python-worker speed (sentinel 2x, cell 2x) must NOT
+    be flagged; an identical move on a JVM-normalized key (agg drift
+    1.0) must still be flagged."""
+    keys = [f"q{i:02d}_thing" for i in range(10)] + ["x96_image"]
+    t_old = {k: 1.00 for k in keys}
+    t_old["x96_image"] = 2.00
+    t_new = dict(t_old)
+    t_new["x96_image"] = 4.00  # 2x — exactly the sentinel's move
+    t_new["q05_thing"] = 2.00  # 2x with flat agg sentinel -> flagged
+
+    a, b = _rec(t_old), _rec(t_new)
+    for r in (a, b):
+        r["py_worker_keys"] = ["x96_image"]
+        r["sentinel"] = {
+            "spark_agg_s": 0.2,
+            "stream_drain_s": 0.4,
+            "duckdb_cpu_s": 1.0,
+            "py_worker_s": 0.3,
+        }
+    b["sentinel"]["py_worker_s"] = 0.6  # host's python workers 2x slower
+
+    old_p, new_p = tmp_path / "old.json", tmp_path / "new.json"
+    old_p.write_text(json.dumps(a))
+    new_p.write_text(json.dumps(b))
+    out = _run_compare(old_p, new_p, "--pct", "30", "--abs", "0.3")
+    assert out.returncode == 1, out.stdout + out.stderr
+    assert "q05_thing" in out.stdout
+    assert "REGRESSED x96_image" not in out.stdout
+    assert "py_worker x2.000" in out.stdout
+
+
+def test_py_worker_keys_exist_in_registry():
+    """The normalization list must track the registry — a renamed or
+    removed key in PY_WORKER_KEYS would silently lose its treatment."""
+    from fanstats_producer_spark import registry
+
+    registry.load_all()
+    missing = sorted(registry.PY_WORKER_KEYS - set(registry.QUERIES))
+    assert not missing, f"PY_WORKER_KEYS not in registry: {missing}"

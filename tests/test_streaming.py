@@ -726,11 +726,22 @@ def test_tws_map_state_per_type_counts(spark, landing):
     assert final == {(7, "click"): 2, (7, "view"): 1}
 
 
+@pytest.mark.flaky_under_load
 def test_tws_value_state_ttl_expires(spark, landing, tmp_path):
     """s10 family: ttlDurationMs — a state value older than the TTL is
     not returned, so the second micro-batch (3.5 s later, TTL 1.5 s)
     restarts its count; the control arm without TTL accumulates across
-    the same wall-clock gap."""
+    the same wall-clock gap.
+
+    Marked flaky_under_load (VERDICT r12 item 7): TWS TTL is keyed to
+    the state store's wall clock and PySpark exposes no injectable
+    clock (the JVM StreamTest ManualClock is not reachable from the
+    Python API), so the test necessarily sleeps real seconds.  The
+    TTL semantics themselves are load-robust by construction (the
+    3.5 s gap starts only AFTER batch 1's result is visible, so the
+    1.5 s TTL has always lapsed); what fails under a saturated host is
+    the micro-batch drain exceeding the poll deadline.  On failure,
+    re-run solo before suspecting the code."""
     _tws_ready(spark)
     import time as _time
 
@@ -773,14 +784,14 @@ def test_tws_value_state_ttl_expires(spark, landing, tmp_path):
             .trigger(processingTime="1 second").start()
         )
         try:
-            deadline = _time.time() + 60
+            deadline = _time.time() + 120
             while _time.time() < deadline:
                 if spark.sql(f"SELECT * FROM {name}").count() >= 1:
                     break
                 _time.sleep(0.3)
             _time.sleep(3.5)  # let the 1.5s TTL lapse between batches
             _write_batch(d, "b2.json", [_event(2, "2024-01-01T10:01:00Z", user=7)])
-            deadline = _time.time() + 60
+            deadline = _time.time() + 120
             while _time.time() < deadline:
                 if spark.sql(f"SELECT * FROM {name}").count() >= 2:
                     break

@@ -1047,3 +1047,112 @@ def embedding_drift_from_sums(sums: DataFrame) -> DataFrame:
         .cast("long")
         .alias("centroid_shift_e6"),
     )
+
+
+# --- x115: drift-gated quarantine (monitor -> breach -> partition) ---------------
+# Closes the drift battery's consumer side (VERDICT r12 item 6): the
+# batteries observe, this key ACTS.  The x114 centroid-shift monitor
+# gates a quarantine decision — every live-half vector of a label whose
+# shift breaches the gate is routed to the quarantine partition pending
+# review, the standard monitor->gate->hold pattern in front of a
+# training-data merge.
+#
+# Breach rule (a pure function of the monitor's state table, hence
+# SQL-stateable): a label breaches when its centroid_shift_e6 is at
+# least 1.05x the EXACT cross-label median.  The median of the
+# |labels|-row report is carried as the integer order-statistic sum
+# m_lo + m_hi (the two middle ranks; the same rank twice when |labels|
+# is odd), so the gate compares 40*shift >= 21*(m_lo + m_hi) in pure
+# int64 — no float boundary to disagree on, at any SF.  A RELATIVE
+# gate is the operationally meaningful one here: the null-model shift
+# scales ~1/sqrt(n), so any fixed absolute threshold degenerates to
+# all-clean or all-breached as the cohort grows; "worse than your
+# peers by 5%" tracks the scale automatically.
+#
+# Scale shape: the monitor state is |labels| x 2 x dim integer cells
+# (one bounded shuffle over the vector stream); the rank/median step
+# runs on the |labels|-row report (domain-bounded, FIXTURES.md) via
+# one row_number window + two broadcast scalar aggregates — no global
+# window over data-sized frames (the x104 rule); the verdict joins
+# back to the live vectors BROADCAST, so the vector stream is touched
+# map-side only.  At 100 TB: one shuffle of bounded output + one
+# broadcast join.
+X115_ORACLE = f"""
+    WITH drift AS ({X114_ORACLE}),
+    ranked AS (
+      SELECT label, centroid_shift_e6,
+             row_number() OVER (ORDER BY centroid_shift_e6, label) AS rn,
+             COUNT(*) OVER () AS n_lab
+      FROM drift),
+    gated AS (
+      SELECT label, centroid_shift_e6,
+             SUM(CASE WHEN rn * 2 IN (n_lab, n_lab + 2)
+                        THEN centroid_shift_e6
+                      WHEN rn * 2 = n_lab + 1
+                        THEN centroid_shift_e6 * 2
+                      ELSE 0 END) OVER () AS sum_mid
+      FROM ranked)
+    SELECT e.vec_id, e.label, g.centroid_shift_e6,
+           CAST(40 * g.centroid_shift_e6 >= 21 * g.sum_mid AS INT)
+             AS quarantined
+    FROM embeddings e JOIN gated g ON g.label = e.label
+    WHERE e.vec_id % 2 = 1
+    """
+
+
+@query("x115_drift_quarantine", oracle=X115_ORACLE)
+def x115_drift_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x115: the x114 monitor gating a quarantine partition (see block
+    comment for the integer breach rule and the scale shape).  Spark
+    arm: rank window over the |labels|-row report only; n_lab and
+    sum_mid ride broadcast scalar aggregates (never a data-sized
+    window); the verdict broadcasts back onto the live vectors."""
+    emb = load(spark, sf_dir, "embeddings")
+    drift = embedding_drift_from_sums(embedding_component_sums(emb))
+    ranked = drift.select("label", "centroid_shift_e6").withColumn(
+        "rn",
+        F.row_number().over(
+            # |labels|-row frame: domain-bounded (FIXTURES.md), the
+            # adjudicated-safe zero-arg window class
+            Window.orderBy("centroid_shift_e6", "label")
+        ),
+    )
+    # Three consumers read this |labels|-row frame (n_lab, sum_mid,
+    # the gate itself) — truncate the lineage so the component-sum
+    # shuffle over the vector stream runs ONCE, not once per consumer
+    # (measured 4.0 s -> sub-second at sf0.1; the x102 convention).
+    ranked = ranked.localCheckpoint(eager=True)
+    n_lab = ranked.agg(F.count("*").alias("n_lab"))
+    mid = (
+        ranked.crossJoin(F.broadcast(n_lab))
+        .select(
+            F.when(
+                (F.col("rn") * 2 == F.col("n_lab"))
+                | (F.col("rn") * 2 == F.col("n_lab") + 2),
+                F.col("centroid_shift_e6"),
+            )
+            .when(
+                F.col("rn") * 2 == F.col("n_lab") + 1,
+                F.col("centroid_shift_e6") * 2,
+            )
+            .otherwise(F.lit(0))
+            .alias("m")
+        )
+        .agg(F.sum("m").alias("sum_mid"))
+    )
+    gated = ranked.crossJoin(F.broadcast(mid)).select(
+        "label",
+        "centroid_shift_e6",
+        (
+            F.col("centroid_shift_e6") * 40
+            >= F.col("sum_mid") * 21
+        )
+        .cast("int")
+        .alias("quarantined"),
+    )
+    return (
+        emb.filter(F.col("vec_id") % 2 == 1)
+        .select("vec_id", "label")
+        .join(F.broadcast(gated), "label")
+        .select("vec_id", "label", "centroid_shift_e6", "quarantined")
+    )

@@ -2601,3 +2601,52 @@ def test_x114_embedding_drift_hand_case(spark, tmp_path):
         for r in x114_embedding_drift(spark, d).collect()
     }
     assert got == {0: (2, 2, 250000), 1: (1, 1, 0)}
+
+
+def test_x115_drift_quarantine_hand_case(spark, tmp_path):
+    """Hand-recomputed gate on exactly-representable components
+    (all multiples of 1/16, exact in float32, so q is exact).
+
+    Even-label-count arm: labels 0..3 hold one ref (even vec_id) and
+    one live (odd) vector each, with live displaced along dim 0 by
+    .125/.25/.375/.5 -> shifts 125000/250000/375000/500000 e6.
+    n_lab=4 -> median ranks 2,3 -> sum_mid = 625000; breach rule
+    40*s >= 21*625000 = 13125000 -> s >= 328125 -> labels 2,3
+    quarantine their live vectors (vec_id 5, 7).
+
+    Odd-count arm: a 5th label with shift 62500 makes n_lab=5 ->
+    the single middle rank 3 counts twice -> sum_mid = 2*250000;
+    threshold s >= 262500 -> still exactly labels 2,3."""
+    from fanstats_producer_spark.operators.quality_checks import (
+        x115_drift_quarantine,
+    )
+
+    def write(d, labels):
+        rows = []
+        for lbl, disp in labels:
+            rows.append((2 * lbl, [0.0, 0.0], lbl))
+            rows.append((2 * lbl + 1, [disp, 0.0], lbl))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+
+    d1 = str(tmp_path / "even")
+    write(d1, [(0, 0.125), (1, 0.25), (2, 0.375), (3, 0.5)])
+    got = {
+        r.vec_id: (r.label, r.centroid_shift_e6, r.quarantined)
+        for r in x115_drift_quarantine(spark, d1).collect()
+    }
+    assert got == {
+        1: (0, 125000, 0),
+        3: (1, 250000, 0),
+        5: (2, 375000, 1),
+        7: (3, 500000, 1),
+    }
+
+    d2 = str(tmp_path / "odd")
+    write(d2, [(0, 0.125), (1, 0.25), (2, 0.375), (3, 0.5), (4, 0.0625)])
+    got2 = {
+        r.vec_id: r.quarantined
+        for r in x115_drift_quarantine(spark, d2).collect()
+    }
+    assert got2 == {1: 0, 3: 0, 5: 1, 7: 1, 9: 0}

@@ -80,6 +80,12 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFram
     return base.withColumn("shingles", F.array_distinct(shingles)).drop("__toks")
 
 
+# Posting lists at or below this df expand pairs map-side (one array
+# value, fast); hotter lists stream the identical pairs through a
+# positional self-join (spillable at any df).  See jaccard_pairs.
+_JACCARD_HOT_DF = 1024
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -118,6 +124,20 @@ def jaccard_pairs(
     )
     if max_df is not None:
         lists = lists.filter(F.size("ids") <= max_df)
+    # Pair expansion is size-gated (sf10 probe finding, round 13): the
+    # map-side combos expression materializes ALL C(m,2) pairs of one
+    # posting list as a single in-memory array value — on a closed
+    # vocabulary a hot shingle's df grows with the corpus and that one
+    # row's array grows df², which is an allocation the task cannot
+    # spill (the sf10 run died retrying 256 MB humongous allocations).
+    # Lists up to _JACCARD_HOT_DF keep the fast map-side expansion
+    # (bounded at ~C(1024,2)*32B = 16 MB per row); hotter lists stream
+    # the identical pairs through a positional self-join, which shuffles
+    # ROWS — spillable at any df.  Output is provably identical: both
+    # arms emit each (i<j) combination of the SAME sort_array order
+    # exactly once.
+    small = lists.filter(F.size("ids") <= _JACCARD_HOT_DF)
+    big = lists.filter(F.size("ids") > _JACCARD_HOT_DF)
     combos = F.flatten(
         F.transform(
             "ids",
@@ -132,9 +152,28 @@ def jaccard_pairs(
             ),
         )
     )
+    small_pairs = small.select(F.explode(combos).alias("p")).select(
+        F.col("p.id_a").alias("id_a"),
+        F.col("p.id_b").alias("id_b"),
+        F.col("p.n_a").alias("n_a"),
+        F.col("p.n_b").alias("n_b"),
+    )
+    bigp = big.select(
+        "shingle", F.posexplode("ids").alias("i", "e")
+    ).select("shingle", "i", F.col("e.doc_id").alias("doc_id"), F.col("e.n_sh").alias("n_sh"))
+    a, b = bigp.alias("a"), bigp.alias("b")
+    big_pairs = a.join(
+        b,
+        (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.i") < F.col("b.i")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.col("a.n_sh").alias("n_a"),
+        F.col("b.n_sh").alias("n_b"),
+    )
     inter = (
-        lists.select(F.explode(combos).alias("p"))
-        .groupBy("p.id_a", "p.id_b", "p.n_a", "p.n_b")
+        small_pairs.unionByName(big_pairs)
+        .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count("*").alias("n_inter"))
     )
     pairs = (

@@ -601,7 +601,32 @@ def main() -> int:
 
     from fanstats_producer_spark.session import get_spark
 
-    spark = get_spark("scale-closure-check")
+    def _fresh_spark():
+        return get_spark("scale-closure-check")
+
+    def _ensure_alive(spark):
+        """A heap-OOM in one key's Spark arm shuts the whole
+        SparkContext down (observed: x60 at sf10), and every later
+        key then fails with 'SparkContext was shut down' — cascade
+        errors, not evidence.  Probe the session before each key and
+        rebuild it if dead."""
+        try:
+            spark.sql("SELECT 1").collect()
+            return spark
+        except Exception:
+            print("SparkContext dead — rebuilding the session")
+            try:
+                spark.stop()
+            except Exception:
+                pass
+            from pyspark.sql import SparkSession
+
+            # clear the cached session so get_spark builds a new JVM
+            SparkSession._instantiatedSession = None
+            SparkSession._activeSession = None
+            return _fresh_spark()
+
+    spark = _fresh_spark()
     results: dict = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
@@ -618,6 +643,7 @@ def main() -> int:
             print(f"SKIP {key}: already green in {args.out}")
             continue
         try:
+            spark = _ensure_alive(spark)
             results[key] = run_key(spark, args.sf_dir, key, staged, args.deep)
         except Exception as e:  # keep sweeping; record the failure
             results[key] = {"match": False, "error": f"{type(e).__name__}: {e}"}

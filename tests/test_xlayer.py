@@ -2650,3 +2650,32 @@ def test_x115_drift_quarantine_hand_case(spark, tmp_path):
         for r in x115_drift_quarantine(spark, d2).collect()
     }
     assert got2 == {1: 0, 3: 0, 5: 1, 7: 1, 9: 0}
+
+
+def test_jaccard_pairs_hot_list_join_arm_identical(spark, monkeypatch):
+    """sf10 probe finding (round 13): posting lists hotter than
+    _JACCARD_HOT_DF stream their pairs through a positional self-join
+    instead of the one-array map-side expansion (whose single-row
+    allocation grows df^2 and killed the sf10 JVM).  Both arms must
+    emit the IDENTICAL pair set: force the join arm with a tiny
+    threshold on a corpus whose planted common shingle has df=12 and
+    compare against the default (map-side) output."""
+    from fanstats_producer_spark.operators import dedup
+
+    rows = []
+    for i in range(12):
+        # every doc shares the shingle "c0 c1 c2"; docs also carry a
+        # per-doc tail so Jaccard varies and some pairs fall below 0.05
+        rows.append((i, f"c0 c1 c2 t{i} u{i % 3} v{i % 2}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    base = {
+        (r.id_a, r.id_b, r.jaccard_e6)
+        for r in dedup.jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    monkeypatch.setattr(dedup, "_JACCARD_HOT_DF", 2)
+    hot = {
+        (r.id_a, r.id_b, r.jaccard_e6)
+        for r in dedup.jaccard_pairs(docs, threshold=0.05).collect()
+    }
+    assert base == hot and len(base) > 0

@@ -2446,17 +2446,27 @@ def phash_near_dup_pairs(
             "salt", F.pmod(F.xxhash64("id_b"), F.lit(salt)).cast("int")
         )
         join_keys = ["band", "val", "salt"]
-    cands = (
+    # Hamming-verify BEFORE the cross-band dedupe (sf10 probe finding,
+    # round 13): the dedupe is a shuffle over every banding candidate,
+    # and on a near-uniform hash population the 7-bit band buckets hold
+    # ~n/128 docs each — ~8.7e9 candidate rows at 500k docs, whose
+    # groupBy spill filled 78 GB of disk and killed the job.  The
+    # hamming predicate is computable per joined row (both hashes are
+    # present), so filtering first is output-IDENTICAL and only true
+    # near-dup pairs (~1e-3 of candidates, measured) reach the shuffle;
+    # the flood streams map-side through the verify, materialized
+    # nowhere.
+    return (
         left.join(right, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))),
+        )
+        .filter(F.col("hamming") <= _X88_HAMMING)
         .groupBy("id_a", "id_b")
-        .agg(F.first("h_a").alias("h_a"), F.first("h_b").alias("h_b"))
+        .agg(F.first("hamming").alias("hamming"))
     )
-    return cands.select(
-        "id_a",
-        "id_b",
-        F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).alias("hamming"),
-    ).filter(F.col("hamming") <= _X88_HAMMING)
 
 
 def _phash_hash_ctes() -> str:

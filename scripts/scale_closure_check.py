@@ -287,11 +287,15 @@ def _stage_phash_pairs(con) -> None:
         + "\n    SELECT doc_id, ph FROM hashes"
     )
     _ds(con, "t_hashes", hashes_sql)
+    # ph rides INTO the band table so the hamming predicate can run
+    # INSIDE the band join, before the DISTINCT — same filter-first
+    # shape as the Spark arm (the DISTINCT over raw banding candidates
+    # is ~8.7e9 rows at sf10; the survivors are ~1e-3 of that).
     _ds(
         con,
         "t_hbands",
         """
-        SELECT doc_id, b,
+        SELECT doc_id, ph, b,
                CASE WHEN b = 0 THEN ph & 255
                     ELSE (ph >> (8 + (b - 1) * 7)) & 127 END AS bv
         FROM t_hashes CROSS JOIN range(9) AS t(b)
@@ -301,13 +305,10 @@ def _stage_phash_pairs(con) -> None:
         con,
         "t_vp",
         """
-        SELECT id_a, id_b FROM (
-          SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
-          FROM t_hbands a JOIN t_hbands c
-            ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
-        JOIN t_hashes ha ON ha.doc_id = id_a
-        JOIN t_hashes hb ON hb.doc_id = id_b
-        WHERE bit_count(xor(ha.ph, hb.ph)) <= 8
+        SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM t_hbands a JOIN t_hbands c
+          ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id
+        WHERE bit_count(xor(a.ph, c.ph)) <= 8
         """,
     )
     con.execute("DROP TABLE t_hbands")

@@ -485,6 +485,99 @@ def validate_staged_plain(keys: list[str]) -> bool:
     return ok
 
 
+def run_key_phased(
+    spark,
+    sf_dir: str,
+    key: str,
+    staged: bool,
+    deep: bool,
+    phase: str,
+    canon_dir: str,
+) -> dict:
+    """Two-phase variant (round 13): --phase spark runs ONLY the Spark
+    arm and pickles its canonical rows + timing under canon_dir;
+    --phase oracle loads that pickle, runs the oracle arm, and emits
+    the final record.  Lets the hour-scale oracle grind be scheduled
+    away from quiet-host timing windows without losing the Spark
+    evidence (the r12 lesson: evidence must survive arm boundaries)."""
+    import pickle
+
+    os.makedirs(canon_dir, exist_ok=True)
+    pkl = os.path.join(canon_dir, f"{key}.pkl")
+    if phase == "spark":
+        t0 = time.time()
+        try:
+            sdf = registry.QUERIES[key](spark, sf_dir)
+            scols, srows = canon_rows(
+                sdf.columns, [tuple(r) for r in sdf.collect()]
+            )
+        except Exception as e:
+            return {
+                "match": False,
+                "spark_error": f"{type(e).__name__}: {str(e)[:300]}",
+                "spark_sec": round(time.time() - t0, 1),
+            }
+        t_spark = time.time() - t0
+        with open(pkl, "wb") as f:
+            pickle.dump((scols, srows, t_spark), f)
+        return {
+            "match": "pending-oracle",
+            "rows": len(srows),
+            "spark_sec": round(t_spark, 1),
+        }
+    # phase == "oracle"
+    with open(pkl, "rb") as f:
+        scols, srows, t_spark = pickle.load(f)
+    deep = deep and key in DEEP_STAGED
+    okey = (
+        ("deep_staged_oracle_sec" if deep else "staged_oracle_sec")
+        if staged
+        else ("staged_plain_oracle_sec" if key in STAGED_PLAIN else "oracle_sec")
+    )
+    t0 = time.time()
+    try:
+        con = _connect(sf_dir)
+    except Exception as e:
+        return {
+            "match": False,
+            "rows": len(srows),
+            "spark_sec": round(t_spark, 1),
+            "oracle_error": f"{type(e).__name__}: {str(e)[:300]}",
+            okey: round(time.time() - t0, 1),
+        }
+    try:
+        if deep:
+            ocols, orows = canon_rows(*DEEP_STAGED[key](con))
+        elif staged:
+            ocols, orows = canon_rows(*staged_oracle(con, key))
+        else:
+            sql = (
+                STAGED_PLAIN[key]()
+                if key in STAGED_PLAIN
+                else registry.ORACLE[key]
+            )
+            res = con.execute(sql)
+            ocols, orows = canon_rows(
+                [d[0] for d in res.description], res.fetchall()
+            )
+    except Exception as e:
+        return {
+            "match": False,
+            "rows": len(srows),
+            "spark_sec": round(t_spark, 1),
+            "oracle_error": f"{type(e).__name__}: {str(e)[:300]}",
+            okey: round(time.time() - t0, 1),
+        }
+    finally:
+        con.close()
+    return {
+        "match": scols == ocols and srows == orows,
+        "rows": len(srows),
+        "spark_sec": round(t_spark, 1),
+        okey: round(time.time() - t0, 1),
+    }
+
+
 def run_key(spark, sf_dir: str, key: str, staged: bool, deep: bool = False) -> dict:
     """Spark arm, then oracle arm, each timed and error-isolated: an
     oracle that cannot finish at this SF (the x59-at-sf10 finding —
@@ -577,6 +670,14 @@ def main() -> int:
         help="use the per-stage-materialized DEEP restatements for the"
         " closure keys that have one (sf10 memory envelope)",
     )
+    ap.add_argument(
+        "--phase",
+        choices=["both", "spark", "oracle"],
+        default="both",
+        help="run only one arm; 'spark' pickles canonical rows under"
+        " --canon-dir, 'oracle' loads them and writes the final record",
+    )
+    ap.add_argument("--canon-dir", default="/tmp/scale_canon")
     args = ap.parse_args()
 
     closure = [k for k in args.keys.split(",") if k]
@@ -640,12 +741,25 @@ def main() -> int:
     for key, staged in [(k, False) for k in plain] + [
         (k, True) for k in closure
     ]:
-        if key in results and results[key].get("match"):
+        if key in results and results[key].get("match") is True:
             print(f"SKIP {key}: already green in {args.out}")
             continue
         try:
-            spark = _ensure_alive(spark)
-            results[key] = run_key(spark, args.sf_dir, key, staged, args.deep)
+            if args.phase != "both":
+                if args.phase == "spark":
+                    spark = _ensure_alive(spark)
+                results[key] = run_key_phased(
+                    spark,
+                    args.sf_dir,
+                    key,
+                    staged,
+                    args.deep,
+                    args.phase,
+                    args.canon_dir,
+                )
+            else:
+                spark = _ensure_alive(spark)
+                results[key] = run_key(spark, args.sf_dir, key, staged, args.deep)
         except Exception as e:  # keep sweeping; record the failure
             results[key] = {"match": False, "error": f"{type(e).__name__}: {e}"}
         flush()

@@ -1517,6 +1517,16 @@ def _semdedup_blas_pairs(side: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+#: scorer="auto" crossover: below this many vectors the JVM fold join
+#: beats the applyInPandas BLAS matmul (the Arrow round-trip dominates
+#: when per-cluster work is trivial).  Measured r13, warm interleaved
+#: best-of-5 at sf0.1 / 2k vectors: fold 4.03 s vs blas 2.90 s — blas
+#: already wins; sf1 / 20k vectors fold 84.3 s vs blas 12.0 s
+#: (BASELINE.md).  The gate reads one metadata-only count, the same
+#: size-gated-plan pattern as connected_components' driver_threshold.
+_X61_BLAS_MIN_VECTORS = 1_000
+
+
 def semdedup(
     spark: SparkSession, sf_dir: str, scorer: str = "fold"
 ) -> DataFrame:
@@ -1571,6 +1581,14 @@ def semdedup(
         ),
     )
     side = asg.select("vec_id", "cid").join(dv, "vec_id")
+    if scorer == "auto":
+        # metadata-only parquet count on the RAW table (counting the
+        # spread frame would execute its repartition) picks the arm by
+        # the measured crossover; both arms emit the identical pair set
+        # (the blas arm is fold-exact by construction), so this gate
+        # can never change the result, only the plan
+        n_vecs = load(spark, sf_dir, "embeddings").count()
+        scorer = "blas" if n_vecs >= _X61_BLAS_MIN_VECTORS else "fold"
     if scorer == "blas":
         pairs = _semdedup_blas_pairs(side, _X61_THRESHOLD)
     else:
@@ -1618,9 +1636,21 @@ def semdedup(
 
 @query("x61_semdedup", oracle=_x61_oracle())
 def x61_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registered SemDeDup key — fold-exact scorer (oracle bit-parity);
-    see :func:`semdedup` for the plan story and the BLAS scale arm."""
-    return semdedup(spark, sf_dir, scorer="fold")
+    """Registered SemDeDup key — size-gated scorer (optimization r13).
+    Above the measured crossover (_X61_BLAS_MIN_VECTORS) the pair scorer
+    is the applyInPandas BLAS matmul, which is fold-exact BY
+    CONSTRUCTION (_semdedup_blas_pairs: any cosine within the rescue
+    band of the threshold is re-decided with the fold arm's exact
+    scalar sequence, and outside the band the <1e-13 reassociation
+    error cannot cross it), so the emitted pair set — and therefore
+    every cluster and keep decision — is bit-identical to the fold
+    scorer on every input (forced-path pytest pins fixture equality;
+    oracle stays green at every SF by construction).  Below the
+    crossover the JVM fold join wins (the Arrow round-trip dominates
+    at small cluster counts): measured warm interleaved at sf0.1 fold
+    4.03 s vs blas 2.90 s, sf1 fold 84.3 s vs blas 12.0 s
+    (BASELINE.md, OPTIMIZATION_r13.md)."""
+    return semdedup(spark, sf_dir, scorer="auto")
 
 
 def streaming_band_keys(

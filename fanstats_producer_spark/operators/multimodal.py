@@ -1524,9 +1524,26 @@ _JPEG_AC_CHROMA = (
 )
 
 
+#: table-construction memos (optimization r13, guide §4.5: heavyweight
+#: init once per task, not per frame).  The MJPEG/JPEG workers call
+#: encode_jpeg/decode_jpeg once per FRAME (~20 frames/doc), and the
+#: profile showed ~15% of worker CPU rebuilding these pure-constant
+#: tables: _dct_matrix + the 4 Annex-K Huffman tables per call.  The
+#: memos are keyed by the table bytes, so a (hypothetical) payload
+#: carrying non-standard DHT tables still decodes correctly — identical
+#: inputs, identical tables, bit-identical output.  Bounded: real
+#: inputs only ever present the 4 standard tables.
+_JPEG_CODES_MEMO: dict[tuple, dict] = {}
+_JPEG_DECODE_MEMO: dict[tuple, dict] = {}
+
+
 def _jpeg_canonical_codes(bits, vals):
     """Canonical Huffman code assignment (spec C.2): symbols ordered by
     code length then table order; returns {symbol: (code, length)}."""
+    key = (tuple(bits), tuple(vals))
+    memo = _JPEG_CODES_MEMO.get(key)
+    if memo is not None:
+        return memo
     out, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -1534,11 +1551,17 @@ def _jpeg_canonical_codes(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    if len(_JPEG_CODES_MEMO) < 64:  # plenty for the 4 standard tables
+        _JPEG_CODES_MEMO[key] = out
     return out
 
 
 def _jpeg_decode_table(bits, vals):
     """Inverse map {(length, code): symbol} for the decoder."""
+    key = (tuple(bits), tuple(vals))
+    memo = _JPEG_DECODE_MEMO.get(key)
+    if memo is not None:
+        return memo
     out, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
@@ -1546,16 +1569,25 @@ def _jpeg_decode_table(bits, vals):
             code += 1
             k += 1
         code <<= 1
+    if len(_JPEG_DECODE_MEMO) < 64:
+        _JPEG_DECODE_MEMO[key] = out
     return out
+
+
+#: lazily-built DCT basis (same lazy-constant pattern as _PHASH_C)
+_DCT_MATRIX = None
 
 
 def _dct_matrix():
     import numpy as np
 
-    x = np.arange(8)
-    D = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
-    D[0, :] *= 1 / np.sqrt(2)
-    return D
+    global _DCT_MATRIX
+    if _DCT_MATRIX is None:
+        x = np.arange(8)
+        D = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+        D[0, :] *= 1 / np.sqrt(2)
+        _DCT_MATRIX = D
+    return _DCT_MATRIX
 
 
 class _JpegBitWriter:
@@ -2402,6 +2434,16 @@ def phash_near_dup_pairs(
     proof no longer applies, so it is None here by default and exists
     for the 100 TB regime where a hot bucket is boilerplate, not
     signal (the x27 max_posting / minhash max_bucket convention)."""
+    # Materialize the hash frame ONCE before the bucket self-join
+    # (optimization r13, guide §3.3/§4.1): both join sides derive from
+    # `hashes`, whose upstream in every batch caller is the render+
+    # codec+pHash mapInPandas worker — an opaque subtree Spark cannot
+    # share across the two sides (their projections differ, so even
+    # exchange reuse never fires; the before-plan shows TWO MapInPandas
+    # nodes).  One eager checkpoint runs the Python worker once and
+    # both sides read the 16-B/doc materialized frame; at 100 TB that
+    # frame is exactly the "decide on small rows" proxy of guide §8.
+    hashes = hashes.localCheckpoint(eager=True)
     banded = hashes.select(
         "doc_id",
         "phash",

@@ -41,7 +41,20 @@ def main() -> int:
         print(f"unknown keys: {unknown}", file=sys.stderr)
         return 2
 
-    spark = get_spark("time-keys")
+    import os
+
+    from fanstats_producer_spark.session import shuffle_partitions_for_bytes
+
+    total_bytes = sum(
+        os.path.getsize(os.path.join(args.sf_dir, f))
+        for f in os.listdir(args.sf_dir)
+        if f.endswith(".parquet")
+    )
+    # mirror bench.py's session exactly, or the numbers aren't comparable
+    spark = get_spark(
+        "time-keys",
+        shuffle_partitions=shuffle_partitions_for_bytes(total_bytes),
+    )
     # same steady-state treatment as bench.py: warm codegen + the tables
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     from fanstats_producer_spark.io import TABLES, load

@@ -14,6 +14,9 @@ scale-up.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -633,46 +636,38 @@ def contamination_gate(
     text_col: str = "text",
 ) -> DataFrame:
     """Drop docs sharing >= min_shared distinct k-grams with the eval
-    suite.  The eval set rides as DATA in a one-row broadcast frame
-    (stream-static cross join), NOT as an array literal: a literal
-    grows the expression tree by one node per shingle — measured 8.2 s
-    at a 9k-shingle suite (sf0.1) purely in plan compilation, and a
-    real benchmark suite would be far larger.  As data, the array is a
-    single broadcast value and array_intersect hashes it per batch.
-    Stateless row logic either way: works identically on batch frames
-    and inside streaming micro-batches."""
-    spark = docs.sparkSession
-    # one-row broadcast frame built JVM-SIDE: join the shingles into a
-    # single string literal and split it back in the plan — ONE
-    # expression node (vs one node per shingle as an array literal, and
-    # vs ~5 s of Python-worker spawn per evaluation through
-    # createDataFrame's Python-RDD scan; the q15 LocalRelation lesson).
-    # chr(31) never occurs in shingle text (space-joined word tokens).
-    uniq = sorted(set(eval_shingles))
-    bad = next((s for s in uniq if "\x1f" in s), None)
-    if bad is not None:
-        # a real raise, not an assert: under `python -O` an assert
-        # strips and the joined literal would silently split this
-        # shingle into wrong fragments, weakening the gate
-        raise ValueError(
-            "contamination_gate: eval shingle contains the \\x1f join "
-            f"separator ({bad!r}) — choose a different separator or "
-            "sanitize the eval suite"
-        )
-    ev_arr = (
-        F.split(F.lit("\x1f".join(uniq)), "\x1f")
-        if uniq
-        # split("") yields [""], not [] — preserve the empty-set gate
-        else F.array().cast("array<string>")
+    suite.
+
+    The shared-count runs in an ITERATOR pandas UDF that builds the
+    eval-shingle set ONCE PER TASK and probes each doc's (already
+    distinct) shingles against it (guide §4.5's init-once shape).  The
+    previous JVM form — array_intersect against a one-row broadcast
+    array — re-built the eval hash set PER ROW (Spark's ArrayIntersect
+    has no constant-side amortization; measured r13 at sf0.1: linear
+    in |eval| per row — 1.05 s at 100 shingles, 4.6 s at the fixture's
+    4.8k, where this path runs 1.1 s, identical verdicts).  Per-task
+    closure bytes are |suite| strings, the same payload the broadcast
+    carried.  Stateless row logic either way: works identically on
+    batch frames and inside streaming micro-batches (ArrowEvalPython
+    is a stateless streaming operator)."""
+    # NOTE: `Iterator`/`pd` must be MODULE-level imports — under
+    # `from __future__ import annotations` pandas_udf resolves the
+    # (stringified) signature hints against the module globals, and
+    # aliased or function-local names fail its eval-type inference
+    uniq = tuple(sorted(set(eval_shingles)))
+
+    @F.pandas_udf("int")
+    def _n_shared(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        ev = set(uniq)  # once per task, reused across Arrow batches
+        for ser in it:
+            yield ser.map(
+                lambda arr: len(ev.intersection(arr))
+            ).astype("int32")
+
+    sh = with_shingles(docs, text_col=text_col, k=k)
+    return sh.filter(_n_shared(F.col("shingles")) < min_shared).drop(
+        "shingles"
     )
-    ev_df = spark.range(1).select(ev_arr.alias("ev_shingles"))
-    sh = with_shingles(docs, text_col=text_col, k=k).crossJoin(
-        F.broadcast(ev_df)
-    )
-    n_shared = F.size(
-        F.array_intersect(F.col("shingles"), F.col("ev_shingles"))
-    )
-    return sh.filter(n_shared < min_shared).drop("shingles", "ev_shingles")
 
 
 def eval_shingle_set(

@@ -1389,8 +1389,9 @@ def s24_stream_contamination_gate(
     the apply-side arm of x27 (same 5-gram/min-shared-3 contract)
     filtering documents as they arrive, before they ever land in the
     training corpus.  The eval suite's distinct shingles collect once
-    (benchmark-sized by construction) and broadcast inside the gate's
-    array_intersect; the gate itself is STATELESS row logic, so
+    (benchmark-sized by construction) and ride the gate's per-task
+    set (contamination_gate's iterator pandas UDF — built once per
+    task, probed per doc); the gate itself is STATELESS row logic, so
     verdicts are batch-slicing-invariant and the batch oracle needs no
     drain precondition (contrast s22).  Eval-slice docs flag
     themselves (they share all their own shingles) — the stream drops

@@ -138,21 +138,15 @@ def jaccard_pairs(
     # exactly once.
     small = lists.filter(F.size("ids") <= _JACCARD_HOT_DF)
     big = lists.filter(F.size("ids") > _JACCARD_HOT_DF)
-    combos = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", (i + F.lit(2)).cast("int"), F.size("ids")),
-                lambda y: F.struct(
-                    x["doc_id"].alias("id_a"),
-                    y["doc_id"].alias("id_b"),
-                    x["n_sh"].alias("n_a"),
-                    y["n_sh"].alias("n_b"),
-                ),
-            ),
-        )
+    # one SQL string, not nested Column HOF lambdas: the lambda builders
+    # are the chattiest py4j path (see minhash_native_pairs' docstring)
+    combos = (
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, cast(i + 2 as int), size(ids)),"
+        " y -> struct(x.doc_id as id_a, y.doc_id as id_b,"
+        " x.n_sh as n_a, y.n_sh as n_b))))"
     )
-    small_pairs = small.select(F.explode(combos).alias("p")).select(
+    small_pairs = small.select(F.expr(f"explode({combos}) as p")).select(
         F.col("p.id_a").alias("id_a"),
         F.col("p.id_b").alias("id_b"),
         F.col("p.n_a").alias("n_a"),
@@ -486,37 +480,49 @@ def minhash_native_pairs(
 
     vs MLlib's MinHashLSH: same asymptotics, ~2x faster here (no
     HashingTF sparse-vector materialization), deterministic via xxhash64.
+
+    The heavy projections are built as SQL strings (one F.expr each),
+    not per-component Column loops: every Column operator is a py4j
+    round-trip, and the 64-component signature/banding construction
+    measured ~7200 round-trips ≈ 1.3-2.5 s of DRIVER time per
+    invocation at steady state (guide §4's Python boundary, driver
+    side) — vs ~0.25 s as expression strings.  The parsed plans, and
+    therefore the results, are identical either way (pinned by the
+    oracle and the r13 A/B).
     """
     r = n_hashes // bands
     sh = with_shingles(docs, k=k).select("doc_id", "shingles").filter(
         F.size("shingles") > 0
     )
     postings = sh.select("doc_id", F.explode("shingles").alias("shingle"))
-    digest = F.md5("shingle")
     hashed = postings.select(
         "doc_id",
-        (F.conv(F.substring(digest, 1, 15), 16, 10).cast("long") % _MH_P).alias(
-            "wm"
-        ),
+        F.expr(
+            "cast(conv(substring(md5(shingle), 1, 15), 16, 10) as bigint)"
+            f" % {_MH_P}"
+        ).alias("wm"),
     )
 
-    def _h(i: int):
+    def _h_sql(i: int) -> str:
         a, b = _mh_ab(i)
-        return (F.lit(a) * F.col("wm") + F.lit(b)) % _MH_P
+        return f"min(({a} * wm + {b}) % {_MH_P}) as h{i}"
 
     sig = hashed.groupBy("doc_id").agg(
-        *[F.min(_h(i)).alias(f"h{i}") for i in range(n_hashes)]
+        *[F.expr(_h_sql(i)) for i in range(n_hashes)]
     )
-    sig = sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig")
+    # band hashes reference the h-columns directly (no sig[i] array
+    # indexing for the optimizer to re-inline); the sig array is built
+    # once, in the same projection
+    band_arr = ", ".join(
+        "xxhash64(%d, %s)" % (b, ", ".join(f"h{b * r + j}" for j in range(r)))
+        for b in range(bands)
     )
-    band_vals = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col("sig")[b * r + j] for j in range(r)])
-            for b in range(bands)
-        ]
+    sig_arr = "array(" + ", ".join(f"h{i}" for i in range(n_hashes)) + ")"
+    banded = sig.select(
+        "doc_id",
+        F.expr(sig_arr).alias("sig"),
+        F.expr(f"explode(array({band_arr}))").alias("band_hash"),
     )
-    banded = sig.select("doc_id", "sig", F.explode(band_vals).alias("band_hash"))
     if bucket_join:
         # Skew-robust pair expansion: a SELF-JOIN on band_hash instead
         # of collect_list + in-row combos.  The combos path folds each
@@ -574,42 +580,32 @@ def minhash_native_pairs(
     else:
         buckets = (
             banded.groupBy("band_hash")
-            .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sig"))).alias("ids"))
+            .agg(F.expr("array_sort(collect_list(struct(doc_id, sig))) as ids"))
             .filter(F.size("ids") > 1)
         )
         if max_bucket is not None:
             buckets = buckets.filter(F.size("ids") <= max_bucket)
-        combos = F.flatten(
-            F.transform(
-                "ids",
-                lambda x, i: F.transform(
-                    F.slice("ids", (i + F.lit(2)).cast("int"), F.size("ids")),
-                    lambda y: F.struct(
-                        x["doc_id"].alias("id_a"),
-                        y["doc_id"].alias("id_b"),
-                        x["sig"].alias("sig_a"),
-                        y["sig"].alias("sig_b"),
-                    ),
-                ),
-            )
+        combos = (
+            "flatten(transform(ids, (x, i) ->"
+            " transform(slice(ids, cast(i + 2 as int), size(ids)),"
+            " y -> struct(x.doc_id as id_a, y.doc_id as id_b,"
+            " x.sig as sig_a, y.sig as sig_b))))"
         )
         cands = (
-            buckets.select(F.explode(combos).alias("p"))
+            buckets.select(F.expr(f"explode({combos}) as p"))
             .groupBy("p.id_a", "p.id_b")
             .agg(
-                F.first("p.sig_a").alias("sig_a"),
-                F.first("p.sig_b").alias("sig_b"),
+                F.expr("first(p.sig_a) as sig_a"),
+                F.expr("first(p.sig_b) as sig_b"),
             )
         )
     est = (
         cands.withColumn(
             "est_jaccard_e6",
             qint(
-                F.size(
-                    F.filter(
-                        F.zip_with("sig_a", "sig_b", lambda a, b: a == b),
-                        lambda eq: eq,
-                    )
+                F.expr(
+                    "size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b),"
+                    " eq -> eq))"
                 ).cast("double")
                 / n_hashes
             ),
@@ -1673,45 +1669,44 @@ def streaming_band_keys(
     (_mh_ab, mod P), so the two formulations produce byte-identical
     signatures (asserted in tests).  Everything is JVM array kernels:
     no UDF, no shuffle, no state — the stateless prefix of the online
-    dedup."""
+    dedup.
+
+    As in minhash_native_pairs, the 64-component projection is built
+    as ONE SQL expression string, not a per-component Column loop —
+    the loop form costs seconds of driver-side py4j chatter per
+    invocation (and this function runs inside foreachBatch setup on
+    every streaming key that uses it)."""
     r = n_hashes // bands
     sh = with_shingles(docs, k=k).filter(F.size("shingles") > 0)
     sh = sh.withColumn(
         "__wms",
-        F.transform(
-            F.col("shingles"),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(
-                "long"
-            )
-            % _MH_P,
+        F.expr(
+            "transform(shingles, s ->"
+            " cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+            f" % {_MH_P})"
         ),
     )
-    def _component(i: int):
-        a, b = _mh_ab(i)
-        # a closure factory, not default args: PySpark derives the HOF
-        # lambda's arity from the Python signature, so `lambda w, a=a`
-        # would wrongly build a 3-argument SQL lambda
-        return F.array_min(
-            F.transform(
-                F.col("__wms"), lambda w: (F.lit(a) * w + F.lit(b)) % _MH_P
-            )
-        )
 
-    sig_components = [_component(i) for i in range(n_hashes)]
-    sh = sh.withColumn("sig", F.array(*sig_components))
-    band_vals = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b2), *[F.col("sig")[b2 * r + j] for j in range(r)]
-            )
-            for b2 in range(bands)
-        ]
+    def _component(i: int) -> str:
+        a, b = _mh_ab(i)
+        return f"array_min(transform(__wms, w -> ({a} * w + {b}) % {_MH_P}))"
+
+    sig_arr = (
+        "array(" + ", ".join(_component(i) for i in range(n_hashes)) + ")"
+    )
+    sh = sh.withColumn("sig", F.expr(sig_arr))
+    band_arr = ", ".join(
+        "xxhash64(%d, %s)"
+        % (b2, ", ".join(f"sig[{b2 * r + j}]" for j in range(r)))
+        for b2 in range(bands)
     )
     # `carry` columns (s22: text for the edit gate) ride the exploded
     # rows; callers that need them once per doc re-distinct inside the
     # micro-batch — no pre-explode shuffle either way
     return sh.select(
-        "doc_id", *carry, F.explode(band_vals).alias("band_hash")
+        "doc_id",
+        *carry,
+        F.expr(f"explode(array({band_arr}))").alias("band_hash"),
     )
 
 

@@ -226,17 +226,13 @@ def q70_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = li.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    combos = F.flatten(
-        F.transform(
-            "parts",
-            lambda p, i: F.transform(
-                F.slice("parts", (i + F.lit(2)).cast("int"), F.size("parts")),
-                lambda q: F.struct(p.alias("a"), q.alias("b")),
-            ),
-        )
+    combos = (
+        "flatten(transform(parts, (p, i) ->"
+        " transform(slice(parts, cast(i + 2 as int), size(parts)),"
+        " q -> struct(p as a, q as b))))"
     )
     pairs = (
-        baskets.select(F.explode(combos).alias("pr"))
+        baskets.select(F.expr(f"explode({combos}) as pr"))
         .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
         .agg(F.count("*").alias("w"))
     )

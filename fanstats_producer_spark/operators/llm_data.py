@@ -117,17 +117,13 @@ def decontaminate_hits(
         )
         .filter((F.size("train_ids") > 0) & (F.size("eval_ids") > 0))
     )
-    combos = F.flatten(
-        F.transform(
-            "train_ids",
-            lambda t: F.transform(
-                "eval_ids",
-                lambda e: F.struct(t.alias("train_id"), e.alias("eval_id")),
-            ),
-        )
+    combos = (
+        "flatten(transform(train_ids, t ->"
+        " transform(eval_ids,"
+        " e -> struct(t as train_id, e as eval_id))))"
     )
     hits = (
-        lists.select(F.explode(combos).alias("p"))
+        lists.select(F.expr(f"explode({combos}) as p"))
         .groupBy("p.train_id", "p.eval_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= _X27_MIN_SHARED)
@@ -2633,28 +2629,18 @@ def x100_kn_trigram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion one level deeper, with the middle level on trigram
     continuation counts (see block comment for the shared IEEE-double
     formulation)."""
-    t = F.split("text", " ")
-    uv = F.zip_with(
-        F.slice(F.col("t"), 1, F.size("t") - 2),
-        F.slice(F.col("t"), 2, F.size("t") - 2),
-        lambda a, b: F.struct(a.alias("u"), b.alias("v")),
+    # single positional transform (the x110 batch-3 shape): no
+    # intermediate zipped arrays, one expression string
+    z = (
+        "transform(sequence(1, size(t) - 2), i -> struct("
+        "element_at(t, i) as u, element_at(t, i + 1) as v,"
+        " element_at(t, i + 2) as w))"
     )
     tgf = (
         spread(load(spark, sf_dir, "documents"), "doc_id")
-        .select("doc_id", t.alias("t"))
+        .selectExpr("doc_id", "split(text, ' ') AS t")
         .filter(F.size("t") >= 3)
-        .select(
-            "doc_id",
-            F.explode(
-                F.zip_with(
-                    uv,
-                    F.slice(F.col("t"), 3, F.size("t") - 2),
-                    lambda s, c: F.struct(
-                        s["u"].alias("u"), s["v"].alias("v"), c.alias("w")
-                    ),
-                )
-            ).alias("g"),
-        )
+        .select("doc_id", F.expr(f"explode({z})").alias("g"))
         .select("doc_id", "g.u", "g.v", "g.w")
     )
     c3 = tgf.groupBy("u", "v", "w").agg(F.count("*").alias("c3"))
@@ -2827,45 +2813,21 @@ def x110_kn_5gram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion at the deployed CCNet/KenLM order, with continuation
     counts at every interior level (see block comment for the shared
     IEEE-double formulation and the fixture-sparsity measurement)."""
-    t = F.split("text", " ")
-    n = F.size("t") - 4
-    s = [F.slice(F.col("t"), k, n) for k in range(1, 6)]
-    z = F.zip_with(
-        s[0], s[1], lambda a, b: F.struct(a.alias("a"), b.alias("b"))
-    )
-    z = F.zip_with(
-        z,
-        s[2],
-        lambda p, c: F.struct(
-            p["a"].alias("a"), p["b"].alias("b"), c.alias("c")
-        ),
-    )
-    z = F.zip_with(
-        z,
-        s[3],
-        lambda p, d: F.struct(
-            p["a"].alias("a"),
-            p["b"].alias("b"),
-            p["c"].alias("c"),
-            d.alias("d"),
-        ),
-    )
-    z = F.zip_with(
-        z,
-        s[4],
-        lambda p, e: F.struct(
-            p["a"].alias("a"),
-            p["b"].alias("b"),
-            p["c"].alias("c"),
-            p["d"].alias("d"),
-            e.alias("e"),
-        ),
+    # one positional transform, built as a single SQL expression: the
+    # previous 4-level zip_with chain allocated four intermediate
+    # struct arrays per row AND cost ~150 py4j calls to construct
+    # (batch-3 lesson); identical (a..e) rows by construction
+    z = (
+        "transform(sequence(1, size(t) - 4), i -> struct("
+        "element_at(t, i) as a, element_at(t, i + 1) as b,"
+        " element_at(t, i + 2) as c, element_at(t, i + 3) as d,"
+        " element_at(t, i + 4) as e))"
     )
     gf = (
         spread(load(spark, sf_dir, "documents"), "doc_id")
-        .select("doc_id", t.alias("t"))
+        .selectExpr("doc_id", "split(text, ' ') AS t")
         .filter(F.size("t") >= 5)
-        .select("doc_id", F.explode(z).alias("g"))
+        .select("doc_id", F.expr(f"explode({z})").alias("g"))
         .select("doc_id", "g.a", "g.b", "g.c", "g.d", "g.e")
     )
 

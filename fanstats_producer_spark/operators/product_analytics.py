@@ -265,17 +265,13 @@ def q59_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
         .localCheckpoint(eager=True)
     )
-    combos = F.flatten(
-        F.transform(
-            "items",
-            lambda x, i: F.transform(
-                F.slice("items", (i + F.lit(2)).cast("int"), F.size("items")),
-                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
-            ),
-        )
+    combos = (
+        "flatten(transform(items, (x, i) ->"
+        " transform(slice(items, cast(i + 2 as int), size(items)),"
+        " y -> struct(x as part_a, y as part_b))))"
     )
     pairs = (
-        baskets.select(F.explode(combos).alias("p"))
+        baskets.select(F.expr(f"explode({combos}) as p"))
         .groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= _Q59_MIN_PAIRS)

@@ -2192,6 +2192,22 @@ def test_x102_mmr_matches_python_greedy_and_diversifies(spark):
     assert any(rel_order[q] != mmr_order[q] for q in rel_order)
 
 
+def test_x102_mmr_driver_fast_path_matches_distributed_arm(spark):
+    """The size-gated driver greedy (r13 optimization) and the
+    distributed k-step loop must produce identical trajectories —
+    same integers, same (mmr desc, cand_id asc) tie-break."""
+    from fanstats_producer_spark.io import spread
+    from fanstats_producer_spark.operators.similarity import mmr_rerank
+
+    emb = spread(load(spark, SF_DIR, "embeddings"))
+    fast = sorted(tuple(r) for r in mmr_rerank(emb).collect())
+    dist = sorted(
+        tuple(r) for r in mmr_rerank(emb, driver_threshold=0).collect()
+    )
+    assert fast == dist
+    assert len(fast) > 0
+
+
 def test_x103_jl_pipeline_finds_planted_near_duplicates(spark, tmp_path):
     """The JL shortlist's load-bearing guarantee: near-duplicate
     vectors (cosine ~ 1) survive projection (JL preserves large

@@ -28,6 +28,51 @@ from pyspark.sql import SparkSession
 #   dynamic allocation; we do NOT shrink it for local runs.
 
 
+#: Free-space floor for auto-selecting the shared-memory scratch: a
+#: stream drain's state/checkpoint/landing payload at bench SFs is MBs,
+#: but refuse the tmpfs outright unless it has comfortable headroom so a
+#: mis-sized host can never OOM itself into the page cache.
+_SCRATCH_MIN_FREE = 16 << 30
+
+
+def scratch_root() -> str | None:
+    """Fastest usable local scratch for small, short-lived engine
+    files — stream checkpoints, state tables, landing dirs, warmups.
+
+    Order: $SPARK_GRAFT_SCRATCH (a cluster points this at its local
+    NVMe, or sets "none" to disable), else /dev/shm when present with
+    >= 16 GiB free.  Returns None when nothing qualifies (callers fall
+    back to tempfile defaults).  Rationale (guide §6, measured r13):
+    /tmp on this class of host is ext4 — every micro-batch commit
+    fsyncs there, and moving the drains' dirs to tmpfs cut the seven
+    heaviest stream cells 31.9 -> 19.8 s at sf0.1 while removing most
+    of their run-to-run variance.  At 100 TB checkpoints go to
+    reliable shared storage instead — these dirs are bench/local-mode
+    plumbing, never the production state location.
+    """
+    env = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if env:
+        if env.lower() == "none":
+            return None
+        return env if os.path.isdir(env) else None
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize >= _SCRATCH_MIN_FREE:
+            return shm
+    except OSError:
+        pass
+    return None
+
+
+def scratch_dir(prefix: str) -> str:
+    """tempfile.mkdtemp on scratch_root() (or the tempfile default when
+    no scratch qualifies).  Callers own cleanup, same as mkdtemp."""
+    import tempfile
+
+    return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
+
+
 def _default_parallelism() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus:

@@ -22,7 +22,6 @@ invocations don't collide.
 from __future__ import annotations
 
 import contextlib
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +40,7 @@ from fanstats_producer_spark.functions import text_extra
 from fanstats_producer_spark.operators import quality_checks, sampling, sketches
 from fanstats_producer_spark.operators.similarity import _X66_THRESH_E6
 from fanstats_producer_spark.registry import query
+from fanstats_producer_spark.session import scratch_dir
 from fanstats_producer_spark.streaming import jobs
 
 
@@ -113,7 +113,7 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session confs (UTC, nanosAsLong) it pins also govern this stream.
     _load(spark, sf_dir, "events")
     schema = spark.read.parquet(path).schema
-    landing = tempfile.mkdtemp(prefix="s_landing_")
+    landing = scratch_dir("s_landing_")
     # the dir must outlive this call (the caller drains later), so defer
     # removal to interpreter exit — bounds /tmp growth across a long
     # bench/driver session without racing any in-flight stream
@@ -198,7 +198,7 @@ def _stage_parity_landing(spark: SparkSession, sf_dir: str) -> str:
         for f in ("a.json", "b.json")
     ):
         return cached
-    landing = tempfile.mkdtemp(prefix="parity_landing_")
+    landing = scratch_dir("parity_landing_")
     atexit.register(shutil.rmtree, landing, ignore_errors=True)
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -252,7 +252,7 @@ def _doc_landing(spark: SparkSession, sf_dir: str) -> str:
     cached = _DOC_LANDING_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    landing = tempfile.mkdtemp(prefix="doc_landing_")
+    landing = scratch_dir("doc_landing_")
     atexit.register(shutil.rmtree, landing, ignore_errors=True)
     docs = _load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     # Stage DISTRIBUTED (executor-side JSON write, not a driver
@@ -295,7 +295,7 @@ def s01_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exactly-once), then summarize the landed layout.  Returns one row
     per event_date partition with its row count — the sink's manifest,
     not the raw echo, so the result stays tiny at any scale."""
-    tmp = tempfile.mkdtemp(prefix="s01_")
+    tmp = scratch_dir("s01_")
     out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
     stream = _read_events_stream(spark, sf_dir)
     _drain(jobs.write_partitioned_stream(stream, out, ckpt))
@@ -557,7 +557,7 @@ def s09_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest-event-per-user state table after the drain equals the batch
     argmax the oracle states (ties broken by event_id, so the merge is
     deterministic across any batching)."""
-    tmp = tempfile.mkdtemp(prefix="s09_")
+    tmp = scratch_dir("s09_")
     state, ckpt = f"{tmp}/state", f"{tmp}/ckpt"
     stream = _read_events_stream(spark, sf_dir)
     with _few_partitions(spark), _skip_nodata_batch(spark):
@@ -1045,7 +1045,7 @@ def s20_union_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    stage = tempfile.mkdtemp(prefix="s20_split_")
+    stage = scratch_dir("s20_split_")
     clicks_dir = os.path.join(stage, "clicks")
     purchases_dir = os.path.join(stage, "purchases")
     # distributed split write (no driver materialization), one dir per
@@ -1145,7 +1145,7 @@ def s21_stream_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     landing = _doc_landing(spark, sf_dir)  # shared, read-only
-    work = tempfile.mkdtemp(prefix="s21_work_")
+    work = scratch_dir("s21_work_")
     state_dir = os.path.join(work, "state")
     verdict_dir = os.path.join(work, "verdicts")
     ckpt = os.path.join(work, "ckpt")
@@ -1244,7 +1244,7 @@ def s22_stream_verified_near_dup(
     import shutil
 
     landing = _doc_landing(spark, sf_dir)  # shared, read-only
-    work = tempfile.mkdtemp(prefix="s22_work_")
+    work = scratch_dir("s22_work_")
     state_dir = os.path.join(work, "state")
     verdict_dir = os.path.join(work, "verdicts")
     ckpt = os.path.join(work, "ckpt")
@@ -1341,7 +1341,7 @@ def s23_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _read_events_stream(spark, sf_dir).filter(
         F.col("event_id") % 2 == 1
     )
-    work = tempfile.mkdtemp(prefix="s23_work_")
+    work = scratch_dir("s23_work_")
     state_dir = os.path.join(work, "state")
     monitor_dir = os.path.join(work, "monitor")
     ckpt = os.path.join(work, "ckpt")
@@ -1466,7 +1466,7 @@ def s25_stream_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    work = tempfile.mkdtemp(prefix="s25_work_")
+    work = scratch_dir("s25_work_")
     landing = _stage_parity_landing(spark, sf_dir)  # shared, read-only
     state_dir = os.path.join(work, "state")
     verdict_dir = os.path.join(work, "verdicts")
@@ -1532,7 +1532,7 @@ def s26_stream_semantic_decontam(
     evs = eval_matrix_row(emb)
     path = f"{sf_dir}/embeddings.parquet"
     schema = spark.read.parquet(path).schema
-    landing = tempfile.mkdtemp(prefix="s26_landing_")
+    landing = scratch_dir("s26_landing_")
     atexit.register(shutil.rmtree, landing, ignore_errors=True)
     dst = os.path.join(landing, "embeddings-000.parquet")
     try:
@@ -1623,7 +1623,7 @@ def s26b_stream_decontam_large_eval(
     )
     path = f"{sf_dir}/embeddings.parquet"
     schema = spark.read.parquet(path).schema
-    landing = tempfile.mkdtemp(prefix="s26b_landing_")
+    landing = scratch_dir("s26b_landing_")
     atexit.register(shutil.rmtree, landing, ignore_errors=True)
     dst = os.path.join(landing, "embeddings-000.parquet")
     try:
@@ -1636,7 +1636,7 @@ def s26b_stream_decontam_large_eval(
         .filter(F.col("vec_id") % 2 == 1)
         .select("vec_id", "embedding")
     )
-    work = tempfile.mkdtemp(prefix="s26b_work_")
+    work = scratch_dir("s26b_work_")
     verdict_dir = os.path.join(work, "verdicts")
     ckpt = os.path.join(work, "ckpt")
     try:
@@ -1690,7 +1690,7 @@ def s27_stream_sequence_packing(
     import os
     import shutil
 
-    work = tempfile.mkdtemp(prefix="s27_work_")
+    work = scratch_dir("s27_work_")
     landing = _stage_parity_landing(spark, sf_dir)  # shared, read-only
     manifest_dir = os.path.join(work, "manifest")
     state_dir = os.path.join(work, "state")
@@ -1775,7 +1775,7 @@ def s28_stream_image_near_dup(
     import shutil
 
     landing = _doc_landing(spark, sf_dir)  # shared, read-only
-    work = tempfile.mkdtemp(prefix="s28_work_")
+    work = scratch_dir("s28_work_")
     state_dir = os.path.join(work, "state")
     verdict_dir = os.path.join(work, "verdicts")
     ckpt = os.path.join(work, "ckpt")
@@ -1852,7 +1852,7 @@ def s29_stream_audio_near_dup(
     )
 
     landing = _doc_landing(spark, sf_dir)  # shared, read-only
-    work = tempfile.mkdtemp(prefix="s29_work_")
+    work = scratch_dir("s29_work_")
     state_dir = os.path.join(work, "state")
     verdict_dir = os.path.join(work, "verdicts")
     ckpt = os.path.join(work, "ckpt")
@@ -1901,7 +1901,7 @@ def s30_stream_weighted_sample(
     import shutil
 
     landing = _doc_landing(spark, sf_dir)  # shared, read-only
-    work = tempfile.mkdtemp(prefix="s30_work_")
+    work = scratch_dir("s30_work_")
     state_dir = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
     stream = jobs.read_document_stream(spark, landing)
@@ -1931,7 +1931,7 @@ def s31_stream_quantile_monitor(
     import os
     import shutil
 
-    work = tempfile.mkdtemp(prefix="s31_work_")
+    work = scratch_dir("s31_work_")
     state_dir = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
     stream = _read_events_stream(spark, sf_dir)
@@ -1963,7 +1963,7 @@ def s32_stream_keyword_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     landing = _doc_landing(spark, sf_dir)  # shared, read-only
-    work = tempfile.mkdtemp(prefix="s32_work_")
+    work = scratch_dir("s32_work_")
     out_dir = os.path.join(work, "tags")
     ckpt = os.path.join(work, "ckpt")
     stream = jobs.read_document_stream(spark, landing)
@@ -1998,7 +1998,7 @@ def s33_stream_ks_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    work = tempfile.mkdtemp(prefix="s33_work_")
+    work = scratch_dir("s33_work_")
     state_dir = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
     stream = _read_events_stream(spark, sf_dir)
@@ -2031,7 +2031,7 @@ def s34_stream_auc_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    work = tempfile.mkdtemp(prefix="s34_work_")
+    work = scratch_dir("s34_work_")
     state_dir = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
     stream = _read_events_stream(spark, sf_dir)
@@ -2066,7 +2066,7 @@ def s35_stream_chi2_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    work = tempfile.mkdtemp(prefix="s35_work_")
+    work = scratch_dir("s35_work_")
     state_dir = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
     # the shared _doc_landing JSON staging drops the source column, so
@@ -2074,7 +2074,7 @@ def s35_stream_chi2_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data movement; schema from a static read — never inferred)
     path = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(path).schema
-    landing = tempfile.mkdtemp(prefix="s35_landing_")
+    landing = scratch_dir("s35_landing_")
     atexit.register(shutil.rmtree, landing, ignore_errors=True)
     dst = os.path.join(landing, "documents-000.parquet")
     try:
@@ -2111,14 +2111,14 @@ def s36_stream_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    work = tempfile.mkdtemp(prefix="s36_work_")
+    work = scratch_dir("s36_work_")
     state_dir = os.path.join(work, "state")
     ckpt = os.path.join(work, "ckpt")
     # stage the parquet directly (the s35 pattern: hard-link, zero data
     # movement; schema from a static read — never inferred)
     path = f"{sf_dir}/embeddings.parquet"
     schema = spark.read.parquet(path).schema
-    landing = tempfile.mkdtemp(prefix="s36_landing_")
+    landing = scratch_dir("s36_landing_")
     atexit.register(shutil.rmtree, landing, ignore_errors=True)
     dst = os.path.join(landing, "embeddings-000.parquet")
     try:

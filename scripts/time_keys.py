@@ -51,9 +51,25 @@ def main() -> int:
         if f.endswith(".parquet")
     )
     # mirror bench.py's session exactly, or the numbers aren't comparable
+    import atexit
+    import shutil
+    import tempfile
+
+    from fanstats_producer_spark.session import scratch_root
+
+    extra_conf: dict[str, str] = {}
+    scr = scratch_root()
+    if scr:
+        local = tempfile.mkdtemp(prefix="timekeys_local_", dir=scr)
+        atexit.register(shutil.rmtree, local, ignore_errors=True)
+        extra_conf = {
+            "spark.local.dir": local,
+            "spark.driver.extraJavaOptions": f"-Djava.io.tmpdir={local}",
+        }
     spark = get_spark(
         "time-keys",
         shuffle_partitions=shuffle_partitions_for_bytes(total_bytes),
+        extra_conf=extra_conf,
     )
     # same steady-state treatment as bench.py: warm codegen + the tables
     spark.range(1_000_000).selectExpr("sum(id)").collect()

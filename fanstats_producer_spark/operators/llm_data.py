@@ -2060,6 +2060,131 @@ def x91_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- KN-family token dictionary (r14, VERDICT r13 item 1) -------------------------
+# The Kneser-Ney pipelines group and join on TOKEN-TUPLE keys; at
+# corpus scale the suffix aggregations and the corpus-sized score join
+# ship token strings across each exchange.  The gram strings never
+# appear in any output (outputs are doc_id + counts + quantized bits),
+# so a bijective token -> int64 mapping leaves every count,
+# probability and score unchanged by construction while the exchanges
+# move fixed 8-byte ints instead of variable-width strings (guide §2.3
+# "narrower types" / §8 "shuffle keys, not payloads").  Hash-key
+# compaction was measured and REJECTED in r13: exactness requires
+# residual string equality, so the strings still cross every exchange
+# and the hash only adds bytes — dictionary encoding is the exact
+# lever.
+#
+# Id assignment must be a pure deterministic function of the data:
+# the vocab subtree is referenced once per gram position and Spark may
+# evaluate the copies independently, so a nondeterministic id (mii,
+# zipWithIndex) could desynchronize them.  Scheme: hash tokens into a
+# fixed bucket domain, rank within each bucket by token — parallel
+# (never a global single-partition window, the x104 lesson; the only
+# per-bucket sort is |vocab|/buckets rows) and exactly reproducible.
+# The attach is ONE shared broadcast build probed once per gram
+# position, which keeps the r12-blessed one-corpus-shuffle plan shape
+# (test_plans::test_x110_x100_score_join_is_per_distinct_gram): a
+# BroadcastHashJoin adds no hash exchange, so the corpus stream still
+# crosses exactly one gram-keyed exchange (the score join).  The
+# broadcast caps this at driver-broadcastable vocab sizes (~1e8
+# tokens); past that, attach via a shuffle join on tok — one more
+# narrow exchange, same results.
+#
+# WHERE IT APPLIES (measured r14, same-session interleaved A/B):
+# - x110: distinct 5-grams are corpus-scale (repeated mass 0.10), so
+#   the score join genuinely exchanges the corpus stream on gram keys.
+#   Dictionary arm at sf1: 15.2 -> 13.7 s (1.11x).  At sf0.1 the fixed
+#   costs (vocab job ~0.4 s + broadcast-stage floors) exceed the
+#   savings of a 600 KB corpus: +0.6 s — hence the _X110_DICT_MIN_BYTES
+#   size gate below (the x102/q65/connected_components gate
+#   convention; both arms value-identical by construction, pinned by
+#   tests at a forced-low threshold).
+# - x100/x94: NOT taken.  The fixture vocabulary (31 types) bounds the
+#   model tables at |V|^n rows (<= 29,791 trigrams), so they broadcast
+#   at every reachable SF and the corpus stream never crosses a
+#   gram-keyed exchange to narrow.  Measured: x100 dictionary arm
+#   sf1 7.5 -> 9.1 s (worse); x94 distinct-gram score reshape
+#   sf0.1 1.0 -> 1.36 s, sf1 2.8 -> 5.4 s (worse — the broadcast
+#   chain builds its tiny model tables CONCURRENTLY, the reshape
+#   serializes them behind one build).  Both only pay off at
+#   unbounded (web-scale) vocabulary, unreachable on this fixture
+#   family; recorded in OPTIMIZATION_r14.md "Not yet optimized".
+
+#: Bucket domain for deterministic id assignment.  1024 buckets keep
+#: the per-bucket rank sort at |vocab|/1024 rows (1e6 at a 1e9-type
+#: web vocab); the id packs (bucket, rank) into an int64 with 2^33
+#: headroom per bucket.
+_TOKEN_ID_BUCKETS = 1024
+
+#: x110 dictionary-arm gate: documents.parquet size (file metadata, no
+#: probe job) above which the token dictionary pays for its fixed
+#: costs.  Measured r14: dictionary arm -0.6 s at sf0.1 (600 KB),
+#: +1.5 s (1.11x) at sf1 (5.9 MB); 2 MiB sits between.  At 100 TB the
+#: gate is always open and the savings scale with corpus bytes.
+_X110_DICT_MIN_BYTES = 2 << 20
+
+
+def _x110_use_dictionary(sf_dir: str) -> bool:
+    """True when the corpus is large enough for the dictionary arm
+    (file-metadata gate — on a cluster this is the catalog's table
+    bytes).  Unreadable/missing file -> the plain string arm."""
+    import os
+
+    try:
+        return (
+            os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+            >= _X110_DICT_MIN_BYTES
+        )
+    except OSError:
+        return False
+
+
+def _token_ids(tk: DataFrame) -> DataFrame:
+    """(tok, tid) dictionary over the distinct tokens of `tk.t` —
+    deterministic, parallel, collision-free (see block comment).
+    Materialized once (localCheckpoint): the dictionary feeds one
+    broadcast attach per gram position, and without materialization
+    each broadcast re-evaluates the explode+distinct subtree
+    (measured r14: +0.3-1.0 s/key at sf0.1).  The frame is bounded by
+    |vocab| — it is the broadcastable side by construction, so
+    pinning it is the same memory class as the broadcast itself."""
+    w = Window.partitionBy("bkt").orderBy("tok")
+    return (
+        tk.select(F.explode("t").alias("tok"))
+        .distinct()
+        .withColumn(
+            "bkt", F.pmod(F.xxhash64("tok"), F.lit(_TOKEN_ID_BUCKETS))
+        )
+        .select(
+            "tok",
+            (
+                F.col("bkt") * F.lit(1 << 33)
+                + F.row_number().over(w)
+            ).alias("tid"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def _attach_token_ids(
+    gf: DataFrame, vocab: DataFrame, positions: dict[str, str]
+) -> DataFrame:
+    """Replace string gram columns with dictionary ids ({str_col:
+    id_col}): ONE shared broadcast build probed once per position (an
+    aliased build per position defeats exchange reuse — measured
+    +0.2 s at sf0.1), keeping only doc_id + the id columns so no token
+    string rides any downstream exchange."""
+    bv = F.broadcast(vocab)
+    out = gf
+    for src, dst in positions.items():
+        out = (
+            out.join(bv, F.col(src) == bv["tok"])
+            .drop("tok", src)
+            .withColumnRenamed("tid", dst)
+        )
+    return out.select("doc_id", *positions.values())
+
+
 # --- x94: interpolated Kneser-Ney bigram LM scoring -------------------------------
 # The quality battery's most-used real-world member: CCNet's deployed
 # filter is an n-gram LM (KenLM), not the unigram model x30/x43 mimic.
@@ -2096,9 +2221,15 @@ def x91_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groupBys of the bigram-count table (partial-agg friendly); scoring
 # re-joins the per-occurrence stream on (v,w) then v then w — all
 # shuffle-partitioned joins AQE can plan (the model tables are
-# vocabulary-sized, far smaller than the corpus; T rides as a one-row
-# broadcast).  Docs with < 2 tokens have no bigram and drop from the
-# output in BOTH engines.
+# vocabulary-sized: |V|^2-bounded, so they BROADCAST at every
+# reachable SF and the occurrence stream never crosses a gram-keyed
+# exchange; T rides as a one-row broadcast).  r14 measured and
+# REJECTED both the distinct-bigram score reshape (the x100/x110
+# shape: serializes the model build behind one broadcast — sf0.1
+# 1.0 -> 1.36 s, sf1 2.8 -> 5.4 s) and the token dictionary (nothing
+# to narrow when no gram-keyed exchange exists) — see the _token_ids
+# block comment.  Docs with < 2 tokens have no bigram and drop from
+# the output in BOTH engines.
 @query(
     "x94_kneser_ney_bits",
     oracle=f"""
@@ -2823,13 +2954,29 @@ def x110_kn_5gram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         " element_at(t, i + 2) as c, element_at(t, i + 3) as d,"
         " element_at(t, i + 4) as e))"
     )
-    gf = (
+    tk = (
         spread(load(spark, sf_dir, "documents"), "doc_id")
         .selectExpr("doc_id", "split(text, ' ') AS t")
         .filter(F.size("t") >= 5)
-        .select("doc_id", F.expr(f"explode({z})").alias("g"))
-        .select("doc_id", "g.a", "g.b", "g.c", "g.d", "g.e")
     )
+    gf = tk.select("doc_id", F.expr(f"explode({z})").alias("g")).select(
+        "doc_id", "g.a", "g.b", "g.c", "g.d", "g.e"
+    )
+    if _x110_use_dictionary(sf_dir):
+        # dictionary-encode the 5-gram keys (r14, see _token_ids block
+        # comment): counts are invariant under the token<->id bijection
+        # and no token string crosses any downstream exchange.  Gated on
+        # corpus size — below the gate the fixed vocab-job/broadcast
+        # costs exceed the narrower-key savings (measured, see
+        # _X110_DICT_MIN_BYTES).
+        gf = _attach_token_ids(
+            gf,
+            _token_ids(tk),
+            {"a": "ka", "b": "kb", "c": "kc", "d": "kd", "e": "ke"},
+        )
+        keys = ["ka", "kb", "kc", "kd", "ke"]
+    else:
+        keys = ["a", "b", "c", "d", "e"]
 
     def _level(df, keys, cnt_name, ctx_name, n1_name):
         w = Window.partitionBy(*keys[:-1])
@@ -2842,13 +2989,13 @@ def x110_kn_5gram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn(n1_name, F.count("*").over(w).cast("long"))
         )
 
-    c5 = _level(gf, ["a", "b", "c", "d", "e"], "c5", "ctx5", "n15")
-    m4 = _level(c5, ["b", "c", "d", "e"], "m4", "ctx4", "n14")
-    m3 = _level(m4, ["c", "d", "e"], "m3", "ctx3", "n13")
-    m2 = _level(m3, ["d", "e"], "m2", "ctx2", "n12")
+    c5 = _level(gf, keys, "c5", "ctx5", "n15")
+    m4 = _level(c5, keys[1:], "m4", "ctx4", "n14")
+    m3 = _level(m4, keys[2:], "m3", "ctx3", "n13")
+    m2 = _level(m3, keys[3:], "m2", "ctx2", "n12")
     wall = Window.partitionBy()
     cont = (
-        m2.groupBy("e")
+        m2.groupBy(keys[4])
         .agg(F.count("*").alias("ncont"))
         .withColumn("T", F.sum("ncont").over(wall).cast("long"))
     )
@@ -2878,17 +3025,17 @@ def x110_kn_5gram_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frame and join the corpus-sized gf ONCE — the pre-r12 plan
     # shuffled gf per suffix key-set, 4 extra corpus-wide exchanges
     score5 = (
-        c5.join(m4.select("b", "c", "d", "e", "m4", "ctx4", "n14"), ["b", "c", "d", "e"])
-        .join(m3.select("c", "d", "e", "m3", "ctx3", "n13"), ["c", "d", "e"])
-        .join(m2.select("d", "e", "m2", "ctx2", "n12"), ["d", "e"])
-        .join(cont, "e")
+        c5.join(m4.select(*keys[1:], "m4", "ctx4", "n14"), keys[1:])
+        .join(m3.select(*keys[2:], "m3", "ctx3", "n13"), keys[2:])
+        .join(m2.select(*keys[3:], "m2", "ctx2", "n12"), keys[3:])
+        .join(cont, keys[4])
         .withColumn(
             "lg",
             F.floor(F.log2(prob) * F.lit(1e7) + F.lit(0.5)).cast("long"),
         )
-        .select("a", "b", "c", "d", "e", "lg")
+        .select(*keys, "lg")
     )
-    sc = gf.join(score5, ["a", "b", "c", "d", "e"])
+    sc = gf.join(score5, keys)
     return sc.groupBy("doc_id").agg(
         F.count("*").alias("n_5grams"),
         qint(

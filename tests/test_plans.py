@@ -372,6 +372,50 @@ def test_x110_x100_score_join_is_per_distinct_gram(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_x110_dictionary_arm_int_keys_same_shape_same_values(
+    spark, monkeypatch
+):
+    """x110 dictionary arm (r14, VERDICT r13 item 1): above the corpus
+    size gate the gram keys become int64 dictionary ids.  Pin the three
+    properties the design depends on: (a) both arms return IDENTICAL
+    rows (the bijection leaves every count/score unchanged); (b) the
+    corpus-sized instance stream still crosses exactly ONE gram-keyed
+    exchange (the broadcast attach adds no hash exchange); (c) that
+    exchange's keys are the bigint ids, not token strings."""
+    import re
+
+    from fanstats_producer_spark.operators import llm_data
+
+    fn = registry.QUERIES["x110_kn_5gram_bits"]
+    # string arm (gate closed at every driver SF)
+    assert not llm_data._x110_use_dictionary(SF_DIR)
+    base = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    # dictionary arm, forced
+    monkeypatch.setattr(llm_data, "_X110_DICT_MIN_BYTES", 0)
+    assert llm_data._x110_use_dictionary(SF_DIR)
+    df = fn(spark, SF_DIR)
+    assert {tuple(r) for r in df.collect()} == base
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = checks.explain_str(fn(spark, SF_DIR), "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    details = re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]"
+        r"\nArguments: hashpartitioning\(([^)]*)\)",
+        plan,
+    )
+    instance_shuffles = [
+        keys
+        for inp, keys in details
+        if "doc_id" in inp and "doc_id" not in keys
+    ]
+    assert len(instance_shuffles) == 1, instance_shuffles
+    # the one instance exchange is keyed on the dictionary ids
+    assert re.search(r"\bka#\d+L", instance_shuffles[0]), instance_shuffles
+
+
 def test_x104_total_is_broadcast_scalar_not_global_window(spark):
     """x104 (VERDICT r11 item 4): the bigram total N must ride a
     broadcast one-row aggregate, never a zero-arg window — a global

@@ -427,6 +427,18 @@ def _mh_ab(i: int) -> tuple[int, int]:
     return (i * 2654435761 + 1) % _MH_P, (i * 40503 + 12345) % _MH_P
 
 
+def _mh_est(sig_a: str, sig_b: str, n_hashes: int):
+    """Estimated-Jaccard e6 column: fraction of equal signature
+    components (one zip_with compare over the two int arrays)."""
+    return qint(
+        F.expr(
+            f"size(filter(zip_with({sig_a}, {sig_b}, (a, b) -> a = b),"
+            " eq -> eq))"
+        ).cast("double")
+        / n_hashes
+    )
+
+
 def minhash_native_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -471,9 +483,11 @@ def minhash_native_pairs(
     dropped.
 
     The full signature rides along through the band shuffle (bands ×
-    n_hashes×8 B per doc), so the estimate is computed right at pair
-    expansion — no signature join, no distinct over candidate pairs
-    (measured 1.4x at sf0.1).  ``max_bucket`` drops degenerate
+    n_hashes×4 B per doc — array<int>, guide §2.3), so the estimate is
+    computed right at pair expansion — no signature join (measured
+    1.4x at sf0.1), and since r14 the below-threshold flood is dropped
+    BEFORE the cross-band dedupe so that exchange carries 20-byte
+    (id, id, est) rows, never signatures.  ``max_bucket`` drops degenerate
     mega-buckets (boilerplate bands shared by thousands of docs) before
     the quadratic expansion — the LSH analogue of jaccard_pairs'
     ``max_df`` frequency pruning; at 100 TB set it to a few thousand.
@@ -505,7 +519,13 @@ def minhash_native_pairs(
 
     def _h_sql(i: int) -> str:
         a, b = _mh_ab(i)
-        return f"min(({a} * wm + {b}) % {_MH_P}) as h{i}"
+        # the component value is < P = 2^31-1, so it fits an INT
+        # exactly; carrying the signature as array<int> instead of
+        # array<long> halves its bytes through the band shuffle and
+        # the bucket rows (guide §2.3 "narrower types" — r14, measured
+        # with the est-early change below: band family 6.8 -> 6.0-6.3 s
+        # at sf1, identical outputs)
+        return f"cast(min(({a} * wm + {b}) % {_MH_P}) as int) as h{i}"
 
     sig = hashed.groupBy("doc_id").agg(
         *[F.expr(_h_sql(i)) for i in range(n_hashes)]
@@ -574,8 +594,10 @@ def minhash_native_pairs(
         cands = (
             left.join(right, join_keys)
             .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
-            .agg(F.first("sig_a").alias("sig_a"), F.first("sig_b").alias("sig_b"))
+            .withColumn("est_jaccard_e6", _mh_est("sig_a", "sig_b", n_hashes))
+            .filter(F.col("est_jaccard_e6") >= int(threshold * 1e6))
+            .select("id_a", "id_b", "est_jaccard_e6")
+            .distinct()
         )
     else:
         buckets = (
@@ -593,26 +615,26 @@ def minhash_native_pairs(
         )
         cands = (
             buckets.select(F.expr(f"explode({combos}) as p"))
-            .groupBy("p.id_a", "p.id_b")
-            .agg(
-                F.expr("first(p.sig_a) as sig_a"),
-                F.expr("first(p.sig_b) as sig_b"),
+            .select(
+                F.col("p.id_a").alias("id_a"),
+                F.col("p.id_b").alias("id_b"),
+                _mh_est("p.sig_a", "p.sig_b", n_hashes).alias(
+                    "est_jaccard_e6"
+                ),
             )
+            .filter(F.col("est_jaccard_e6") >= int(threshold * 1e6))
+            .distinct()
         )
-    est = (
-        cands.withColumn(
-            "est_jaccard_e6",
-            qint(
-                F.expr(
-                    "size(filter(zip_with(sig_a, sig_b, (a, b) -> a = b),"
-                    " eq -> eq))"
-                ).cast("double")
-                / n_hashes
-            ),
-        )
-        .filter(F.col("est_jaccard_e6") >= int(threshold * 1e6))
-    )
-    return est.select("id_a", "id_b", "est_jaccard_e6")
+    # Estimate-then-dedupe (r14, guide §2.3): every copy of a pair
+    # carries the same two signatures, so the estimate is computed AT
+    # pair expansion (64 int compares, recomputed per shared band —
+    # cheap) and the below-threshold flood is dropped BEFORE the
+    # cross-band dedupe exchange, which then moves 20-byte
+    # (id_a, id_b, est) rows instead of two ~0.5 KB signatures per
+    # row.  distinct == the old groupBy+first: copies are identical by
+    # construction, so the surviving pair set and estimates are
+    # unchanged (pinned by the x04d value oracle).
+    return cands.select("id_a", "id_b", "est_jaccard_e6")
 
 
 # The oracle reproduces the signature bit-for-bit (md5-derived word mod
@@ -1689,7 +1711,14 @@ def streaming_band_keys(
 
     def _component(i: int) -> str:
         a, b = _mh_ab(i)
-        return f"array_min(transform(__wms, w -> ({a} * w + {b}) % {_MH_P}))"
+        # cast to INT exactly like the batch signature (r14): the band
+        # keys hash the component VALUES, so batch and stream stay
+        # byte-identical (pinned by
+        # test_streaming_band_keys_match_batch_formulation)
+        return (
+            f"cast(array_min(transform(__wms,"
+            f" w -> ({a} * w + {b}) % {_MH_P})) as int)"
+        )
 
     sig_arr = (
         "array(" + ", ".join(_component(i) for i in range(n_hashes)) + ")"

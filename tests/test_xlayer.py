@@ -1230,7 +1230,12 @@ def test_streaming_band_keys_match_batch_formulation(spark):
                     + F.lit(dedup._mh_ab(i)[1])
                 )
                 % dedup._MH_P
-            ).alias(f"h{i}")
+            )
+            # r14: signatures are array<int> on both paths (component
+            # values < 2^31-1 fit exactly); the band keys hash the int
+            # values, so the reference must cast too
+            .cast("int")
+            .alias(f"h{i}")
             for i in range(64)
         ]
     )

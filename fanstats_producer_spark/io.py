@@ -114,6 +114,35 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def disk_checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Materialized reuse point for a CORPUS/GRAPH-SCALE frame feeding
+    multiple consumers (r14, VERDICT r13 item 5; guide §5).
+
+    localCheckpoint with StorageLevel.DISK_ONLY: the blocks land on the
+    executors' local dirs (the fast scratch — session._process_local_dir)
+    and never compete with execution memory, unlike the default
+    MEMORY_AND_DESER level a bare localCheckpoint pins.
+
+    Why not DataFrame.persist(DISK_ONLY): persist registers the plan in
+    the session CacheManager, which silently substitutes the cache into
+    ANY later query whose analyzed subtree matches — across bench keys
+    that is result reuse the bench contract bans (every key must compute
+    from the parquet inputs), and within one key a lazy persist lets two
+    concurrent stages race to double-compute the subtree.  localCheckpoint
+    keeps the materialization private to this plan and eager=True makes
+    it exactly-once.
+
+    Caveat (unchanged from localCheckpoint): no lineage — losing an
+    executor at cluster scale kills the query instead of recomputing.
+    Deployments that need fault tolerance for these intermediates swap
+    this seam for df.checkpoint() to reliable storage; bounded SMALL
+    frames (vocab tables, per-label reports, pair lists) keep the plain
+    localCheckpoint default where memory residency is the point."""
+    from pyspark.storagelevel import StorageLevel
+
+    return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view (Athena-catalog parity:
     the reference's Glue database `fanstatsai`, main.tf:301-303)."""

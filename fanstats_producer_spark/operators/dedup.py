@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from fanstats_producer_spark.functions.num import qint
-from fanstats_producer_spark.io import load, spread
+from fanstats_producer_spark.io import disk_checkpoint, load, spread
+from pyspark.storagelevel import StorageLevel as _SL
+
+#: iterative lineage-truncation checkpoints are DISK_ONLY too — label/
+#: rank vectors scale with the corpus (rationale: io.disk_checkpoint)
+_DISK_ONLY = _SL.DISK_ONLY
 from fanstats_producer_spark.registry import query
 
 
@@ -758,7 +763,7 @@ def connected_components(
         .distinct()
         # materialize once: the upstream pair computation (e.g. the whole
         # Jaccard pipeline) must NOT re-execute on every iteration
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=_DISK_ONLY)
     )
     labels = edges.select("src").distinct().select(
         F.col("src").alias("node"), F.col("src").alias("label")
@@ -796,6 +801,8 @@ def connected_components(
     # compresses paths so the label tree's depth halves every round.
     prev_sum = None
     for _ in range(max_iterations):
+        # working-set label vector: memory-resident default level
+        # (the graph.py per-iteration rationale)
         labels = jump(propagate(labels)).localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
@@ -1577,10 +1584,9 @@ def semdedup(
     # consumer.  Measured trade: +0.5 s at sf0.1 (2k vectors — the
     # recompute is cheaper than the materialization) but -16 s at sf1
     # (84.7 -> 68.4 warm); sized for scale, like the rest of the key
-    asg = (
+    asg = disk_checkpoint(
         kmeans_assignments(emb)
         .select("vec_id", "cid", qint("dist2").alias("dist2_e6"))
-        .localCheckpoint(eager=True)
     )
     # within-cluster candidate pairs with precomputed norms (the x04f
     # lesson: inlined cosine() re-evaluates three array aggregates per

@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import disk_checkpoint, load
+from pyspark.storagelevel import StorageLevel as _SL
+
+#: iterative lineage-truncation checkpoints are DISK_ONLY too — label/
+#: rank vectors scale with the corpus (rationale: io.disk_checkpoint)
+_DISK_ONLY = _SL.DISK_ONLY
 from fanstats_producer_spark.registry import query
 
 _ITER = 5
@@ -152,7 +157,7 @@ def pagerank_ranks(
         # probe would funnel deg through a single-partition
         # GlobalLimit; a full distributed count over the checkpoint is
         # cheaper).
-        deg = deg.localCheckpoint(eager=True)
+        deg = disk_checkpoint(deg)
         use_broadcast = deg.count() <= broadcast_threshold
     if use_broadcast:
         maybe_b = F.broadcast
@@ -160,7 +165,7 @@ def pagerank_ranks(
         maybe_b = lambda df: df  # noqa: E731
         # one-time co-partitioning; localCheckpoint preserves the hash
         # partitioning so every per-iteration join reuses it
-        edges = edges.repartition("src").localCheckpoint(eager=True)
+        edges = disk_checkpoint(edges.repartition("src"))
     ranks = deg.select(
         F.col("src").alias("node"),
         F.lit(_SCALE).cast("long").alias("rank"),
@@ -185,7 +190,12 @@ def pagerank_ranks(
             )
             # Truncate lineage each round: reusing ranks at iteration i
             # would otherwise re-execute iterations 0..i-1 (O(n^2) plan
-            # growth); the checkpoint is |nodes| rows.
+            # growth).  The rank vector is the iteration's WORKING SET
+            # (re-read twice per round, replaced next round), so it
+            # keeps the memory-resident default level — DISK_ONLY here
+            # measured +0.5 s at sf0.1 from per-round deserialization
+            # (r14); the static corpus-scale frames are the DISK_ONLY
+            # ones (io.disk_checkpoint).
             .localCheckpoint(eager=True)
         )
     return ranks
@@ -211,7 +221,7 @@ def q65_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # materialize once: 5 iterations must not re-derive the join+distinct
-    edges = edges.localCheckpoint(eager=True)
+    edges = disk_checkpoint(edges)
     # threshold=None: the fixture graph is |cust|+|supp| nodes — always
     # broadcastable, so skip the size-probe job.  A production caller on
     # an unknown graph passes a byte-budget-derived node threshold and

@@ -44,7 +44,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import disk_checkpoint, load
 from fanstats_producer_spark.registry import query
 
 
@@ -2505,7 +2505,7 @@ def phash_near_dup_pairs(
     # nodes).  One eager checkpoint runs the Python worker once and
     # both sides read the 16-B/doc materialized frame; at 100 TB that
     # frame is exactly the "decide on small rows" proxy of guide §8.
-    hashes = hashes.localCheckpoint(eager=True)
+    hashes = disk_checkpoint(hashes)
     banded = hashes.select(
         "doc_id",
         "phash",

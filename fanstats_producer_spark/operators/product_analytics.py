@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import qint
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import disk_checkpoint, load
 from fanstats_producer_spark.registry import query
 
 
@@ -260,10 +260,9 @@ def q59_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # level subtree reuse does not dedupe across DataFrame references).
     # Same diamond-reuse lever as connected_components; at cluster scale,
     # checkpoint to reliable storage instead.
-    baskets = (
+    baskets = disk_checkpoint(
         li.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("items"))
-        .localCheckpoint(eager=True)
     )
     combos = (
         "flatten(transform(items, (x, i) ->"

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fanstats_producer_spark.io import load
+from fanstats_producer_spark.io import disk_checkpoint, load
 from fanstats_producer_spark.registry import query
 
 
@@ -157,7 +157,7 @@ def q80_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_e2"),
     )
     # the CDC feed reads the target once (checkpoint the small frame)
-    tgt = tgt.localCheckpoint(eager=True)
+    tgt = disk_checkpoint(tgt)
     src = (
         tgt.filter(F.col("k") % 97 == 0)
         .select("k", F.lit("D").alias("op"), F.lit(None).cast("long").alias("new_bal_e2"))

@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fanstats_producer_spark.functions.num import qint
-from fanstats_producer_spark.io import load, spread
+from fanstats_producer_spark.io import disk_checkpoint, load, spread
 from fanstats_producer_spark.operators.sampling import hash_bucket
 from fanstats_producer_spark.registry import query
 
@@ -1402,7 +1402,7 @@ def x82_sparse_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode+aggregate from the raw scan (measured: 8 parquet scans in
     # the un-checkpointed plan).  At 100 TB this table is the persisted
     # index a sparse retriever maintains, not a per-query recompute.
-    post = _x82_postings(docs).localCheckpoint(eager=True)
+    post = disk_checkpoint(_x82_postings(docs))
     norms = post.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
     )
@@ -2125,9 +2125,7 @@ def jl_ann_recall(
     over out_dim × shortlist on the base + planted fixtures; the
     registered x103 key runs the defaults."""
     emb = spread(load(spark, sf_dir, "embeddings"))
-    proj = jl_project(emb, out_dim=out_dim).localCheckpoint(
-        eager=True
-    )  # feeds 3 arms
+    proj = disk_checkpoint(jl_project(emb, out_dim=out_dim))  # feeds 3 arms
     nrm = proj.groupBy("vec_id").agg(
         F.sum(F.col("comp_e6") * F.col("comp_e6")).alias("n2")
     )

@@ -34,6 +34,15 @@ def main() -> int:
         action="store_true",
         help="compare raw numbers even when both records carry sentinels",
     )
+    ap.add_argument(
+        "--envelope",
+        default=None,
+        help="noise-envelope JSON from scripts/bench_pool.py --envelope"
+        " (VERDICT r13 item 8): a flagged regression whose NEW value"
+        " lies at or under the envelope's per-key max (drift-scaled) is"
+        " downgraded to 'within noise envelope' instead of failing the"
+        " comparison — single cold runs stop generating false flags",
+    )
     args = ap.parse_args()
 
     with open(args.old) as f:
@@ -190,13 +199,52 @@ def main() -> int:
     removed = sorted(set(oq) - set(nq))
     both = sorted(set(oq) & set(nq))
 
-    regressions, improvements = [], []
+    # Optional per-key noise envelope (VERDICT r13 item 8): when the
+    # new value of a would-be regression sits at or under the max this
+    # round's pool observed for the key (scaled by the same sentinel
+    # drift between the envelope's runs and the NEW record), the flag
+    # is noise by construction — the pool itself produced such a value
+    # with identical code.
+    env_max: dict[str, float] = {}
+    env_drift: dict[str, float] = {}
+    if args.envelope:
+        with open(args.envelope) as f:
+            env = json.load(f)
+        env_max = {
+            k: v["max"] for k, v in env.get("per_key", {}).items()
+        }
+        sents = env.get("sentinel_per_run") or []
+        if sents and ns_:
+            import statistics as _st
+
+            med = {
+                p: _st.median(s[p] for s in sents if p in s)
+                for p in sents[0]
+            }
+
+            def _env_drift(key: str) -> float:
+                probe = (
+                    "stream_drain_s"
+                    if key.startswith("s")
+                    else "spark_agg_s"
+                )
+                if med.get(probe) and ns_.get(probe):
+                    return ns_[probe] / med[probe]
+                return 1.0
+
+            env_drift = {k: _env_drift(k) for k in env_max}
+
+    regressions, improvements, in_envelope = [], [], []
     for k in both:
         base = oq[k] * _drift_for(k)
         delta = nq[k] - base
         pct = 100.0 * delta / base if base else float("inf")
         if delta > args.abs_s and pct > args.pct:
-            regressions.append((k, base, nq[k], pct))
+            cap = env_max.get(k)
+            if cap is not None and nq[k] <= cap * env_drift.get(k, 1.0):
+                in_envelope.append((k, base, nq[k], pct))
+            else:
+                regressions.append((k, base, nq[k], pct))
         elif -delta > args.abs_s and -pct > args.pct:
             improvements.append((k, base, nq[k], pct))
 
@@ -210,9 +258,13 @@ def main() -> int:
         f"total: {old.get('value')} -> {new.get('value')} s{adj} "
         f"({len(both)} shared, +{len(added)} new, -{len(removed)} removed)"
     )
-    for label, rows in (("REGRESSED", regressions), ("improved", improvements)):
+    for label, rows in (
+        ("REGRESSED", regressions),
+        ("improved", improvements),
+        ("in-envelope", in_envelope),
+    ):
         for k, a, b, pct in rows:
-            print(f"  {label:9s} {k:32s} {a:7.2f} -> {b:7.2f}  ({pct:+.0f}%)")
+            print(f"  {label:11s} {k:32s} {a:7.2f} -> {b:7.2f}  ({pct:+.0f}%)")
     if added:
         print("  new keys:", ", ".join(added))
     if removed:

@@ -44,6 +44,15 @@ def main() -> int:
         help="leave the last run's BENCH_FULL_LATEST.json in place"
         " instead of restoring the committed copy",
     )
+    ap.add_argument(
+        "--envelope",
+        default=None,
+        help="also write a per-key noise-envelope JSON (min/median/max"
+        " + every run's value + per-run sentinels) so a later judge can"
+        " check a single driver run against the observed in-round"
+        " spread instead of flagging noise as regression (VERDICT r13"
+        " item 8); scripts/bench_compare.py consumes it via --envelope",
+    )
     args = ap.parse_args()
 
     latest = os.path.join(REPO, "BENCH_FULL_LATEST.json")
@@ -121,6 +130,41 @@ def main() -> int:
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(record, f, indent=1)
     print(f"wrote {args.out}: {record['value']:.1f} s over {len(keys)} keys")
+
+    if args.envelope:
+        env = {
+            "note": (
+                "per-key noise envelope over this pool's runs —"
+                " single-run values outside [min, max] on a"
+                " sentinel-comparable host indicate a real change;"
+                " inside it they are the documented run-to-run noise"
+                " (VERDICT r13 item 8)"
+            ),
+            "pool_depth": args.runs,
+            "sf": payloads[0]["sf"],
+            "sentinel_per_run": [p["sentinel"] for p in payloads],
+            "per_key": {
+                k: {
+                    "runs": [
+                        round(p["queries"][k], 3) for p in payloads
+                    ],
+                    "min": timings[k],
+                    "median": round(
+                        statistics.median(
+                            p["queries"][k] for p in payloads
+                        ),
+                        3,
+                    ),
+                    "max": round(
+                        max(p["queries"][k] for p in payloads), 3
+                    ),
+                }
+                for k in keys
+            },
+        }
+        with open(os.path.join(REPO, args.envelope), "w") as f:
+            json.dump(env, f, indent=1)
+        print(f"wrote {args.envelope}")
 
     if not args.keep_latest:
         subprocess.run(
